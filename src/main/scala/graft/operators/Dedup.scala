@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Chunker, TextFns, VectorFns}
+
+/** Deduplication family (SURVEY.md §2.B) — the reference Dedup
+  * pipeline's semantics (chunk → hash → dedup → compress,
+  * /root/reference/apps/dedup/src/encoder.c) re-expressed as
+  * declarative Spark over the `documents`/`embeddings` tables, plus
+  * the near-dup operators a 100 TB training-data pipeline needs
+  * (MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+  *
+  * Scale posture: no operator ever shuffles raw text for similarity —
+  * only 8-byte token hashes, 16-byte signatures, or band keys.
+  * Candidate generation is always a bucket-key equi-join (LSH bands /
+  * simhash bands / hyperplane buckets / blocking keys); O(n²) work
+  * exists only inside a bucket.
+  */
+object Dedup {
+
+  private val chunkUdf = udf((text: String) => Chunker.chunkText(text))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  // ---- dedup_exact: hash-groupBy exact dedup (oracled) -----------------
+  /** Exact dedup: group on the content digest (shuffles 32-byte
+    * hashes, not document bodies), keep the lowest doc_id. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val dedupExactSql: String =
+    """SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY sha256(text)""".stripMargin
+
+  // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
+  private def chunkTable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(chunkUdf(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.offset"),
+        col("c.length"), col("c.chunk_sha"), col("c.comp_len"))
+
+  def dedupChunk(s: SparkSession, dir: String): DataFrame =
+    chunkTable(s, dir).drop("comp_len")
+
+  // ---- dedup_chunk_stats: Deduplicate-stage accounting -----------------
+  def dedupChunkStats(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkTable(s, dir)
+    // bytes of each distinct chunk counted once (first-writer-wins)
+    val perSha = ch.groupBy("chunk_sha")
+      .agg(first(col("length")).as("length"), count(lit(1)).as("refs"))
+    val uniq = perSha.agg(
+      count(lit(1)).as("n_unique_chunks"),
+      sum(col("length")).as("unique_bytes"))
+    val tot = ch.agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("length")).as("total_bytes"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    tot.crossJoin(uniq).select(
+      col("n_docs"), col("n_chunks"), col("n_unique_chunks"),
+      col("total_bytes"), col("unique_bytes"),
+      (lit(1.0) - col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+        .as("dedup_ratio"),
+      (col("total_bytes").cast("double") / col("n_chunks").cast("double"))
+        .as("mean_chunk_len"))
+  }
+
+  // ---- chunk_compress: Compress stage over unique chunks ---------------
+  def chunkCompress(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkTable(s, dir)
+    val w = Window.partitionBy("chunk_sha")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1) // compress each distinct chunk once
+      .select(col("chunk_sha"), col("doc_id"), col("chunk_idx"),
+        col("length").as("orig_len"), col("comp_len"),
+        (col("comp_len").cast("double") / col("length").cast("double"))
+          .as("comp_ratio"))
+  }
+
+  // ---- dedup_minhash: MinHash + banded LSH + exact-Jaccard verify ------
+  private val MinhashPerms = 128
+  private val Bands = 16
+  private val RowsPerBand = MinhashPerms / Bands
+
+  private def hashSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextFns.hashedTokenSet(col("text")).as("hset"))
+
+  /** 128-perm MinHash signature; permutation p is xxhash64(h, p) so no
+    * 64-bit multiply can overflow under ANSI mode. */
+  private def minhashSig(hset: Column): Column =
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      p => array_min(transform(hset, h => xxhash64(h, p))))
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val hs = hashSets(s, dir)
+    val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band", "bh")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on the hashed token sets (8-byte hashes only)
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TextFns.jaccard(col("ha"), col("hb")).as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= 0.7)
+  }
+
+  // ---- dedup_simhash: 64-bit SimHash + 4×16-bit band candidates --------
+  /** Token-vote SimHash — SQL-lambda form because shiftright needs a
+    * column shift amount inside the fold. */
+  private val simhashExpr =
+    """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+      |  acc + if(
+      |    aggregate(hs, cast(0 as bigint),
+      |      (a, h) -> a + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+      |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashSets(s, dir)
+      .withColumnRenamed("hset", "hs")
+      .withColumn("simhash", expr(simhashExpr))
+      .select("doc_id", "simhash")
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "band", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .withColumn("is_dup", col("hamming") <= 3)
+  }
+
+  // ---- dedup_ngram_jaccard: exact word-set Jaccard, blocked (oracled) --
+  /** Exact Jaccard over distinct-token sets within a blocking key
+    * (source) — the verification primitive; at 100 TB the blocking key
+    * comes from an LSH band, never all-pairs. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(col("doc_id"), col("source"),
+      TextFns.tokenSet(col("text")).as("ts"))
+    g.as("a").join(g.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        TextFns.jaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) AS jaccard
+      |  FROM g a, g b
+      |  WHERE a.source = b.source AND a.doc_id < b.doc_id
+      |) WHERE jaccard >= 0.5""".stripMargin
+
+  // ---- dedup_embedding: hyperplane-LSH cosine near-dup -----------------
+  private val EmbTables = 12
+  private val EmbBits = 6
+  private lazy val embPlanes = VectorFns.hyperplanes(EmbTables * EmbBits, 64)
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val buckets = emb.select(col("vec_id"),
+      posexplode(array((0 until EmbTables).map { t =>
+        VectorFns.lshBucket(col("v"), embPlanes.slice(t * EmbBits, (t + 1) * EmbBits).toSeq)
+      }: _*))).toDF("vec_id", "tbl", "bucket")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        VectorFns.cosine(col("va"), col("vb")).as("cos"))
+      .withColumn("is_dup", col("cos") >= 0.4)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_chunk" -> (dedupChunk _),
+    "dedup_chunk_stats" -> (dedupChunkStats _),
+    "chunk_compress" -> (chunkCompress _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

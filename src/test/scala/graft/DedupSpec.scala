@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Chunker
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("chunker: deterministic, covers input, respects min/max") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 30).trim
+    val c1 = Chunker.chunkText(text)
+    val c2 = Chunker.chunkText(text)
+    assert(c1 == c2)
+    assert(c1.map(_.length).sum == text.getBytes("UTF-8").length)
+    assert(c1.head.offset == 0)
+    c1.sliding(2).foreach {
+      case Seq(a, b) => assert(b.offset == a.offset + a.length)
+      case _ =>
+    }
+    c1.dropRight(1).foreach(c => assert(c.length >= 32 && c.length <= 256))
+    // repeating content must produce repeated chunk hashes (the whole
+    // point of content-defined chunking — reference encoder.c:825)
+    assert(c1.map(_.chunk_sha).distinct.size < c1.size)
+  }
+
+  test("chunker: identical tails chunk identically after an edit (CDC property)") {
+    val r = new scala.util.Random(7)
+    val base = Seq.fill(300)(r.alphanumeric.take(r.nextInt(8) + 2).mkString).mkString(" ")
+    val edited = "XXX" + base
+    val a = Chunker.chunkText(base).map(_.chunk_sha)
+    val b = Chunker.chunkText(edited).map(_.chunk_sha)
+    // all but a bounded prefix of chunks survive the edit
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+  }
+
+  test("dedup_exact: finds injected duplicates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val dups = docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000)
+    docs.union(dups).createOrReplaceTempView("docs_with_dups")
+    val res = spark.table("docs_with_dups")
+      .groupBy(sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    assert(res.filter($"n_copies" >= 2).count() == 5)
+    // and on the pristine table every doc is unique
+    val base = Dedup.dedupExact(spark, sfDir)
+    assert(base.filter($"n_copies" > 1).count() == 0)
+    assert(base.count() == docs.count())
+  }
+
+  test("dedup_minhash: near-identical docs collide and verify high") {
+    val res = Dedup.dedupMinhash(spark, sfDir).cache()
+    assert(res.count() > 0)
+    // every reported jaccard is in [0,1]
+    assert(res.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // banding with r=8 should surface the very-similar pairs: every
+    // pair with jaccard >= 0.9 per exact computation must be found
+    val exact = Dedup.dedupNgramJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+    val found = res.filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val missed = exact.select("doc_a", "doc_b").except(found).count()
+    assert(missed == 0, s"minhash missed $missed same-source pairs with J>=0.9")
+    res.unpersist()
+  }
+
+  test("dedup_simhash: candidates carry correct hamming bound") {
+    val res = Dedup.dedupSimhash(spark, sfDir).cache()
+    assert(res.count() > 0)
+    assert(res.filter(col("hamming") < 0 || col("hamming") > 64).count() == 0)
+    // band collision guarantees at least one 16-bit block equal →
+    // hamming <= 48 always
+    assert(res.filter(col("hamming") > 48).count() == 0)
+    res.unpersist()
+  }
+
+  test("dedup_embedding: pairs carry exact cosine in [-1,1]") {
+    val res = Dedup.dedupEmbedding(spark, sfDir).cache()
+    assert(res.count() > 0)
+    assert(res.filter(col("cos") > 1.000001 || col("cos") < -1.000001).count() == 0)
+    res.unpersist()
+  }
+
+  test("chunk stats and compress are consistent") {
+    val stats = Dedup.dedupChunkStats(spark, sfDir).collect().head
+    assert(stats.getAs[Long]("n_chunks") >= stats.getAs[Long]("n_unique_chunks"))
+    assert(stats.getAs[Long]("total_bytes") >= stats.getAs[Long]("unique_bytes"))
+    val comp = Dedup.chunkCompress(spark, sfDir)
+    assert(comp.count() == stats.getAs[Long]("n_unique_chunks"))
+    assert(comp.filter(col("comp_len") <= 0).count() == 0)
+  }
+}
