@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, StreamingOps, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries
+    Relational.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Dedup.oracle
+    Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextAnalysis.oracle ++ Multimodal.oracle ++ StreamingOps.oracle
 }

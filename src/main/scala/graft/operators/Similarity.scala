@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.C) —
+  * the reference Ferret pipeline's query semantics
+  * (/root/reference/apps/ferret/src/benchmark/ferret-pthreads.c):
+  * an ANN index probe with `2*top_K` over-fetch (:590) followed by an
+  * exact-distance re-rank to `top_K` (:646), re-expressed Spark-first.
+  *
+  * Scale posture: the query set is small and broadcast; candidate
+  * generation for the approximate paths is a bucket equi-join (LSH)
+  * or a centroid-cell equi-join (IVF) — the full corpus is never
+  * cross-joined against itself. Exact cosine runs only on the
+  * over-fetched candidate set.
+  */
+object Similarity {
+
+  val TopK = 10
+  val OverFetch = 2 * TopK // ferret-pthreads.c:590 — query.topk = 2*top_K
+  val NQueries = 8
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+
+  private def queriesDf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  // ---- ann_bruteforce: exact top-k baseline ----------------------------
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  // ---- ann_lsh: sketch probe + over-fetch + exact re-rank --------------
+  private val LshTables = 12
+  private val LshBits = 6
+  private val SketchBits = 64
+  // independent plane sets: buckets for candidate gen, sketch for the
+  // cheap phase-1 distance
+  private lazy val bucketPlanes = VectorFns.hyperplanes(LshTables * LshBits, 64, seed = 7L)
+  private lazy val sketchPlanes = VectorFns.hyperplanes(SketchBits, 64, seed = 11L)
+
+  private def withBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      posexplode(array((0 until LshTables).map { t =>
+        VectorFns.lshBucket(col("v"),
+          bucketPlanes.slice(t * LshBits, (t + 1) * LshBits).toSeq)
+      }: _*))).toDF("vec_id", "v", "tbl", "bucket")
+
+  private def withSketch(e: DataFrame): DataFrame =
+    e.withColumn("sketch", VectorFns.lshBucket(col("v"), sketchPlanes.toSeq))
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = withSketch(emb(s, dir))
+    val buckets = withBuckets(e.select("vec_id", "v"))
+      .select("vec_id", "tbl", "bucket")
+    val q = queriesDf(e)
+      .join(e.select(col("vec_id").as("query_id"), col("sketch").as("qsketch")), "query_id")
+    val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    // phase 0: candidate gen — bucket equi-join against the broadcast
+    // query buckets
+    val cand = buckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    // phase 1: cheap sketch distance, keep 2k per query (over-fetch)
+    val wSketch = Window.partitionBy("query_id")
+      .orderBy(col("sketch_dist"), col("vec_id"))
+    val overfetched = cand
+      .join(e.select("vec_id", "sketch"), "vec_id")
+      .join(broadcast(q.select("query_id", "qsketch")), "query_id")
+      .withColumn("sketch_dist",
+        bit_count(col("sketch").bitwiseXOR(col("qsketch"))))
+      .withColumn("phase1_rank", row_number().over(wSketch))
+      .filter(col("phase1_rank") <= OverFetch)
+    // phase 2: exact cosine re-rank to top-k (ferret t_rank)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    overfetched
+      .join(e.select("vec_id", "v"), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
+  // ---- ann_ivf: inverted-file cells + nprobe search --------------------
+  private val IvfCells = 16
+  private val NProbe = 4
+
+  /** Deterministic centroids: the IvfCells lowest-id vectors (at real
+    * scale these come from a sampled k-means job; collecting K small
+    * centroid vectors to the driver is the standard, cheap pattern). */
+  private def centroidArray(e: DataFrame): Column = {
+    val rows = e.filter(col("vec_id") < IvfCells)
+      .orderBy("vec_id").collect()
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("cell"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** cell ids of the `n` nearest centroids, by cosine. */
+  private def nearestCells(v: Column, centroids: Column, n: Int): Column =
+    slice(transform(
+      array_sort(transform(centroids, c =>
+        struct((-VectorFns.cosine(v, c.getField("cv"))).as("negCos"),
+          c.getField("cell").as("cell")))),
+      sc => sc.getField("cell")), lit(1), lit(n))
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = centroidArray(e)
+    // assignment: map-side argmin over the literal centroid array — no
+    // shuffle; the cell id becomes the partition key of the index
+    val assigned = e.withColumn("cell",
+      nearestCells(col("v"), centroids, 1).getItem(0))
+    val q = queriesDf(e)
+      .withColumn("probe_cells", nearestCells(col("qv"), centroids, NProbe))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(col("probe_cells")).as("cell"))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
+  // ---- ann_recall: quality gate of the approximate paths ---------------
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(s, dir).select("query_id", "vec_id")
+    def recallOf(approx: DataFrame, name: String): DataFrame =
+      exact.join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(TopK.toDouble))
+          .as(name))
+    recallOf(annLsh(s, dir), "recall_lsh")
+      .join(recallOf(annIvf(s, dir), "recall_ivf"), "query_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
+    "ann_recall" -> (annRecall _))
+
+  val oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming pipelines (SURVEY.md §2.F) — the BenSP
+  * stream-parallelism benchmarks re-expressed on Spark's streaming
+  * engine. The reference measures throughput/latency of pipelined
+  * stages over an item stream (apps/dedup, apps/ferret with
+  * per-stage replica counts); here the same characteristics are
+  * exercised through micro-batch pipelines whose parallelism comes
+  * from partitioning rather than explicit stage replicas.
+  *
+  * Each pipeline is a pure DataFrame→DataFrame transform so it runs
+  * identically over a batch frame (oracle-checkable) and a streaming
+  * frame (MemoryStream in specs, any source in production).
+  */
+object StreamingPipelines {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, sess_id: Long, n_events: Long,
+                        start_us: Long, end_us: Long)
+
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  // ---- streaming dedup: reference Deduplicate stage over a stream ------
+  /** Keyed first-occurrence dedup with bounded state (watermark). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  // ---- watermarked tumbling window aggregation -------------------------
+  def windowAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----------------
+  case class SessState(sessId: Long, startUs: Long, endUs: Long, nEvents: Long)
+
+  private def tsUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  /** Event-time sessionization with a 30-min gap — the streaming twin
+    * of Relational.qSessionize. Sessions close when the watermark
+    * passes their gap horizon (EventTimeTimeout). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessId, s.nEvents, s.startUs, s.endUs))
+          } else {
+            val evs = it.toVector.sortBy(e => (tsUs(e.ts), e.event_id))
+            var cur = state.getOption
+            val out = Vector.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val us = tsUs(e.ts)
+              cur match {
+                case Some(s) if us - s.endUs <= SessionGapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, us), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, s.sessId, s.nEvents, s.startUs, s.endUs)
+                  cur = Some(SessState(s.sessId + 1, us, us, 1))
+                case None =>
+                  cur = Some(SessState(1L, us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapUs / 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  // ---- throughput harness (BenSP parsec_stream equivalent) -------------
+  case class BenchResult(pipeline: String, rows_in: Long, rows_out: Long,
+                         batches: Long, elapsed_sec: Double, rows_per_sec: Double)
+
+  /** Drive a pipeline with MemoryStream micro-batches of `batchSize`
+    * events and measure end-to-end throughput — the reference's
+    * items/s metric (bin/parsec_stream logs). */
+  def throughputBench(s: SparkSession, events: Seq[Ev], batchSize: Int,
+                      name: String, pipeline: DataFrame => DataFrame): BenchResult = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val sinkName = s"bench_${name}_${System.nanoTime()}"
+    val q = pipeline(source.toDF())
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Update()).start()
+    val t0 = System.nanoTime()
+    var batches = 0L
+    events.grouped(batchSize).foreach { b =>
+      source.addData(b)
+      batches += 1
+    }
+    q.processAllAvailable()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val rowsOut = s.table(sinkName).count()
+    q.stop()
+    BenchResult(name, events.size.toLong, rowsOut, batches, elapsed,
+      events.size.toLong / elapsed)
+  }
+}

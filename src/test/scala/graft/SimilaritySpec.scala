@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("ann_bruteforce: exactly NQ*K rows, no self-matches, cos bounded") {
+    val res = Similarity.annBruteforce(spark, sfDir).cache()
+    assert(res.count() == Similarity.NQueries.toLong * Similarity.TopK)
+    assert(res.filter(col("query_id") === col("vec_id")).count() == 0)
+    assert(res.filter(col("cos") > 1.000001 || col("cos") < -1.000001).count() == 0)
+    // ranks are 1..K per query
+    val badRank = res.groupBy("query_id").agg(max("rank").as("mx"))
+      .filter(col("mx") =!= Similarity.TopK).count()
+    assert(badRank == 0)
+    res.unpersist()
+  }
+
+  test("ann_lsh: at most K per query, results are real neighbors") {
+    val res = Similarity.annLsh(spark, sfDir).cache()
+    assert(res.count() > 0)
+    val over = res.groupBy("query_id").count()
+      .filter(col("count") > Similarity.TopK).count()
+    assert(over == 0)
+    res.unpersist()
+  }
+
+  test("ann_ivf: at most K per query") {
+    val res = Similarity.annIvf(spark, sfDir).cache()
+    assert(res.count() > 0)
+    val over = res.groupBy("query_id").count()
+      .filter(col("count") > Similarity.TopK).count()
+    assert(over == 0)
+    res.unpersist()
+  }
+
+  test("ann_recall: recalls in [0,1] and lsh finds something") {
+    val res = Similarity.annRecall(spark, sfDir).cache()
+    assert(res.count() == Similarity.NQueries)
+    assert(res.filter(col("recall_lsh") < 0 || col("recall_lsh") > 1).count() == 0)
+    assert(res.filter(col("recall_ivf") < 0 || col("recall_ivf") > 1).count() == 0)
+    val meanLsh = res.agg(avg("recall_lsh")).collect().head.getDouble(0)
+    assert(meanLsh > 0.0, s"LSH recall is zero — candidate path broken")
+    res.unpersist()
+  }
+}
