@@ -15,6 +15,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The test tables ship as one single-row-group parquet file each,
+    * so scans get exactly one input split no matter the config — every
+    * downstream map stage would run single-threaded. Compute-bound
+    * operators read through this helper: it fans the scan out to the
+    * session's parallelism when (and only when) the source arrives
+    * under-partitioned. On a real multi-file/bucketed layout the
+    * condition is false and this is a no-op — filters still push into
+    * the scan either way (Catalyst moves them through Repartition).
+    */
+  def parallel(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
+  def loadParallel(spark: SparkSession, dir: String, name: String): DataFrame =
+    parallel(spark, load(spark, dir, name))
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

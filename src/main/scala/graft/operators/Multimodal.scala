@@ -19,7 +19,7 @@ import graft.Tables
 object Multimodal {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallel(s, Tables.documents(s, dir))
 
   // ---- mm_meta: binary payload + typed metadata (oracled) --------------
   def mmMeta(s: SparkSession, dir: String): DataFrame =

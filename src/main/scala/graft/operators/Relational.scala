@@ -34,7 +34,7 @@ object Relational {
 
   // ---- q1_agg: pricing summary (cf. TPC-H Q1) --------------------------
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(s, dir)
+    val l = Tables.parallel(s, Tables.lineitem(s, dir))
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
     l.groupBy("l_returnflag", "l_linestatus")
       .agg(

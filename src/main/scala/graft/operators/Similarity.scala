@@ -26,8 +26,8 @@ object Similarity {
   val NQueries = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").as("v"))
 
   private def queriesDf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NQueries)
@@ -112,7 +112,7 @@ object Similarity {
       .orderBy("vec_id").collect()
     array(rows.map { r =>
       struct(lit(r.getLong(0)).as("cell"),
-        array(r.getSeq[Double](1).map(lit(_)): _*).as("cv"))
+        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*).as("cv"))
     }.toIndexedSeq: _*)
   }
 

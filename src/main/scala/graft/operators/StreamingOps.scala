@@ -36,7 +36,7 @@ object StreamingOps {
         col("event_type"), col("value"))
       .as[Ev].collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
-    val batchSize = math.max(1000, evs.size / 20)
+    val batchSize = math.max(2000, evs.size / 10)
     val results = Seq(
       StreamingPipelines.throughputBench(s, evs, batchSize, "window_agg",
         StreamingPipelines.windowAgg),

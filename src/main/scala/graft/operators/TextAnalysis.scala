@@ -18,7 +18,7 @@ import graft.functions.TextFns
 object TextAnalysis {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.parallel(s, Tables.documents(s, dir))
 
   // ---- text_tokens: token counting (oracled) ---------------------------
   private val WordRe = "[a-zA-Z]+"
@@ -98,8 +98,8 @@ object TextAnalysis {
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val scores = LangMarkers.map { case (lang, re) =>
-      struct(size(regexp_extract_all(lower(col("text")), lit(re), lit(0)))
-        .as("score"), lit(lang).as("lang"))
+      struct(regexp_count(lower(col("text")), lit(re)).as("score"),
+        lit(lang).as("lang"))
     }
     // deterministic argmax: max score, ties broken by marker order via
     // greatest on (score, reverse-priority) structs
