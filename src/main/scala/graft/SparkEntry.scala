@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Dedup, Multimodal, Relational, Similarity, StreamingOps, TextAnalysis}
+import graft.sources.BinaryFiles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries ++
+      BinaryFiles.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -66,10 +66,18 @@ object Similarity {
     e.withColumn("sketch", VectorFns.lshBucket(col("v"), sketchPlanes.toSeq))
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withSketch(emb(s, dir))
+    val e = emb(s, dir)
+    lshSearch(e, queriesDf(e))
+  }
+
+  /** Two-phase LSH search of `qdf` (query_id, qv) against corpus `e`
+    * (vec_id, v) — the ferret t_vec/t_rank pair as one declarative
+    * DAG. */
+  private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame): DataFrame = {
+    val e = withSketch(e0)
     val buckets = withBuckets(e.select("vec_id", "v"))
       .select("vec_id", "tbl", "bucket")
-    val q = queriesDf(e)
+    val q = qdf
       .join(e.select(col("vec_id").as("query_id"), col("sketch").as("qsketch")), "query_id")
     val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
@@ -145,6 +153,20 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ferret_pipeline: the reference pipeline end-to-end --------------
+  /** The full 6-stage ferret run as one declarative DAG: a batch of
+    * "query images" (every 10th vector — t_load/t_seg/t_extract are
+    * the upstream embedding computation) probes the LSH index
+    * (t_vec, 2k over-fetch) and re-ranks exactly (t_rank) to top-K
+    * per query (t_out). The reference drives hundreds of query
+    * images through exactly this path per run. */
+  def ferretPipeline(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    lshSearch(e, q)
+  }
+
   // ---- ann_recall: quality gate of the approximate paths ---------------
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = annBruteforce(s, dir).select("query_id", "vec_id")
@@ -162,7 +184,8 @@ object Similarity {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
-    "ann_recall" -> (annRecall _))
+    "ann_recall" -> (annRecall _),
+    "ferret_pipeline" -> (ferretPipeline _))
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -20,4 +20,13 @@ object ColumnBridge {
   /** Resolve a public Column back to its Catalyst expression. */
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a function builder on an existing session's registry —
+    * for sessions whose construction the library doesn't control
+    * (config-based `spark.sql.extensions` covers the other case). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.BinaryFiles
+
+class ApiSpec extends SparkSpec {
+
+  test("SQL surface: graft_* functions callable after register()") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(20).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql("""
+      SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) AS c,
+             graft_dot(a.embedding, b.embedding) AS d
+      FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id
+    """).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("c")) <= 1.000001))
+    val sh = spark.sql(
+      "SELECT graft_simhash(array(cast(1 as bigint), cast(2 as bigint))) AS s").collect()
+    assert(sh.length == 1)
+    val mh = spark.sql(
+      "SELECT graft_minhash_sig(array(cast(7 as bigint)), 16) AS sig").collect()
+    assert(mh.head.getSeq[Long](0).length == 16)
+    val jc = spark.sql(
+      """SELECT graft_jaccard(array(cast(1 as bigint), cast(2 as bigint)),
+        |array(cast(2 as bigint), cast(3 as bigint))) AS j""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(jc - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("binaryFile source: file_dedup accounts every test file") {
+    val res = BinaryFiles.fileDedup(spark, sfDir).collect()
+    assert(res.length == 10) // one row per table file
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_unique_chunks"))
+      assert(r.getAs[Long]("n_chunks") > 0)
+    }
+  }
+
+  test("ferret_pipeline: top-k per query over the 10% query batch") {
+    val res = Similarity.ferretPipeline(spark, sfDir).cache()
+    val nq = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 0).count()
+    val perQuery = res.groupBy("query_id").count()
+    assert(perQuery.count() > 0 && perQuery.count() <= nq)
+    assert(perQuery.filter(col("count") > Similarity.TopK).count() == 0)
+    res.unpersist()
+  }
+}
