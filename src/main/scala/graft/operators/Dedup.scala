@@ -94,6 +94,20 @@ object Dedup {
     docs(s, dir).select(col("doc_id"),
       TextFns.hashedTokenSet(col("text")).as("hset"))
 
+  /** A degenerate bucket with k members yields k² candidate pairs —
+    * at corpus scale one hot band (boilerplate docs, empty strings)
+    * can dominate the whole join. Standard LSH guard: drop buckets
+    * above a size cap before the self-join; the windowed count rides
+    * the same hash partitioning the join needs, so no extra shuffle.
+    */
+  private[operators] val MaxBucket = 4096
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("bucket_sz", count(lit(1)).over(w))
+      .filter(col("bucket_sz") <= MaxBucket)
+      .drop("bucket_sz")
+  }
+
   /** 128-perm MinHash signature — native codegen kernel
     * (HashExpressions.MinHashSig); permutation p is XXH64(h, seed=p). */
   private def minhashSig(hset: Column): Column =
@@ -102,10 +116,10 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val hs = hashSets(s, dir)
     val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
-    val bands = sig.select(col("doc_id"),
+    val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-      .toDF("doc_id", "band", "bh")
+      .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -125,10 +139,10 @@ object Dedup {
     val sh = hashSets(s, dir)
       .withColumn("simhash", NativeHash.simhash(col("hset")))
       .select("doc_id", "simhash")
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    val bands = capBuckets(sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("doc_id", "simhash", "band", "bv")
+      .toDF("doc_id", "simhash", "band", "bv"), Seq("band", "bv"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -180,10 +194,10 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallel(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("v"))
-    val buckets = emb.select(col("vec_id"),
+    val buckets = capBuckets(emb.select(col("vec_id"),
       posexplode(array((0 until EmbTables).map { t =>
         VectorFns.lshBucket(col("v"), embPlanes.slice(t * EmbBits, (t + 1) * EmbBits).toSeq)
-      }: _*))).toDF("vec_id", "tbl", "bucket")
+      }: _*))).toDF("vec_id", "tbl", "bucket"), Seq("tbl", "bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Additional OLAP operators (SURVEY.md §2.A extension): temporal
+  * joins (as-of, bounded range), semi-structured extraction, exact
+  * percentiles, word-count top-k, and sketch aggregation.
+  *
+  * Scale posture: the as-of join is the window formulation (single
+  * shuffle on the partition key, no point-in-time self-join); the
+  * range join keeps an equality component so it stays a hash join
+  * with a residual predicate, never a cartesian.
+  */
+object OlapExtras {
+
+  // ---- q_asof: as-of join (latest view before each purchase) -----------
+  /** For every purchase event, the most recent prior `view` by the
+    * same user — the classic point-in-time-correct join, expressed as
+    * a running max over the user's event-time order (one shuffle on
+    * user_id; no self-join). */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_view_us",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("last_view_us"),
+        (col("us") - col("last_view_us")).as("gap_us"))
+  }
+
+  val qAsofSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, us AS purchase_us, last_view_us,
+      |  us - last_view_us AS gap_us
+      |FROM e
+      |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL""".stripMargin
+
+  // ---- q_range_join: bounded temporal self-join ------------------------
+  /** Pairs of orders by the same customer within 7 days — equi
+    * component (o_custkey) drives a hash join; the range bound is a
+    * residual predicate, so no cartesian at any scale. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate arrives as TIMESTAMP_NTZ; with the session pinned to
+    // UTC the LTZ cast is the identity wall-clock mapping DuckDB uses
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+    val dayUs = 86400000000L
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          abs(col("b.us") - col("a.us")) <= lit(7L) * dayUs)
+      .select(col("a.o_custkey").as("custkey"),
+        col("a.o_orderkey").as("o1"), col("b.o_orderkey").as("o2"),
+        (abs(col("b.us") - col("a.us")) / dayUs).cast("long").as("gap_days"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.o_custkey AS custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+      |  CAST(abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate)) // 86400000000 AS BIGINT) AS gap_days
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  AND abs(epoch_us(b.o_orderdate) - epoch_us(a.o_orderdate)) <= 7 * 86400000000""".stripMargin
+
+  // ---- q_json: semi-structured extraction ------------------------------
+  def qJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), count(lit(1)).as("n_events"))
+
+  val qJsonSql: String =
+    """SELECT event_type,
+      |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  COUNT(*) AS n_events
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  // ---- q_percentile: exact quantiles per group -------------------------
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n_rows"))
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.75) AS p75,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- q_wordcount: corpus token frequency top-k (oracled) -------------
+  def qWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, Tables.documents(s, dir))
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val qWordcountSql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---- q_approx_distinct: HLL sketch vs exact (rows-only) --------------
+  /** HLL++ register-max merge is commutative, so the sketch estimate
+    * is deterministic under any partitioning — but engine-specific,
+    * hence no cross-engine oracle. Exact values ride along as the
+    * quality reference. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof" -> (qAsof _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_json" -> (qJson _),
+    "q_percentile" -> (qPercentile _),
+    "q_wordcount" -> (qWordcount _),
+    "q_approx_distinct" -> (qApproxDistinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q_asof" -> qAsofSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_json" -> qJsonSql,
+    "q_percentile" -> qPercentileSql,
+    "q_wordcount" -> qWordcountSql)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Chunker
+
+/** Property-style tests for the content-defined chunker over many
+  * seeded random inputs (no Spark needed). */
+class ChunkerPropertySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(20260812L)
+  private val cases: Seq[Array[Byte]] =
+    (0 until 200).map { _ =>
+      val n = rng.nextInt(4000)
+      val a = new Array[Byte](n)
+      rng.nextBytes(a)
+      a
+    } ++ Seq(Array.emptyByteArray, Array.fill[Byte](300)(7),
+      Array.tabulate[Byte](1000)(i => (i % 9).toByte))
+
+  test("chunks tile the input exactly: contiguous, complete, ordered") {
+    cases.foreach { bytes =>
+      val cs = Chunker.chunk(bytes)
+      assert(cs.map(_.length).sum == bytes.length)
+      cs.zipWithIndex.foreach { case (c, i) => assert(c.chunk_idx == i) }
+      var expect = 0
+      cs.foreach { c =>
+        assert(c.offset == expect && c.length > 0)
+        expect += c.length
+      }
+    }
+  }
+
+  test("non-final chunks respect min and max size") {
+    cases.foreach { bytes =>
+      val cs = Chunker.chunk(bytes)
+      cs.dropRight(1).foreach(c => assert(c.length >= 32 && c.length <= 256))
+      cs.lastOption.foreach(c => assert(c.length <= 256))
+    }
+  }
+
+  test("chunking is a pure function of content") {
+    cases.foreach { bytes =>
+      assert(Chunker.chunk(bytes) == Chunker.chunk(bytes.clone()))
+    }
+  }
+
+  test("identical content yields identical chunk ids across containers") {
+    cases.filter(_.length >= 512).foreach { bytes =>
+      val doubled = bytes ++ bytes
+      val single = Chunker.chunk(bytes).map(_.chunk_sha).toSet
+      val both = Chunker.chunk(doubled).map(_.chunk_sha).toSet
+      assert(both.intersect(single).nonEmpty)
+    }
+  }
+
+  test("compression size is positive and bounded") {
+    cases.filter(_.nonEmpty).foreach { bytes =>
+      val n = Chunker.deflatedLen(bytes, 0, bytes.length)
+      assert(n > 0 && n <= bytes.length + 64)
+    }
+  }
+}
