@@ -102,10 +102,15 @@ object Dedup {
     */
   private[operators] val MaxBucket = 4096
   private[operators] def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("bucket_sz", count(lit(1)).over(w))
-      .filter(col("bucket_sz") <= MaxBucket)
-      .drop("bucket_sz")
+    // The set of oversized buckets is tiny (usually empty), so a
+    // broadcast anti-join removes them without re-partitioning the
+    // band table or disturbing its size statistics — a windowed count
+    // here would force the downstream self-join into sort-merge.
+    val big = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_sz"))
+      .filter(col("bucket_sz") > MaxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(big), keys, "left_anti")
   }
 
   /** 128-perm MinHash signature — native codegen kernel
@@ -125,10 +130,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the hashed token sets (8-byte hashes only)
+    // exact verify on the hashed token sets (8-byte hashes only).
+    // The per-doc signature table is tiny relative to the candidate
+    // pair set — broadcast it so the millions of pairs never shuffle
+    // with arrays attached (above broadcast size, verify would instead
+    // carry the sets through the band join).
     cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
-      .join(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+      .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha"))), "doc_a")
+      .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= 0.7)
@@ -204,8 +213,8 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     cand
-      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
+      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         VectorFns.cosine(col("va"), col("vb")).as("cos"))
       .withColumn("is_dup", col("cos") >= 0.4)
