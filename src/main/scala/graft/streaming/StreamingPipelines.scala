@@ -86,9 +86,45 @@ object StreamingPipelines {
       }
   }
 
+  // ---- stream-static enrichment ----------------------------------------
+  /** Enrich an event stream with the static customer dimension — the
+    * standard stream-static broadcast join (no state, no watermark
+    * needed on the static side). */
+  def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+
+  /** Streaming ferret: each micro-batch of query vectors probes the
+    * static LSH index through the same two-phase batch DAG
+    * (foreachBatch — the production pattern for per-batch top-k,
+    * since global ranking windows aren't defined on unbounded
+    * streams). `search` is the batch search bound to the static
+    * corpus; `onBatch` is the caller's sink (parquet append, Kafka,
+    * a collector in tests). */
+  def ferretStream(queries: DataFrame,
+                   search: DataFrame => DataFrame,
+                   onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(search(batch.toDF()), id)
+      }
+      .start()
+
   // ---- throughput harness (BenSP parsec_stream equivalent) -------------
   case class BenchResult(pipeline: String, rows_in: Long, rows_out: Long,
-                         batches: Long, elapsed_sec: Double, rows_per_sec: Double)
+                         batches: Long, elapsed_sec: Double, rows_per_sec: Double,
+                         batch_ms_p50: Double, batch_ms_p95: Double)
+
+  /** Percentile of observed micro-batch durations (BenSP's per-stage
+    * latency metric, at micro-batch granularity). */
+  private def pct(xs: Seq[Double], p: Double): Double =
+    if (xs.isEmpty) 0.0
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+    }
 
   /** Drive a pipeline with MemoryStream micro-batches of `batchSize`
     * events and measure end-to-end throughput — the reference's
@@ -111,8 +147,11 @@ object StreamingPipelines {
     q.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val rowsOut = s.table(sinkName).count()
+    val batchMs = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(_.batchDuration.toDouble)
     q.stop()
     BenchResult(name, events.size.toLong, rowsOut, batches, elapsed,
-      events.size.toLong / elapsed)
+      events.size.toLong / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95))
   }
 }
