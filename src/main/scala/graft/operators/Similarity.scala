@@ -47,9 +47,9 @@ object Similarity {
   }
 
   // ---- ann_lsh: sketch probe + over-fetch + exact re-rank --------------
-  private val LshTables = 12
-  private val LshBits = 6
-  private val SketchBits = 64
+  private val LshTables = 16
+  private val LshBits = 4
+  private val SketchBits = 128 // two packed 64-bit words
   // independent plane sets: buckets for candidate gen, sketch for the
   // cheap phase-1 distance
   private lazy val bucketPlanes = VectorFns.hyperplanes(LshTables * LshBits, 64, seed = 7L)
@@ -63,7 +63,8 @@ object Similarity {
       }: _*))).toDF("vec_id", "v", "tbl", "bucket")
 
   private def withSketch(e: DataFrame): DataFrame =
-    e.withColumn("sketch", VectorFns.lshBucket(col("v"), sketchPlanes.toSeq))
+    e.withColumn("sketch_lo", VectorFns.lshBucket(col("v"), sketchPlanes.take(64).toSeq))
+      .withColumn("sketch_hi", VectorFns.lshBucket(col("v"), sketchPlanes.drop(64).toSeq))
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -78,7 +79,8 @@ object Similarity {
     val buckets = withBuckets(e.select("vec_id", "v"))
       .select("vec_id", "tbl", "bucket")
     val q = qdf
-      .join(e.select(col("vec_id").as("query_id"), col("sketch").as("qsketch")), "query_id")
+      .join(e.select(col("vec_id").as("query_id"), col("sketch_lo").as("qsketch_lo"),
+        col("sketch_hi").as("qsketch_hi")), "query_id")
     val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     // phase 0: candidate gen — bucket equi-join against the broadcast
@@ -90,10 +92,11 @@ object Similarity {
     val wSketch = Window.partitionBy("query_id")
       .orderBy(col("sketch_dist"), col("vec_id"))
     val overfetched = cand
-      .join(e.select("vec_id", "sketch"), "vec_id")
-      .join(broadcast(q.select("query_id", "qsketch")), "query_id")
+      .join(e.select("vec_id", "sketch_lo", "sketch_hi"), "vec_id")
+      .join(broadcast(q.select("query_id", "qsketch_lo", "qsketch_hi")), "query_id")
       .withColumn("sketch_dist",
-        bit_count(col("sketch").bitwiseXOR(col("qsketch"))))
+        bit_count(col("sketch_lo").bitwiseXOR(col("qsketch_lo"))) +
+          bit_count(col("sketch_hi").bitwiseXOR(col("qsketch_hi"))))
       .withColumn("phase1_rank", row_number().over(wSketch))
       .filter(col("phase1_rank") <= OverFetch)
     // phase 2: exact cosine re-rank to top-k (ferret t_rank)
