@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CosineSim, DotProduct, LongSetJaccard, MinHashSig, SimHash64}
+import graft.functions.{ChunkDocument, CosineSim, DotProduct, LongSetJaccard, MinHashSig, SimHash64}
 
 /** SQL-surface registration of the graft native expressions, so
   * `spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")`
@@ -30,7 +30,11 @@ object GraftFunctions {
     "graft_jaccard" -> (args => LongSetJaccard(args(0), args(1))),
     "graft_simhash" -> (args => SimHash64(args(0))),
     "graft_minhash_sig" -> (args =>
-      MinHashSig(args(0), intArg(args(1), "graft_minhash_sig nPerms"))))
+      MinHashSig(args(0), intArg(args(1), "graft_minhash_sig nPerms"))),
+    "graft_chunk" -> (args =>
+      if (args.length == 1) ChunkDocument(args(0))
+      else ChunkDocument(args(0), intArg(args(1), "minSize"),
+        intArg(args(2), "maxSize"), intArg(args(3), "maskBits"))))
 
   /** Imperative install on an existing session. */
   def register(spark: SparkSession): Unit =

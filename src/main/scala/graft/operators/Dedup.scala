@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Chunker, NativeHash, TextFns, VectorFns}
+import graft.functions.{NativeChunk, NativeHash, TextFns, VectorFns}
 
 /** Deduplication family (SURVEY.md §2.B) — the reference Dedup
   * pipeline's semantics (chunk → hash → dedup → compress,
@@ -21,8 +21,6 @@ import graft.functions.{Chunker, NativeHash, TextFns, VectorFns}
   * exists only inside a bucket.
   */
 object Dedup {
-
-  private val chunkUdf = udf((text: String) => Chunker.chunkText(text))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, Tables.documents(s, dir))
@@ -43,9 +41,7 @@ object Dedup {
   // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
   private def chunkTable(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), explode(chunkUdf(col("text"))).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx"), col("c.offset"),
-        col("c.length"), col("c.chunk_sha"), col("c.comp_len"))
+      .select(col("doc_id"), NativeChunk.chunks(col("text")))
 
   def dedupChunk(s: SparkSession, dir: String): DataFrame =
     chunkTable(s, dir).drop("comp_len")

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Chunker
+import graft.functions.NativeChunk
 
 /** Binary-file ingestion (SURVEY.md §2.B, reference input mode).
   *
@@ -22,9 +22,6 @@ object BinaryFiles {
       .option("pathGlobFilter", glob)
       .load(path)
 
-  private val fileChunkUdf = udf((content: Array[Byte]) =>
-    Chunker.chunk(content, minSize = 2048, maxSize = 65536, maskBits = 13))
-
   /** Per-file chunk-level dedup accounting over every file in `dir` —
     * the reference Dedup pipeline applied to a directory of binaries.
     * Cross-file duplicate chunks are found with a hash groupBy (only
@@ -36,9 +33,10 @@ object BinaryFiles {
     val chunks = files
       .repartition(s.sparkContext.defaultParallelism, col("file"))
       .select(col("file"), col("n_bytes"),
-        explode(fileChunkUdf(col("content"))).as("c"))
-      .select(col("file"), col("n_bytes"),
-        col("c.chunk_sha").as("chunk_sha"), col("c.length").as("chunk_len"))
+        NativeChunk.chunks(col("content"), minSize = 2048,
+          maxSize = 65536, maskBits = 13))
+      .select(col("file"), col("n_bytes"), col("chunk_sha"),
+        col("length").as("chunk_len"))
     val refCounts = chunks.groupBy("chunk_sha")
       .agg(count(lit(1)).as("refs"))
     chunks.join(refCounts, "chunk_sha")

@@ -28,6 +28,9 @@ class ApiSpec extends SparkSpec {
         |array(cast(2 as bigint), cast(3 as bigint))) AS j""".stripMargin)
       .collect().head.getDouble(0)
     assert(math.abs(jc - 1.0 / 3.0) < 1e-12)
+    val ch = spark.sql(
+      "SELECT graft_chunk(repeat('spark native chunking ', 40))").collect()
+    assert(ch.nonEmpty && ch.head.schema.fieldNames.contains("chunk_sha"))
   }
 
   test("binaryFile source: file_dedup accounts every test file") {
