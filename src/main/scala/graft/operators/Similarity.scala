@@ -115,16 +115,39 @@ object Similarity {
   private val IvfCells = 16
   private val NProbe = 4
 
-  /** Deterministic centroids: the IvfCells lowest-id vectors (at real
-    * scale these come from a sampled k-means job; collecting K small
-    * centroid vectors to the driver is the standard, cheap pattern). */
+  private val KMeansIters = 2
+
+  /** Deterministic k-means centroids: seeded with the IvfCells
+    * lowest-id vectors, refined with KMeansIters distributed Lloyd
+    * steps (assign by cosine → per-cell elementwise mean). Each step
+    * is one aggregation job; only K tiny centroid vectors ever reach
+    * the driver — the standard sampled-k-means pattern at any scale. */
   private def centroidArray(e: DataFrame): Column = {
-    val rows = e.filter(col("vec_id") < IvfCells)
-      .orderBy("vec_id").collect()
-    array(rows.map { r =>
-      struct(lit(r.getLong(0)).as("cell"),
-        array(r.getSeq[Float](1).map(f => lit(f.toDouble)): _*).as("cv"))
-    }.toIndexedSeq: _*)
+    var centroids: IndexedSeq[(Long, IndexedSeq[Double])] =
+      e.filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toIndexedSeq
+    def asColumn(cs: IndexedSeq[(Long, IndexedSeq[Double])]): Column =
+      array(cs.map { case (cell, cv) =>
+        struct(lit(cell).as("cell"), array(cv.map(lit(_)): _*).as("cv"))
+      }: _*)
+    for (_ <- 0 until KMeansIters) {
+      val assigned = e.withColumn("cell",
+        nearestCells(col("v"), asColumn(centroids), 1).getItem(0))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .toDF("cell", "dim", "x")
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+        }
+      // keep a seed centroid for any cell that lost all members
+      centroids = centroids.map { case (cell, cv) =>
+        (cell, means.getOrElse(cell, cv))
+      }
+    }
+    asColumn(centroids)
   }
 
   /** cell ids of the `n` nearest centroids, by cosine. */
