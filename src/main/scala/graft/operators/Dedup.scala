@@ -81,6 +81,31 @@ object Dedup {
           .as("comp_ratio"))
   }
 
+  // ---- dedup_restore: Reorder/decode round-trip ------------------------
+  /** The reference pipeline's Reorder stage + decoder
+    * (encoder.c:1345, decoder.c): reassemble every document from its
+    * chunk table in chunk order and prove the restored bytes hash
+    * identically to the original — the end-to-end integrity check a
+    * dedup store must pass. Byte-exact (binary substrings, not
+    * character substrings, so multi-byte text round-trips too). */
+  def dedupRestore(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkTable(s, dir).select("doc_id", "chunk_idx", "offset", "length")
+    val d = docs(s, dir).select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    ch.join(d, "doc_id")
+      .withColumn("piece",
+        expr("substring(payload, offset + 1, length)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        first(sha2(col("payload"), 256)).as("orig_sha"),
+        sha2(aggregate(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("piece")))),
+            x => x.getField("piece")),
+          lit(Array.emptyByteArray),
+          (acc, p) => concat(acc, p)), 256).as("restored_sha"))
+      .withColumn("restored_ok", col("orig_sha") === col("restored_sha"))
+  }
+
   // ---- dedup_minhash: MinHash + banded LSH + exact-Jaccard verify ------
   private val MinhashPerms = 128
   private val Bands = 16
@@ -220,6 +245,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
+    "dedup_restore" -> (dedupRestore _),
     "chunk_compress" -> (chunkCompress _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),

@@ -21,6 +21,8 @@ import graft.functions.VectorFns
   */
 object Similarity {
 
+  case class Centroid(cell: Long, cv: Seq[Double])
+
   val TopK = 10
   val OverFetch = 2 * TopK // ferret-pthreads.c:590 — query.topk = 2*top_K
   val NQueries = 8
@@ -127,10 +129,11 @@ object Similarity {
       e.filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toIndexedSeq
+    // one typedLit Literal node — composing array(struct(lit...)) of
+    // K*dim scalar literals makes Catalyst analysis itself the
+    // bottleneck (seconds per plan at 16x64)
     def asColumn(cs: IndexedSeq[(Long, IndexedSeq[Double])]): Column =
-      array(cs.map { case (cell, cv) =>
-        struct(lit(cell).as("cell"), array(cv.map(lit(_)): _*).as("cv"))
-      }: _*)
+      typedLit(cs.map { case (cell, cv) => Centroid(cell, cv) })
     for (_ <- 0 until KMeansIters) {
       val assigned = e.withColumn("cell",
         nearestCells(col("v"), asColumn(centroids), 1).getItem(0))

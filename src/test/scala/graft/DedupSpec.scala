@@ -82,6 +82,12 @@ class DedupSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("dedup_restore: every document round-trips byte-exactly") {
+    val res = Dedup.dedupRestore(spark, sfDir)
+    assert(res.filter(!col("restored_ok")).count() == 0)
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+  }
+
   test("chunk stats and compress are consistent") {
     val stats = Dedup.dedupChunkStats(spark, sfDir).collect().head
     assert(stats.getAs[Long]("n_chunks") >= stats.getAs[Long]("n_unique_chunks"))
