@@ -83,6 +83,10 @@ object Similarity {
     val q = qdf
       .join(e.select(col("vec_id").as("query_id"), col("sketch_lo").as("qsketch_lo"),
         col("sketch_hi").as("qsketch_hi")), "query_id")
+    // (multi-probe of 1-bit-perturbed buckets was measured here and
+    // reverted: candidate recall is already ~0.9 with 16 tables — the
+    // end-recall limiter is the reference-mandated 2k over-fetch
+    // through the sketch, i.e. ferret's `ranking` depth knob.)
     val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     // phase 0: candidate gen — bucket equi-join against the broadcast
