@@ -220,5 +220,24 @@ object Similarity {
     "ann_recall" -> (annRecall _),
     "ferret_pipeline" -> (ferretPipeline _))
 
-  val oracle: Map[String, String] = Map.empty
+  /** The exact baseline is DuckDB-oracled: list_cosine_similarity on
+    * double-cast lists accumulates in the same element order as the
+    * native CosineSim kernel, so cosines match bitwise and the
+    * (cos DESC, vec_id) rank is identical — verified at sf0.01 and
+    * sf0.1. The approximate paths (LSH/IVF) stay rows-only (seeded
+    * hyperplanes/centroids aren't expressible in the oracle). */
+  val annBruteforceSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      |SELECT * FROM (
+      |  SELECT query_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql)
 }

@@ -94,7 +94,29 @@ object TextAnalysis {
     "fr" -> "\\b(le|la|les|et|de|un|une|est|que|pour)\\b",
     "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
     "es" -> "\\b(el|los|las|y|es|un|una|que|por|para)\\b",
-    "zh" -> "[\\u4e00-\\u9fff]")
+    "zh" -> "[\\x{4e00}-\\x{9fff}]") // \x{} form: valid in both Java and RE2
+
+  val textLangidSql: String = {
+    val scores = LangMarkers.map { case (lang, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = LangMarkers.map(_._1)
+    // tie → earliest marker order, mirroring the Column fold below
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH s AS (
+      |  SELECT doc_id, lang AS label_lang,
+      |    $scores
+      |  FROM documents
+      |)
+      |SELECT doc_id, label_lang,
+      |  CASE $caseArms ELSE '${langs.last}' END AS pred_lang,
+      |  greatest(${langs.map("s_" + _).mkString(", ")}) AS marker_hits,
+      |  CASE $caseArms ELSE '${langs.last}' END = label_lang AS is_correct
+      |FROM s""".stripMargin
+  }
 
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     val scores = LangMarkers.map { case (lang, re) =>
@@ -133,5 +155,6 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
-    "text_quality" -> textQualitySql)
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql)
 }
