@@ -41,7 +41,14 @@ object StreamingOps {
       StreamingPipelines.throughputBench(s, evs, batchSize, "window_agg",
         StreamingPipelines.windowAgg),
       StreamingPipelines.throughputBench(s, evs, batchSize, "dedup",
-        StreamingPipelines.dedupStream))
+        StreamingPipelines.dedupStream),
+      // stateful per-key sessionization — the reference's core
+      // stream-parallelism characteristic (keyed state + event time)
+      StreamingPipelines.throughputBench(s, evs, batchSize, "sessionize",
+        df => {
+          import s.implicits._
+          StreamingPipelines.sessionize(df.as[Ev]).toDF()
+        }, org.apache.spark.sql.streaming.OutputMode.Append()))
     s.createDataFrame(results)
   }
 

@@ -130,14 +130,15 @@ object StreamingPipelines {
     * events and measure end-to-end throughput — the reference's
     * items/s metric (bin/parsec_stream logs). */
   def throughputBench(s: SparkSession, events: Seq[Ev], batchSize: Int,
-                      name: String, pipeline: DataFrame => DataFrame): BenchResult = {
+                      name: String, pipeline: DataFrame => DataFrame,
+                      mode: OutputMode = OutputMode.Update()): BenchResult = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
     val sinkName = s"bench_${name}_${System.nanoTime()}"
     val q = pipeline(source.toDF())
       .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(mode).start()
     val t0 = System.nanoTime()
     var batches = 0L
     events.grouped(batchSize).foreach { b =>
