@@ -111,9 +111,16 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = MinhashPerms / Bands
 
+  /** Near-dup inputs are unique-content REPRESENTATIVES (min doc_id
+    * per content digest), not raw rows: with duplication factor d a
+    * raw-row banding join re-finds every near-dup pair d² times —
+    * measured 65× blowup at 20× duplication. Exact duplicates are
+    * dedup_exact's output; near-dup layers on top of it. */
   private def hashSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      TextFns.hashedTokenSet(col("text")).as("hset"))
+    docs(s, dir)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"), TextFns.hashedTokenSet(col("text")).as("hset"))
 
   /** A degenerate bucket with k members yields k² candidate pairs —
     * at corpus scale one hot band (boilerplate docs, empty strings)
