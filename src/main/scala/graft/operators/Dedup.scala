@@ -120,6 +120,10 @@ object Dedup {
     docs(s, dir)
       .groupBy(sha2(col("text").cast("binary"), 256).as("content_sha"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      // AQE coalesces the small agg output to one partition, which
+      // would serialize the entire downstream banding/verify fan-out —
+      // spread the representatives back across the cluster first
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextFns.hashedTokenSet(col("text")).as("hset"))
 
   /** A degenerate bucket with k members yields k² candidate pairs —
@@ -147,7 +151,11 @@ object Dedup {
     NativeHash.minhashSig(hset, MinhashPerms)
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val hs = hashSets(s, dir)
+    // hs feeds three consumers (signatures + both verify sides); a
+    // lazy local checkpoint materializes the rep-selection + tokenize
+    // + hash work once instead of three times and hands Spark exact
+    // size stats for the downstream broadcast decisions
+    val hs = hashSets(s, dir).localCheckpoint(true)
     val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
     val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),

@@ -98,10 +98,13 @@ object OlapExtras {
   def qPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+      // one percentile buffer per group (single sort), not three
+      .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75"), col("n_rows"))
 
   val qPercentileSql: String =
     """SELECT l_returnflag,
