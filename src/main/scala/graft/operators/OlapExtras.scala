@@ -128,6 +128,79 @@ object OlapExtras {
       |      FROM documents)
       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
 
+  // ---- q_pivot: pivoted aggregation ------------------------------------
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+        .cast("double"))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0.0)).as("qty_f"),
+        coalesce(col("O"), lit(0.0)).as("qty_o"),
+        coalesce(col("P"), lit(0.0)).as("qty_p"))
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_f,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_o,
+      |  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_p
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- q_scalar_subq: correlated-scalar-subquery semantics -------------
+  /** Customers above their nation's average balance — the correlated
+    * scalar subquery, expressed as the decorrelated broadcast join
+    * Catalyst itself would rewrite it to. Exact parity: avg is
+    * decimal-sum / count, divided in double in both engines. */
+  def qScalarSubq(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val natAvg = c.groupBy("c_nationkey")
+      .agg((sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(12, 4)))
+        .cast("double") / count(lit(1)).cast("double")).as("nat_avg"))
+    c.join(broadcast(natAvg), "c_nationkey")
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select("c_custkey", "c_name", "c_acctbal", "nat_avg")
+  }
+
+  val qScalarSubqSql: String =
+    """WITH na AS (
+      |  SELECT c_nationkey,
+      |    CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS nat_avg
+      |  FROM customer GROUP BY c_nationkey
+      |)
+      |SELECT c_custkey, c_name, c_acctbal, nat_avg
+      |FROM customer JOIN na USING (c_nationkey)
+      |WHERE c_acctbal > nat_avg""".stripMargin
+
+  // ---- q_stream_join: batch mirror of the stream-stream join -----------
+  /** View→purchase attribution within 30 minutes per user — the batch
+    * mirror of the watermarked stream-stream interval join exercised
+    * in StreamingSpec. Equi key (user) keeps it a hash join with a
+    * range residual. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("us").as("view_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("purchase_us"))
+    views.join(purchases, "user_id")
+      .filter(col("purchase_us") >= col("view_us") &&
+        col("purchase_us") - col("view_us") <= 1800L * 1000000L)
+      .select("user_id", "view_id", "purchase_id", "view_us", "purchase_us")
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000""".stripMargin
+
   // ---- q_approx_distinct: HLL sketch vs exact (rows-only) --------------
   /** HLL++ register-max merge is commutative, so the sketch estimate
     * is deterministic under any partitioning — but engine-specific,
@@ -148,12 +221,18 @@ object OlapExtras {
     "q_json" -> (qJson _),
     "q_percentile" -> (qPercentile _),
     "q_wordcount" -> (qWordcount _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_pivot" -> (qPivot _),
+    "q_scalar_subq" -> (qScalarSubq _),
+    "q_stream_join" -> (qStreamJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_asof" -> qAsofSql,
     "q_range_join" -> qRangeJoinSql,
     "q_json" -> qJsonSql,
     "q_percentile" -> qPercentileSql,
-    "q_wordcount" -> qWordcountSql)
+    "q_wordcount" -> qWordcountSql,
+    "q_pivot" -> qPivotSql,
+    "q_scalar_subq" -> qScalarSubqSql,
+    "q_stream_join" -> qStreamJoinSql)
 }

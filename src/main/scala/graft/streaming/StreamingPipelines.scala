@@ -86,6 +86,18 @@ object StreamingPipelines {
       }
   }
 
+  // ---- stream-stream interval join -------------------------------------
+  /** Watermarked stream-stream join: view→purchase attribution within
+    * 30 minutes per user. Both sides carry watermarks so the join
+    * state is bounded; the equi key keeps it a hash join with a
+    * time-range residual. Batch mirror: OlapExtras.qStreamJoin. */
+  def streamStreamJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.withWatermark("view_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr("""v_user_id = p_user_id
+               |AND purchase_ts >= view_ts
+               |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
+
   // ---- stream-static enrichment ----------------------------------------
   /** Enrich an event stream with the static customer dimension — the
     * standard stream-static broadcast join (no state, no watermark
