@@ -35,7 +35,7 @@ object VectorFns {
 
   /** Sign-bit of v · plane as 0/1. */
   private def planeBit(v: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit(_)): _*)
+    val planeCol = array(plane.toIndexedSeq.map(lit(_)): _*)
     when(dot(v, planeCol) > 0.0, 1L).otherwise(0L)
   }
 
