@@ -5,7 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — one JSON line on stdout (driver contract).
   * Forces full materialization of every query through the noop sink
   * (a bare count() would let Catalyst prune the computed columns and
-  * time nothing for map-only operators). */
+  * time nothing for map-only operators).
+  *
+  * Methodology: one warm-up pass at the smallest SF (codegen +
+  * classloading), then THREE measured passes at the target SF with the
+  * median reported — the first measured pass carries page-cache/JIT
+  * warm-up and a median ignores one outlier in either direction, so
+  * round-over-round comparisons reflect code, not JVM lifetime.
+  * A failed pass never contributes a bogus time: failed queries are
+  * excluded from `queries`/total and reported under `failed`.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,29 +28,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm codegen/classloading on the smallest SF first (identical
-    // generated code, tiny data), then measure steady state on the
-    // target SF — standard warmup-then-measure methodology.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      // two measured passes, report the min — GC/JIT noise on a shared
-      // box otherwise dominates the small queries
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      once(fn, warmDir) // codegen/classloading warm-up, never measured
+      val runs = (1 to passes).map(_ => once(fn, sfDir))
+      val oks = runs.collect { case Right(t) => t }
+      val errs = runs.collect { case Left(m) => m }
+      val median = if (oks.isEmpty) None
+        else Some(oks.sorted.apply((oks.size - 1) / 2))
+      (name, median, errs.headOption.filter(_ => oks.isEmpty))
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val ok = results.collect { case (n, Some(t), _) => n -> t }
+    val failed = results.collect { case (n, None, err) => n -> err.getOrElse("unknown") }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,6 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * document row fans out to its chunk rows directly inside the
   * Generate operator — no UDF serialization boundary, no intermediate
   * Seq[case class] allocation per row on the encoder path.
+  *
+  * Compression is deliberately NOT part of the generator: consumers
+  * that only need boundaries/identities (chunk, stats, restore) never
+  * pay a compression pass — column pruning can't reach inside a
+  * Generator, so the opt-in lives at the operator level via the
+  * [[CompressedLen]] scalar expression over the unique chunks only.
   *
   * (Generators run interpreted via CodegenFallback — like many
   * built-in generators — but the per-document chunk loop itself is
@@ -27,8 +33,7 @@ case class ChunkDocument(child: Expression,
     StructField("chunk_idx", IntegerType, nullable = false),
     StructField("offset", IntegerType, nullable = false),
     StructField("length", IntegerType, nullable = false),
-    StructField("chunk_sha", StringType, nullable = false),
-    StructField("comp_len", IntegerType, nullable = false)))
+    StructField("chunk_sha", StringType, nullable = false)))
 
   override def prettyName: String = "graft_chunk"
 
@@ -48,7 +53,7 @@ case class ChunkDocument(child: Expression,
       }
       Chunker.chunk(bytes, minSize, maxSize, maskBits).map { c =>
         InternalRow(c.chunk_idx, c.offset, c.length,
-          UTF8String.fromString(c.chunk_sha), c.comp_len)
+          UTF8String.fromString(c.chunk_sha))
       }
     }
   }
@@ -57,11 +62,47 @@ case class ChunkDocument(child: Expression,
     copy(child = c)
 }
 
+/** Compressed size of a binary column under `codec`
+  * (none/deflate/gzip — the reference Compress stage's menu,
+  * encoder.c:587). Codegen emits one static kernel call, so the
+  * expression stays inside whole-stage codegen. */
+case class CompressedLen(child: Expression, codec: String)
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_compressed_len"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if Chunker.Codecs.contains(codec) =>
+      TypeCheckResult.TypeCheckSuccess
+    case BinaryType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: unknown codec '$codec' (expected ${Chunker.Codecs.mkString("/")})")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary column, got ${dt.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    Chunker.compressedLen(b, 0, b.length, codec)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Chunker.compressedLen($c, 0, $c.length, \"$codec\")")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NativeChunk {
   /** Generator column: use in select() alongside pass-through columns;
-    * output columns are chunk_idx/offset/length/chunk_sha/comp_len. */
+    * output columns are chunk_idx/offset/length/chunk_sha. */
   def chunks(text: Column, minSize: Int = 32, maxSize: Int = 256,
              maskBits: Int = 6): Column =
     ColumnBridge.column(
       ChunkDocument(ColumnBridge.expression(text), minSize, maxSize, maskBits))
+
+  /** Compressed byte size of a binary column under `codec`. */
+  def compressedLen(bin: Column, codec: String): Column =
+    ColumnBridge.column(CompressedLen(ColumnBridge.expression(bin), codec))
 }

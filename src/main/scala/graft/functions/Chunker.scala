@@ -21,8 +21,7 @@ import java.util.zip.Deflater
   */
 object Chunker {
 
-  case class Chunk(chunk_idx: Int, offset: Int, length: Int,
-                   chunk_sha: String, comp_len: Int)
+  case class Chunk(chunk_idx: Int, offset: Int, length: Int, chunk_sha: String)
 
   /** Buzhash substitution table — seeded, identical everywhere. */
   private val T: Array[Long] = {
@@ -71,8 +70,7 @@ object Chunker {
     chunk(text.getBytes(StandardCharsets.UTF_8))
 
   private def mkChunk(bytes: Array[Byte], idx: Int, off: Int, len: Int): Chunk =
-    Chunk(idx, off, len, sha256Hex(bytes, off, len),
-      deflatedLen(bytes, off, len))
+    Chunk(idx, off, len, sha256Hex(bytes, off, len))
 
   def sha256Hex(bytes: Array[Byte], off: Int, len: Int): String = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -92,4 +90,33 @@ object Chunker {
     d.end()
     total
   }
+
+  /** Gzip-framed size (10-byte header + deflate stream + 8-byte
+    * trailer), via a counting sink — no payload buffering. */
+  def gzipLen(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val counter = new java.io.OutputStream {
+      var n = 0
+      override def write(b: Int): Unit = n += 1
+      override def write(b: Array[Byte], o: Int, l: Int): Unit = n += l
+    }
+    val gz = new java.util.zip.GZIPOutputStream(counter)
+    gz.write(bytes, off, len)
+    gz.close()
+    counter.n
+  }
+
+  /** Codecs the reference's Compress stage selects among
+    * (encoder.c:587 COMPRESS_GZIP / COMPRESS_BZIP2 / COMPRESS_NONE —
+    * bzip2 has no JDK implementation, so the menu here is
+    * none/deflate/gzip). */
+  val Codecs: Set[String] = Set("none", "deflate", "gzip")
+
+  def compressedLen(bytes: Array[Byte], off: Int, len: Int, codec: String): Int =
+    codec match {
+      case "deflate" => deflatedLen(bytes, off, len)
+      case "gzip"    => gzipLen(bytes, off, len)
+      case "none"    => len
+      case c => throw new IllegalArgumentException(
+        s"unknown codec '$c' (expected one of ${Codecs.mkString("/")})")
+    }
 }

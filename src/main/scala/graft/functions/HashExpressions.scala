@@ -80,10 +80,14 @@ object HashKernels {
 }
 
 private object HashExprCheck {
+  // containsNull must be false: the kernels read elements with
+  // ArrayData.getLong, which would silently decode a null slot as 0
+  // and corrupt signatures — reject at analysis time instead.
   def requireLongArray(name: String, dts: DataType*): TypeCheckResult =
-    if (dts.forall { case ArrayType(LongType, _) => true; case _ => false })
+    if (dts.forall { case ArrayType(LongType, false) => true; case _ => false })
       TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$name expects array<bigint> inputs, got ${dts.map(_.sql).mkString(", ")}")
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<bigint> inputs with non-null elements, got ${dts.map(_.sql).mkString(", ")}")
 }
 
 case class MinHashSig(child: Expression, nPerms: Int) extends UnaryExpression {

@@ -123,10 +123,120 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Earth Mover's Distance between two small vector SETS — the
+  * reference's `emd` vecset distance used by ferret's t_rank stage
+  * (ferret-pthreads.c:870 `cass_reg_lookup(&env->vecset_dist, "emd")`).
+  *
+  * For uniform-weight, equal-cardinality sets the transportation
+  * problem degenerates to min-cost perfect matching, solved EXACTLY by
+  * branch-and-bound over assignments — regions sets are tiny (n ≤ 8),
+  * so the search is a handful of L2 evaluations per pair. Ground
+  * distance: Euclidean. Runs only on the over-fetched re-rank set,
+  * never the full corpus.
+  */
+object EmdKernel {
+
+  /** @param aFloat/bFloat element type of the inner vectors (float vs
+    *                      double), recorded by the expression */
+  def emd(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(n == b.numElements() && n > 0 && n <= 10,
+      s"graft_emd expects equal-size non-empty vector sets of <= 10 (got $n vs ${b.numElements()})")
+    val cost = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      val av = a.getArray(i)
+      var j = 0
+      while (j < n) {
+        cost(i)(j) = l2(av, b.getArray(j), aFloat, bFloat)
+        j += 1
+      }
+      i += 1
+    }
+    solveAssignment(cost) / n
+  }
+
+  private def l2(x: ArrayData, y: ArrayData, xF: Boolean, yF: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xF) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yF) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Exact min-cost perfect matching by branch-and-bound (prunes on
+    * the running partial cost against the best complete matching). */
+  private def solveAssignment(cost: Array[Array[Double]]): Double = {
+    val n = cost.length
+    val used = new Array[Boolean](n)
+    var best = Double.MaxValue
+    def rec(i: Int, acc: Double): Unit = {
+      if (acc >= best) return
+      if (i == n) { best = acc; return }
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          used(j) = true
+          rec(i + 1, acc + cost(i)(j))
+          used(j) = false
+        }
+        j += 1
+      }
+    }
+    rec(0, 0.0)
+    best
+  }
+}
+
+/** emd(a, b) over array<array<float|double>> region sets. */
+case class EmdDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_emd"
+
+  private def innerFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(ArrayType(FloatType, _), _) | ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<array<float|double>> columns, " +
+          s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EmdKernel.emd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      innerFloat(left.dataType), innerFloat(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EmdKernel.emd($a, $b, ${innerFloat(left.dataType)}, ${innerFloat(right.dataType)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column constructors for the native expressions. */
 object NativeVector {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def emd(a: Column, b: Column): Column =
+    ColumnBridge.column(EmdDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

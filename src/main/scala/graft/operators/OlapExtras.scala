@@ -87,7 +87,7 @@ object OlapExtras {
 
   val qJsonSql: String =
     """SELECT event_type,
-      |  SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
       |  COUNT(*) AS n_events
       |FROM (SELECT event_type,
       |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

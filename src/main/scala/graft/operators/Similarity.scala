@@ -75,8 +75,17 @@ object Similarity {
 
   /** Two-phase LSH search of `qdf` (query_id, qv) against corpus `e`
     * (vec_id, v) — the ferret t_vec/t_rank pair as one declarative
-    * DAG. */
-  private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame): DataFrame = {
+    * DAG.
+    *
+    * `broadcastQueries` gates every query-side join: true for a small
+    * interactive batch (one hash table, zero query-side shuffles);
+    * false whenever the batch scales with the corpus — all query-side
+    * joins then become shuffle joins keyed on (tbl,bucket) / query_id,
+    * the only plan that exists at 100 TB. The output is identical
+    * either way (join strategy never changes semantics). */
+  private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame,
+                               broadcastQueries: Boolean = true): DataFrame = {
+    def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val e = withSketch(e0)
     val buckets = withBuckets(e.select("vec_id", "v"))
       .select("vec_id", "tbl", "bucket")
@@ -89,9 +98,8 @@ object Similarity {
     // through the sketch, i.e. ferret's `ranking` depth knob.)
     val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-    // phase 0: candidate gen — bucket equi-join against the broadcast
-    // query buckets
-    val cand = buckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+    // phase 0: candidate gen — bucket equi-join against the query buckets
+    val cand = buckets.join(qside(qBuckets), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
     // phase 1: cheap sketch distance, keep 2k per query (over-fetch)
@@ -99,7 +107,7 @@ object Similarity {
       .orderBy(col("sketch_dist"), col("vec_id"))
     val overfetched = cand
       .join(e.select("vec_id", "sketch_lo", "sketch_hi"), "vec_id")
-      .join(broadcast(q.select("query_id", "qsketch_lo", "qsketch_hi")), "query_id")
+      .join(qside(q.select("query_id", "qsketch_lo", "qsketch_hi")), "query_id")
       .withColumn("sketch_dist",
         bit_count(col("sketch_lo").bitwiseXOR(col("qsketch_lo"))) +
           bit_count(col("sketch_hi").bitwiseXOR(col("qsketch_hi"))))
@@ -110,7 +118,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     overfetched
       .join(e.select("vec_id", "v"), "vec_id")
-      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .join(qside(q.select("query_id", "qv")), "query_id")
       .select(col("query_id"), col("vec_id"),
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wCos))
@@ -197,7 +205,65 @@ object Similarity {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    lshSearch(e, q)
+    // the query batch is a fixed FRACTION of the corpus, so it can
+    // never be broadcast at scale — force the shuffle-join path
+    lshSearch(e, q, broadcastQueries = false)
+  }
+
+  // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
+  private val RegionsPerImage = 4
+
+  /** The reference's t_rank re-ranks with the `emd` VECSET distance
+    * (ferret-pthreads.c:870), after merging the per-region candidate
+    * lists the index probe returned (`cass_result_merge_lists`,
+    * ferret-pthreads.c:646-660). Here: images are modeled as sets of
+    * [[RegionsPerImage]] consecutive embedding vectors (the reference
+    * segments each image into regions — t_seg); every query REGION
+    * probes the LSH bucket index independently; per-region lists merge
+    * by (query, candidate) union with collision count as the phase-1
+    * score; the over-fetched merged list re-ranks by exact EMD.
+    *
+    * Scale posture: candidate gen stays a bucket equi-join; EMD (a
+    * branch-and-bound assignment per pair) runs only on the 2k
+    * over-fetched pairs per query, never the corpus. */
+  def ferretEmd(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val regions = e.select(
+      (col("vec_id") / RegionsPerImage).cast("long").as("image_id"),
+      (col("vec_id") % RegionsPerImage).as("region_idx"), col("v"))
+    // uniform-weight equal-size sets → the transportation problem is an
+    // exact assignment; incomplete trailing images are dropped
+    val complete = regions.groupBy("image_id")
+      .agg(count(lit(1)).as("nr"),
+        transform(array_sort(collect_list(struct(col("region_idx"), col("v")))),
+          x => x.getField("v")).as("vset"))
+      .filter(col("nr") === RegionsPerImage).drop("nr")
+    val queries = complete.filter(col("image_id") < NQueries)
+      .select(col("image_id").as("query_img"), col("vset").as("qset"))
+    val corpB = withBuckets(regions.select(col("image_id").as("vec_id"), col("v")))
+      .select(col("vec_id").as("cand_img"), col("tbl"), col("bucket"))
+    val qB = withBuckets(regions.filter(col("image_id") < NQueries)
+        .select(col("image_id").as("vec_id"), col("v")))
+      .select(col("vec_id").as("query_img"), col("tbl"), col("bucket"))
+    // per-region lists merged by union; collision count = probe evidence
+    val cand = corpB.join(broadcast(qB), Seq("tbl", "bucket"))
+      .filter(col("cand_img") =!= col("query_img"))
+      .groupBy("query_img", "cand_img")
+      .agg(count(lit(1)).as("hits"))
+    val wHits = Window.partitionBy("query_img")
+      .orderBy(col("hits").desc, col("cand_img"))
+    val over = cand.withColumn("r", row_number().over(wHits))
+      .filter(col("r") <= OverFetch)
+      .select("query_img", "cand_img")
+    val wEmd = Window.partitionBy("query_img").orderBy(col("emd"), col("cand_img"))
+    over
+      .join(complete.select(col("image_id").as("cand_img"), col("vset").as("cset")),
+        "cand_img")
+      .join(broadcast(queries), "query_img")
+      .select(col("query_img"), col("cand_img"),
+        graft.functions.NativeVector.emd(col("qset"), col("cset")).as("emd"))
+      .withColumn("rank", row_number().over(wEmd))
+      .filter(col("rank") <= TopK)
   }
 
   // ---- ann_recall: quality gate of the approximate paths ---------------
@@ -218,7 +284,8 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
-    "ferret_pipeline" -> (ferretPipeline _))
+    "ferret_pipeline" -> (ferretPipeline _),
+    "ferret_emd" -> (ferretEmd _))
 
   /** The exact baseline is DuckDB-oracled: list_cosine_similarity on
     * double-cast lists accumulates in the same element order as the

@@ -29,6 +29,11 @@ object StreamingOps {
       |FROM events GROUP BY user_id, event_type""".stripMargin
 
   // ---- stream_rate_bench: MemoryStream throughput measurement ----------
+  /** Local measurement HARNESS, not a scale-path operator: MemoryStream
+    * can only be fed from the driver, so the events table is collected
+    * once (bounded by the bench SF — never run at production scale).
+    * Production streams read from a distributed source (files/Kafka)
+    * through the very same pipeline transforms, with no collect. */
   def streamRateBench(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val evs = Tables.events(s, dir)

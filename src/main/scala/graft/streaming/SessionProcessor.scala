@@ -34,6 +34,8 @@ class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
     evs.foreach { e =>
       val us = tsUs(e.ts)
       cur match {
+        case Some(s) if s.nEvents == 0 => // tombstone: closed session
+          cur = Some(TwsSessState(s.sessId + 1, us, us, 1))
         case Some(s) if us - s.endUs <= SessionGapUs =>
           cur = Some(s.copy(endUs = math.max(s.endUs, us), nEvents = s.nEvents + 1))
         case Some(s) =>
@@ -45,7 +47,9 @@ class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
     }
     cur.foreach { s =>
       state.update(s)
-      getHandle.registerTimer(s.endUs / 1000L + SessionGapUs / 1000L)
+      // a tombstone is pure counter state — no timer
+      if (s.nEvents > 0)
+        getHandle.registerTimer(s.endUs / 1000L + SessionGapUs / 1000L)
     }
     out.result().iterator
   }
@@ -56,8 +60,12 @@ class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
     // before the real gap horizon — only close if truly expired.
     if (state.exists()) {
       val s = state.get()
-      if (expired.getExpiryTimeInMs() >= s.endUs / 1000L + SessionGapUs / 1000L) {
-        state.clear()
+      if (s.nEvents > 0 &&
+          expired.getExpiryTimeInMs() >= s.endUs / 1000L + SessionGapUs / 1000L) {
+        // close the session but retain the counter as an nEvents=0
+        // tombstone so later events continue the numbering (batch-
+        // mirror parity) — see StreamingPipelines.sessionize
+        state.update(TwsSessState(s.sessId, s.endUs, s.endUs, 0L))
         Iterator.single(SessionOut(key, s.sessId, s.nEvents, s.startUs, s.endUs))
       } else Iterator.empty
     } else Iterator.empty

@@ -59,7 +59,12 @@ object StreamingPipelines {
         (userId: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // Close the session but RETAIN the counter as an nEvents=0
+            // tombstone (no new timer): a later event for this user
+            // must continue the numbering at sessId+1, not restart at
+            // 1, or the stream diverges from the batch mirror's
+            // cumulative sess_id. Cost: ~32 bytes of per-key state.
+            state.update(SessState(s.sessId, s.endUs, s.endUs, 0L))
             Iterator.single(SessionOut(userId, s.sessId, s.nEvents, s.startUs, s.endUs))
           } else {
             val evs = it.toVector.sortBy(e => (tsUs(e.ts), e.event_id))
@@ -68,6 +73,8 @@ object StreamingPipelines {
             evs.foreach { e =>
               val us = tsUs(e.ts)
               cur match {
+                case Some(s) if s.nEvents == 0 => // tombstone: closed session
+                  cur = Some(SessState(s.sessId + 1, us, us, 1))
                 case Some(s) if us - s.endUs <= SessionGapUs =>
                   cur = Some(s.copy(endUs = math.max(s.endUs, us), nEvents = s.nEvents + 1))
                 case Some(s) =>
@@ -79,7 +86,9 @@ object StreamingPipelines {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapUs / 1000L)
+              // a tombstone is pure counter state — it never times out
+              if (s.nEvents > 0)
+                state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapUs / 1000L)
             }
             out.result().iterator
           }

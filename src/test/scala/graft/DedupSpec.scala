@@ -84,16 +84,45 @@ class DedupSpec extends SparkSpec {
 
   test("dedup_restore: every document round-trips byte-exactly") {
     val res = Dedup.dedupRestore(spark, sfDir)
-    assert(res.filter(!col("restored_ok")).count() == 0)
+    assert(res.filter(col("restored_ok") =!= 1).count() == 0)
     assert(res.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("dedup_chunk_check: chunks cover every document contiguously") {
+    val res = Dedup.dedupChunkCheck(spark, sfDir).cache()
+    assert(res.filter(col("covered_ok") =!= 1).count() == 0)
+    val withDocs = res.join(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("len")),
+      "doc_id")
+    assert(withDocs.filter(col("n_bytes") =!= col("len")).count() == 0)
+    res.unpersist()
   }
 
   test("chunk stats and compress are consistent") {
     val stats = Dedup.dedupChunkStats(spark, sfDir).collect().head
     assert(stats.getAs[Long]("n_chunks") >= stats.getAs[Long]("n_unique_chunks"))
     assert(stats.getAs[Long]("total_bytes") >= stats.getAs[Long]("unique_bytes"))
-    val comp = Dedup.chunkCompress(spark, sfDir)
+    val comp = Dedup.chunkCompress(spark, sfDir).cache()
     assert(comp.count() == stats.getAs[Long]("n_unique_chunks"))
-    assert(comp.filter(col("comp_len") <= 0).count() == 0)
+    assert(comp.filter(col("comp_deflate") <= 0 || col("comp_gzip") <= 0).count() == 0)
+    // gzip = deflate stream + 18 bytes of framing, always
+    assert(comp.filter(col("comp_gzip") <= col("comp_deflate")).count() == 0)
+    comp.unpersist()
+  }
+
+  test("verifyJaccard: shuffle path (cap=0) matches broadcast path") {
+    import graft.functions.TextFns
+    val g = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      TextFns.hashedTokenSet(col("text")).as("hset"))
+    val ids = g.select("doc_id", "source")
+    val cand = ids.as("a").join(ids.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sets = g.select("doc_id", "hset")
+    val bc = Dedup.verifyJaccard(cand, sets).filter(col("jaccard") >= 0.5)
+    val sh = Dedup.verifyJaccard(cand, sets, cap = 0L).filter(col("jaccard") >= 0.5)
+    assert(bc.except(sh).count() == 0 && sh.except(bc).count() == 0)
+    assert(sh.count() > 0)
   }
 }

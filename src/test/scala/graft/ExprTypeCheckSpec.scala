@@ -26,6 +26,29 @@ class ExprTypeCheckSpec extends SparkSpec {
     assert(e.getMessage.contains("graft_jaccard"))
   }
 
+  test("graft_jaccard rejects long arrays with nullable elements") {
+    // kernels read getLong blind — a null slot would decode as 0
+    val df = Seq((Array[Option[Long]](Some(1L), None), Array[Option[Long]](Some(2L))))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(NativeHash.jaccard(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_jaccard"))
+  }
+
+  test("graft_compressed_len rejects unknown codec and non-binary input") {
+    val bin = Seq(Array[Byte](1, 2, 3)).toDF("b")
+    val e1 = intercept[Exception] {
+      bin.select(NativeChunk.compressedLen(col("b"), "bzip2")).collect()
+    }
+    assert(e1.getMessage.contains("graft_compressed_len"))
+    val str = Seq("x").toDF("s")
+    val e2 = intercept[Exception] {
+      str.select(NativeChunk.compressedLen(col("s"), "gzip")).collect()
+    }
+    assert(e2.getMessage.contains("graft_compressed_len"))
+  }
+
   test("graft_chunk rejects numeric input") {
     val df = Seq(1).toDF("n")
     val e = intercept[Exception] {

@@ -36,6 +36,22 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ferret_emd: top-k per query image, ascending exact EMD") {
+    val res = Similarity.ferretEmd(spark, sfDir).cache()
+    assert(res.count() > 0)
+    assert(res.filter(col("emd") < 0).count() == 0)
+    val over = res.groupBy("query_img").count()
+      .filter(col("count") > Similarity.TopK).count()
+    assert(over == 0)
+    // within each query the rank order follows the emd order
+    val wrongOrder = res.as("x").join(res.as("y"),
+        col("x.query_img") === col("y.query_img") &&
+          col("x.rank") < col("y.rank") && col("x.emd") > col("y.emd"))
+      .count()
+    assert(wrongOrder == 0)
+    res.unpersist()
+  }
+
   test("ann_recall: recalls in [0,1] and lsh finds something") {
     val res = Similarity.annRecall(spark, sfDir).cache()
     assert(res.count() == Similarity.NQueries)

@@ -84,6 +84,41 @@ class StreamingSpec extends SparkSpec {
       s"session mismatch: $onlyStream stream-only, $onlyBatch batch-only")
   }
 
+  test("sessionize: sess_id numbering survives a mid-stream timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000L // ms
+    def ev(id: Long, user: Long, offsetMin: Long): Ev =
+      Ev(id, new Timestamp(t0 + offsetMin * 60000L), user, "view", 1.0)
+    val source = MemoryStream[Ev]
+    val q = StreamingPipelines.sessionize(source.toDS())
+      .writeStream.format("memory").queryName("sess_timeout_sink")
+      .outputMode(OutputMode.Append()).start()
+    // one processAllAvailable per addData forces REAL micro-batch
+    // boundaries — batched adds coalesce and the timeout never fires
+    // batch 1: user 7001 starts session 1; user 7002 keeps the stream alive
+    source.addData(Seq(ev(1, 7001, 0), ev(2, 7002, 0))); q.processAllAvailable()
+    // batch 2: 7002 advances the watermark past 7001's gap horizon
+    source.addData(Seq(ev(3, 7002, 120))); q.processAllAvailable()
+    // batch 3: 7001 has NO data here → its session must close via the
+    // EventTimeTimeout path (the state-loss bug under test)
+    source.addData(Seq(ev(4, 7002, 180))); q.processAllAvailable()
+    val afterTimeout = spark.table("sess_timeout_sink")
+      .filter(col("user_id") === 7001L).count()
+    assert(afterTimeout == 1, "session 1 must close via the timeout path")
+    // batch 4: a LATER event for 7001 → must continue as session 2
+    source.addData(Seq(ev(5, 7001, 240))); q.processAllAvailable()
+    // sentinel pushes the watermark far enough to close everything
+    source.addData(Seq(ev(6, 7003, 1440))); q.processAllAvailable()
+    val sess7001 = spark.table("sess_timeout_sink")
+      .filter(col("user_id") === 7001L)
+      .orderBy("sess_id").collect()
+    q.stop()
+    assert(sess7001.map(_.getAs[Long]("sess_id")).toSeq == Seq(1L, 2L),
+      s"expected sessions 1,2 for user 7001, got ${sess7001.mkString(", ")}")
+    assert(sess7001.forall(_.getAs[Long]("n_events") == 1L))
+  }
+
   test("throughput harness returns sane metrics") {
     val evs = loadEvents().take(600)
     val r = StreamingPipelines.throughputBench(spark, evs, 200, "spec",

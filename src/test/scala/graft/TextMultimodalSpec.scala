@@ -51,12 +51,14 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
-  test("mm_features: 16-dim features, frames sampled within bounds") {
+  test("mm_features: scalar digests well-formed, frames sampled within bounds") {
     val res = Multimodal.mmFeatures(spark, sfDir).cache()
     assert(res.count() == Tables.documents(spark, sfDir).count())
-    assert(res.filter(size(col("features")) =!= 16).count() == 0)
-    assert(res.filter(size(col("sampled_frames")) > 4).count() == 0)
+    assert(res.filter(length(col("features_sha")) =!= 64).count() == 0)
+    assert(res.filter(size(split(col("sampled_frames"), ",")) > 4).count() == 0)
     assert(res.filter(col("n_frames") <= 0).count() == 0)
+    // feat_sum is a mean of 16 values in [0,1] scaled: bounded by [0,16]
+    assert(res.filter(col("feat_sum") < 0 || col("feat_sum") > 16).count() == 0)
     res.unpersist()
   }
 }

@@ -45,4 +45,40 @@ class TwsSessionSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("transformWithState: sess_id numbering survives a mid-stream timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1700000000000L // ms
+      def ev(id: Long, user: Long, offsetMin: Long): Ev =
+        Ev(id, new Timestamp(t0 + offsetMin * 60000L), user, "view", 1.0)
+      val source = MemoryStream[Ev]
+      val q = TwsSessionize(source.toDS())
+        .writeStream.format("memory").queryName("tws_timeout_sink")
+        .outputMode(OutputMode.Append()).start()
+      // one processAllAvailable per addData forces real micro-batch
+      // boundaries so the timer actually fires mid-stream
+      source.addData(Seq(ev(1, 7001, 0), ev(2, 7002, 0))); q.processAllAvailable()
+      source.addData(Seq(ev(3, 7002, 120))); q.processAllAvailable()
+      // 7001 silent → its session 1 must close via the expired timer
+      source.addData(Seq(ev(4, 7002, 180))); q.processAllAvailable()
+      val afterTimeout = spark.table("tws_timeout_sink")
+        .filter(col("user_id") === 7001L).count()
+      assert(afterTimeout == 1, "session 1 must close via the timer path")
+      // later event for 7001 → must continue numbering at session 2
+      source.addData(Seq(ev(5, 7001, 240))); q.processAllAvailable()
+      source.addData(Seq(ev(6, 7003, 1440))); q.processAllAvailable()
+      val sess7001 = spark.table("tws_timeout_sink")
+        .filter(col("user_id") === 7001L)
+        .orderBy("sess_id").collect()
+      q.stop()
+      assert(sess7001.map(_.getAs[Long]("sess_id")).toSeq == Seq(1L, 2L),
+        s"expected sessions 1,2 for user 7001, got ${sess7001.mkString(", ")}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

@@ -33,4 +33,52 @@ class VectorExprSpec extends SparkSpec {
     val v = df.select(VectorFns.dot(col("f"), col("d"))).collect().head.getDouble(0)
     assert(v == 11.0)
   }
+
+  // independent reference EMD: exhaustive permutations, plain Scala
+  private def refEmd(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    b.indices.permutations
+      .map(p => p.zipWithIndex.map { case (j, i) => l2(a(i), b(j)) }.sum)
+      .min / a.length
+  }
+
+  test("graft_emd matches exhaustive-permutation reference on random sets") {
+    import spark.implicits._
+    val r = new scala.util.Random(13)
+    val cases = Seq.fill(25)(
+      (Array.fill(4)(Array.fill(8)(r.nextGaussian())),
+        Array.fill(4)(Array.fill(8)(r.nextGaussian()))))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.NativeVector.emd(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b), g) =>
+      assert(math.abs(g - refEmd(a, b)) < 1e-9, s"emd mismatch: $g vs ${refEmd(a, b)}")
+    }
+  }
+
+  test("graft_emd: zero self-distance, symmetric, float sets accepted") {
+    import spark.implicits._
+    val r = new scala.util.Random(17)
+    val sets = Seq.fill(10)(Array.fill(4)(Array.fill(8)(r.nextFloat())))
+    val df = sets.zip(sets.reverse).toDF("a", "b")
+    val rows = df.select(
+      graft.functions.NativeVector.emd(col("a"), col("a")).as("self"),
+      graft.functions.NativeVector.emd(col("a"), col("b")).as("ab"),
+      graft.functions.NativeVector.emd(col("b"), col("a")).as("ba")).collect()
+    rows.foreach { row =>
+      assert(row.getDouble(0) == 0.0)
+      assert(math.abs(row.getDouble(1) - row.getDouble(2)) < 1e-12)
+      assert(row.getDouble(1) >= 0.0)
+    }
+  }
+
+  test("graft_emd rejects flat (non-nested) arrays") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.NativeVector.emd(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_emd"))
+  }
 }
