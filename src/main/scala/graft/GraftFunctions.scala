@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{ChunkDocument, CosineSim, DotProduct, LongSetJaccard, MinHashSig, SimHash64}
+import graft.functions.{ChunkDocument, CompressedLen, CosineSim, DotProduct, EmdDistance, LongSetJaccard, MinHashSig, SimHash64}
 
 /** SQL-surface registration of the graft native expressions, so
   * `spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")`
@@ -34,7 +34,13 @@ object GraftFunctions {
     "graft_chunk" -> (args =>
       if (args.length == 1) ChunkDocument(args(0))
       else ChunkDocument(args(0), intArg(args(1), "minSize"),
-        intArg(args(2), "maxSize"), intArg(args(3), "maskBits"))))
+        intArg(args(2), "maxSize"), intArg(args(3), "maskBits"))),
+    "graft_emd" -> (args => EmdDistance(args(0), args(1))),
+    "graft_compressed_len" -> (args => CompressedLen(args(0), args(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_compressed_len codec must be a string literal, got $other")
+    })))
 
   /** Imperative install on an existing session. */
   def register(spark: SparkSession): Unit =

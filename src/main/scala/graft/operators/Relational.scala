@@ -65,10 +65,12 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-    // customer is a dimension here → broadcast; orders⋈lineitem shuffles
-    // on the order key (their natural co-partitioning key).
+    // orders⋈lineitem shuffles on the order key (their natural
+    // co-partitioning key). customer SCALES WITH SF, so no forced
+    // broadcast hint — Spark's size statistics pick broadcast while
+    // the filtered segment fits and shuffle once it doesn't.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dbl(sum(decP(col("l_extendedprice")) * (oneR - decR(col("l_discount")))))
         .as("revenue"))
@@ -100,9 +102,13 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
+    // region/nation are FIXED-SIZE dims (5/25 rows at any SF) →
+    // broadcast hints are always right. customer/supplier scale with
+    // SF, so their join strategy is left to Spark's size statistics:
+    // auto-broadcast below the threshold, shuffle join at 100 TB.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -57,9 +57,48 @@ object StreamingOps {
     s.createDataFrame(results)
   }
 
+  // ---- stream_param_sweep: knob-grid sweep (testbed t1..t9 analog) -----
+  case class SweepRow(pipeline: String, batch_size: Int, rows_in: Long,
+                      rows_out: Long, batches: Long, elapsed_sec: Double,
+                      rows_per_sec: Double, batch_ms_p50: Double,
+                      batch_ms_p95: Double)
+
+  /** The reference sweeps per-stage replica counts and queue sizes
+    * across a config grid (bin/parsec_stream over testbed/t1..t9,
+    * encoder.c cmdline -t/-q): the micro-batch analogs here are batch
+    * size × pipeline, each cell measured by the same throughput
+    * harness. Event count is capped — the sweep characterizes the
+    * per-config overhead curve (latency vs batch size), while
+    * stream_rate_bench measures corpus throughput. */
+  def streamParamSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id")).limit(10000)
+      .as[Ev].collect().toSeq
+    val append = org.apache.spark.sql.streaming.OutputMode.Append()
+    val pipelines: Seq[(String, DataFrame => DataFrame, org.apache.spark.sql.streaming.OutputMode)] = Seq(
+      ("window_agg", StreamingPipelines.windowAgg _,
+        org.apache.spark.sql.streaming.OutputMode.Update()),
+      ("dedup", StreamingPipelines.dedupStream _, append),
+      ("sessionize",
+        (df: DataFrame) => StreamingPipelines.sessionize(df.as[Ev]).toDF(), append))
+    val rows = for {
+      bs <- Seq(500, 2000)
+      (name, pipe, mode) <- pipelines
+    } yield {
+      val r = StreamingPipelines.throughputBench(s, evs, bs, s"${name}_$bs", pipe, mode)
+      SweepRow(name, bs, r.rows_in, r.rows_out, r.batches, r.elapsed_sec,
+        r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95)
+    }
+    s.createDataFrame(rows)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_batch" -> (streamDedupBatch _),
-    "stream_rate_bench" -> (streamRateBench _))
+    "stream_rate_bench" -> (streamRateBench _),
+    "stream_param_sweep" -> (streamParamSweep _))
 
   val oracle: Map[String, String] = Map(
     "stream_dedup_batch" -> streamDedupBatchSql)

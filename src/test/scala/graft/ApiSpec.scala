@@ -31,6 +31,15 @@ class ApiSpec extends SparkSpec {
     val ch = spark.sql(
       "SELECT graft_chunk(repeat('spark native chunking ', 40))").collect()
     assert(ch.nonEmpty && ch.head.schema.fieldNames.contains("chunk_sha"))
+    val emd = spark.sql(
+      """SELECT graft_emd(array(array(0.0d, 0.0d), array(1.0d, 1.0d)),
+        |array(array(1.0d, 1.0d), array(0.0d, 0.0d))) AS e""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(emd == 0.0) // same set, permuted → matching finds identity
+    val cl = spark.sql(
+      "SELECT graft_compressed_len(cast(repeat('aa', 100) AS BINARY), 'deflate') AS n")
+      .collect().head.getInt(0)
+    assert(cl > 0 && cl < 200)
   }
 
   test("binaryFile source: file_dedup accounts every test file") {

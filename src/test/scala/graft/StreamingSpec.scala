@@ -126,4 +126,16 @@ class StreamingSpec extends SparkSpec {
     assert(r.rows_in == 600 && r.batches == 3)
     assert(r.rows_per_sec > 0 && r.rows_out > 0)
   }
+
+  test("param sweep: one row per grid cell, all cells measured") {
+    val res = StreamingOps.streamParamSweep(spark, sfDir).collect()
+    assert(res.length == 6) // 2 batch sizes x 3 pipelines
+    assert(res.map(r => (r.getAs[String]("pipeline"), r.getAs[Int]("batch_size")))
+      .distinct.length == 6)
+    res.foreach { r =>
+      assert(r.getAs[Double]("rows_per_sec") > 0)
+      assert(r.getAs[Long]("rows_in") > 0)
+      assert(r.getAs[Long]("batches") > 0)
+    }
+  }
 }
