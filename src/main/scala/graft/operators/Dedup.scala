@@ -161,16 +161,26 @@ object Dedup {
     * per content digest), not raw rows: with duplication factor d a
     * raw-row banding join re-finds every near-dup pair d² times —
     * measured 65× blowup at 20× duplication. Exact duplicates are
-    * dedup_exact's output; near-dup layers on top of it. */
+    * dedup_exact's output; near-dup layers on top of it.
+    *
+    * Tokenize-then-group: the token sets are hashed BEFORE the
+    * rep-selection shuffle, so only 8-byte token hashes ever move —
+    * raw text stays partition-local at the scan (grouping on
+    * first(text) would shuffle the corpus body). min_by's partial
+    * aggregation keeps one (doc_id, hset) per digest per map task. */
   private def hashSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .groupBy(sha2(col("text").cast("binary"), 256).as("content_sha"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("content_sha"),
+        TextFns.hashedTokenSet(col("text")).as("hset"))
+      .groupBy("content_sha")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("hset"), col("doc_id")).as("hset"))
       // AQE coalesces the small agg output to one partition, which
       // would serialize the entire downstream banding/verify fan-out —
       // spread the representatives back across the cluster first
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextFns.hashedTokenSet(col("text")).as("hset"))
+      .select("doc_id", "hset")
 
   /** A degenerate bucket with k members yields k² candidate pairs —
     * at corpus scale one hot band (boilerplate docs, empty strings)

@@ -210,6 +210,38 @@ object Similarity {
     lshSearch(e, q, broadcastQueries = false)
   }
 
+  // ---- ann_ivf_indexed: persisted cell-partitioned IVF index -----------
+  /** The IVF index as a MATERIALIZED cell-partitioned parquet layout
+    * (the 100 TB serving path): assignment is written once
+    * partitionBy(cell), and a probe reads ONLY its nprobe cell
+    * directories via partition pruning — the corpus is never scanned
+    * at query time. The probe-cell set is bounded by
+    * NQueries × NProbe (collected to drive `isin` pruning — tiny by
+    * construction). Output is identical to the in-memory ann_ivf. */
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val centroids = centroidArray(e)
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${math.abs(dir.hashCode)}"
+    val assigned = e.withColumn("cell",
+      nearestCells(col("v"), centroids, 1).getItem(0))
+    graft.sinks.Sinks.writePartitioned(assigned, idxPath, Seq("cell"))
+    val q = queriesDf(e)
+      .withColumn("probe_cells", nearestCells(col("qv"), centroids, NProbe))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(col("probe_cells")).as("cell"))
+    val probeCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val index = s.read.parquet(idxPath)
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
   private val RegionsPerImage = 4
 
@@ -284,6 +316,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
+    "ann_ivf_indexed" -> (annIvfIndexed _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _))
 

@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ann_ivf_indexed: partition-pruned index search equals in-memory IVF") {
+    val mem = Similarity.annIvf(spark, sfDir)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idxDf = Similarity.annIvfIndexed(spark, sfDir)
+    val idx = idxDf.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(idx == mem, s"indexed IVF diverged: ${idx.diff(mem).take(5)} vs ${mem.diff(idx).take(5)}")
+    // the probe must read only its cells: partition pruning in the scan
+    val plan = idxDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "index scan is not partition-pruned")
+  }
+
   test("ferret_emd: top-k per query image, ascending exact EMD") {
     val res = Similarity.ferretEmd(spark, sfDir).cache()
     assert(res.count() > 0)
