@@ -43,9 +43,17 @@ object Bench {
       }
     }
 
+    // Self-measuring streaming HARNESSES report their own items/s and
+    // latency percentiles internally; their wall-clock is dominated by
+    // fixed micro-batch machinery, so repeating them buys no precision
+    // — one measured pass each keeps the bench wall-time on the
+    // analytic queries where the medians matter.
+    val singlePass = Set("stream_rate_bench", "stream_param_sweep")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       once(fn, warmDir) // codegen/classloading warm-up, never measured
-      val runs = (1 to passes).map(_ => once(fn, sfDir))
+      val nPasses = if (singlePass(name)) 1 else passes
+      val runs = (1 to nPasses).map(_ => once(fn, sfDir))
       val oks = runs.collect { case Right(t) => t }
       val errs = runs.collect { case Left(m) => m }
       val median = if (oks.isEmpty) None

@@ -61,7 +61,7 @@ object StreamingOps {
   case class SweepRow(pipeline: String, batch_size: Int, rows_in: Long,
                       rows_out: Long, batches: Long, elapsed_sec: Double,
                       rows_per_sec: Double, batch_ms_p50: Double,
-                      batch_ms_p95: Double)
+                      batch_ms_p95: Double, exec_ms_p50: Double)
 
   /** The reference sweeps per-stage replica counts and queue sizes
     * across a config grid (bin/parsec_stream over testbed/t1..t9,
@@ -90,7 +90,7 @@ object StreamingOps {
     } yield {
       val r = StreamingPipelines.throughputBench(s, evs, bs, s"${name}_$bs", pipe, mode)
       SweepRow(name, bs, r.rows_in, r.rows_out, r.batches, r.elapsed_sec,
-        r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95)
+        r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95, r.exec_ms_p50)
     }
     s.createDataFrame(rows)
   }

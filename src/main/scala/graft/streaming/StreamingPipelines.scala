@@ -134,9 +134,13 @@ object StreamingPipelines {
       .start()
 
   // ---- throughput harness (BenSP parsec_stream equivalent) -------------
+  /** exec/plan columns split each micro-batch duration into its
+    * execution (addBatch — the reference's per-stage service time, at
+    * micro-batch granularity) and query-planning components. */
   case class BenchResult(pipeline: String, rows_in: Long, rows_out: Long,
                          batches: Long, elapsed_sec: Double, rows_per_sec: Double,
-                         batch_ms_p50: Double, batch_ms_p95: Double)
+                         batch_ms_p50: Double, batch_ms_p95: Double,
+                         exec_ms_p50: Double, plan_ms_p50: Double)
 
   /** Percentile of observed micro-batch durations (BenSP's per-stage
     * latency metric, at micro-batch granularity). */
@@ -169,11 +173,16 @@ object StreamingPipelines {
     q.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val rowsOut = s.table(sinkName).count()
-    val batchMs = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .map(_.batchDuration.toDouble)
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val batchMs = progress.map(_.batchDuration.toDouble)
+    def phaseMs(key: String): Seq[Double] = progress.map { p =>
+      Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
+    }
+    val execMs = phaseMs("addBatch")
+    val planMs = phaseMs("queryPlanning")
     q.stop()
     BenchResult(name, events.size.toLong, rowsOut, batches, elapsed,
-      events.size.toLong / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95))
+      events.size.toLong / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
+      pct(execMs, 0.5), pct(planMs, 0.5))
   }
 }

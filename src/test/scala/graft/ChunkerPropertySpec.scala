@@ -60,4 +60,18 @@ class ChunkerPropertySpec extends AnyFunSuite {
       assert(n > 0 && n <= bytes.length + 64)
     }
   }
+
+  test("codec menu: none is identity, gzip adds fixed framing over deflate-raw") {
+    cases.filter(_.nonEmpty).foreach { bytes =>
+      val len = bytes.length
+      assert(Chunker.compressedLen(bytes, 0, len, "none") == len)
+      val d = Chunker.compressedLen(bytes, 0, len, "deflate")
+      val g = Chunker.compressedLen(bytes, 0, len, "gzip")
+      assert(d > 0 && g > d) // gzip framing (18B) > zlib framing (6B)
+      assert(g <= len + 64 + 18)
+    }
+    intercept[IllegalArgumentException] {
+      Chunker.compressedLen(Array[Byte](1), 0, 1, "bzip2")
+    }
+  }
 }

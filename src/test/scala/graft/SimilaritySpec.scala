@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkSpec {
       "index scan is not partition-pruned")
   }
 
+  test("lshSearch: shuffle-join path equals broadcast path") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def collect(bq: Boolean) = Similarity.lshSearch(e, q, broadcastQueries = bq)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bc = collect(true); val sh = collect(false)
+    assert(bc == sh, s"shuffle path diverged: ${sh.diff(bc).take(5)} / ${bc.diff(sh).take(5)}")
+    assert(bc.nonEmpty)
+  }
+
   test("ferret_emd: top-k per query image, ascending exact EMD") {
     val res = Similarity.ferretEmd(spark, sfDir).cache()
     assert(res.count() > 0)
