@@ -133,9 +133,16 @@ object Similarity {
 
   /** Deterministic k-means centroids: seeded with the IvfCells
     * lowest-id vectors, refined with KMeansIters distributed Lloyd
-    * steps (assign by cosine → per-cell elementwise mean). Each step
-    * is one aggregation job; only K tiny centroid vectors ever reach
-    * the driver — the standard sampled-k-means pattern at any scale. */
+    * steps (assign by cosine → per-cell elementwise mean).
+    *
+    * The mean step is a per-partition accumulate (the classic
+    * treeAggregate k-means pattern): each scan task folds its rows
+    * into K local (sum[dim], count) accumulators, and only
+    * #partitions × K of those partials reach the driver — no shuffle
+    * of corpus rows at any scale (the previous posexplode/groupBy
+    * formulation shuffled corpus × dim rows per iteration). Partials
+    * merge in partition-index order, so the centroids are bit-stable
+    * across runs and partitionings of the same scan order. */
   private def centroidArray(e: DataFrame): Column = {
     var centroids: IndexedSeq[(Long, IndexedSeq[Double])] =
       e.filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
@@ -149,18 +156,43 @@ object Similarity {
     for (_ <- 0 until KMeansIters) {
       val assigned = e.withColumn("cell",
         nearestCells(col("v"), asColumn(centroids), 1).getItem(0))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")))
-        .toDF("cell", "dim", "x")
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+        .select(col("cell"), col("v"))
+      val nCells = IvfCells
+      val partials = assigned.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val sums = new java.util.HashMap[Long, (Array[Double], Long)]()
+        it.foreach { row =>
+          val cell = row.getLong(0)
+          val v = row.getSeq[Float](1)
+          val acc = sums.computeIfAbsent(cell, _ => (new Array[Double](v.length), 0L))
+          var i = 0
+          while (i < v.length) { acc._1(i) += v(i); i += 1 }
+          sums.put(cell, (acc._1, acc._2 + 1))
+        }
+        val out = Vector.newBuilder[(Int, Long, Array[Double], Long)]
+        sums.forEach((cell, sc) => out += ((pid, cell, sc._1, sc._2)))
+        out.result().iterator
+      }.collect() // #partitions × K tiny rows — driver-safe by construction
+      // merge in partition order → deterministic double accumulation
+      val merged = partials.sortBy(p => (p._2, p._1))
+        .foldLeft(Map.empty[Long, (Array[Double], Long)]) {
+          case (m, (_, cell, sum, cnt)) =>
+            m.get(cell) match {
+              case Some((s, c)) =>
+                var i = 0
+                while (i < s.length) { s(i) += sum(i); i += 1 }
+                m.updated(cell, (s, c + cnt))
+              case None => m.updated(cell, (sum.clone(), cnt))
+            }
         }
       // keep a seed centroid for any cell that lost all members
       centroids = centroids.map { case (cell, cv) =>
-        (cell, means.getOrElse(cell, cv))
+        merged.get(cell) match {
+          case Some((s, c)) if c > 0 =>
+            (cell, s.map(_ / c).toIndexedSeq)
+          case _ => (cell, cv)
+        }
       }
+      require(centroids.size == nCells)
     }
     asColumn(centroids)
   }
