@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{ChunkDocument, CompressedLen, CosineSim, DotProduct, EmdDistance, LongSetJaccard, MinHashSig, SimHash64}
+import graft.functions.{ChunkDocument, CompressedLen, CosineSim, DotProduct, EmdDistance, LongSetJaccard, LshBuckets, MinHashSig, SimHash64}
 
 /** SQL-surface registration of the graft native expressions, so
   * `spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")`
@@ -24,6 +24,13 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
     "graft_cosine" -> (args => CosineSim(args(0), args(1))),
@@ -36,6 +43,9 @@ object GraftFunctions {
       else ChunkDocument(args(0), intArg(args(1), "minSize"),
         intArg(args(2), "maxSize"), intArg(args(3), "maskBits"))),
     "graft_emd" -> (args => EmdDistance(args(0), args(1))),
+    "graft_lsh_buckets" -> (args => LshBuckets(args(0),
+      longArg(args(1), "seed"), intArg(args(2), "nTables"),
+      intArg(args(3), "bits"), intArg(args(4), "dim"))),
     "graft_compressed_len" -> (args => CompressedLen(args(0), args(1) match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
       case other => throw new IllegalArgumentException(

@@ -123,6 +123,84 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** All LSH bucket ids of a vector in ONE kernel pass.
+  *
+  * The composed formulation (`lshBucket` per table = bits × dot
+  * Expressions per row) pays per-plane expression overhead 64-72
+  * times per row on the candidate-generation hot path; this kernel
+  * walks the plane matrix once. Bit packing is IDENTICAL to
+  * `VectorFns.lshBucket` over `hyperplanes(nTables*bits, dim, seed)`
+  * slices — same dot accumulation order, same `> 0.0` sign rule, so
+  * bucket ids are bit-for-bit unchanged (differential spec). Planes
+  * regenerate deterministically from (seed, count, dim) on each
+  * executor and cache statically.
+  */
+object LshBucketKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+
+  def planes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((seed, nPlanes, dim),
+      _ => VectorFns.hyperplanes(nPlanes, dim, seed))
+
+  def buckets(v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+              seed: Long, nTables: Int, bits: Int, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ps = planes(seed, nTables * bits, dim)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val p = ps(t * bits + b)
+        val n = math.min(v.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (s > 0.0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class LshBuckets(child: Expression, seed: Long, nTables: Int,
+                      bits: Int, dim: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float|double> column, got ${dt.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucketKernel.buckets(input.asInstanceOf[ArrayData], isFloat,
+      seed, nTables, bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBucketKernel.buckets($c, $isFloat, ${seed}L, $nTables, $bits, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Earth Mover's Distance between two small vector SETS — the
   * reference's `emd` vecset distance used by ferret's t_rank stage
   * (ferret-pthreads.c:870 `cass_reg_lookup(&env->vecset_dist, "emd")`).
@@ -239,4 +317,6 @@ object NativeVector {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def emd(a: Column, b: Column): Column =
     ColumnBridge.column(EmdDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lshBuckets(v: Column, seed: Long, nTables: Int, bits: Int, dim: Int): Column =
+    ColumnBridge.column(LshBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim))
 }

@@ -318,15 +318,17 @@ object Dedup {
   // ---- dedup_embedding: hyperplane-LSH cosine near-dup -----------------
   private val EmbTables = 12
   private val EmbBits = 6
-  private lazy val embPlanes = VectorFns.hyperplanes(EmbTables * EmbBits, 64)
+  private val EmbSeed = 42L // VectorFns.hyperplanes default seed
+  private val EmbDim = 64
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.parallel(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("v"))
+    // one LshBuckets kernel pass yields all 12 table buckets per row
     val buckets = capBuckets(emb.select(col("vec_id"),
-      posexplode(array((0 until EmbTables).map { t =>
-        VectorFns.lshBucket(col("v"), embPlanes.slice(t * EmbBits, (t + 1) * EmbBits).toSeq)
-      }: _*))).toDF("vec_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      posexplode(graft.functions.NativeVector.lshBuckets(
+        col("v"), EmbSeed, EmbTables, EmbBits, EmbDim)))
+      .toDF("vec_id", "tbl", "bucket"), Seq("tbl", "bucket"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -51,22 +51,26 @@ object Similarity {
   // ---- ann_lsh: sketch probe + over-fetch + exact re-rank --------------
   private val LshTables = 16
   private val LshBits = 4
-  private val SketchBits = 128 // two packed 64-bit words
-  // independent plane sets: buckets for candidate gen, sketch for the
-  // cheap phase-1 distance
-  private lazy val bucketPlanes = VectorFns.hyperplanes(LshTables * LshBits, 64, seed = 7L)
-  private lazy val sketchPlanes = VectorFns.hyperplanes(SketchBits, 64, seed = 11L)
+  private val EmbDim = 64
+  // independent plane sets (by seed): buckets for candidate gen,
+  // sketch (2 packed 64-bit words) for the cheap phase-1 distance.
+  // All tables/bits come from ONE LshBuckets kernel pass per row —
+  // bit-identical to the composed per-plane formulation (spec).
+  private val BucketSeed = 7L
+  private val SketchSeed = 11L
 
   private def withBuckets(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("v"),
-      posexplode(array((0 until LshTables).map { t =>
-        VectorFns.lshBucket(col("v"),
-          bucketPlanes.slice(t * LshBits, (t + 1) * LshBits).toSeq)
-      }: _*))).toDF("vec_id", "v", "tbl", "bucket")
+      posexplode(graft.functions.NativeVector.lshBuckets(
+        col("v"), BucketSeed, LshTables, LshBits, EmbDim)))
+      .toDF("vec_id", "v", "tbl", "bucket")
 
   private def withSketch(e: DataFrame): DataFrame =
-    e.withColumn("sketch_lo", VectorFns.lshBucket(col("v"), sketchPlanes.take(64).toSeq))
-      .withColumn("sketch_hi", VectorFns.lshBucket(col("v"), sketchPlanes.drop(64).toSeq))
+    e.withColumn("sk", graft.functions.NativeVector.lshBuckets(
+        col("v"), SketchSeed, 2, 64, EmbDim))
+      .withColumn("sketch_lo", col("sk").getItem(0))
+      .withColumn("sketch_hi", col("sk").getItem(1))
+      .drop("sk")
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)

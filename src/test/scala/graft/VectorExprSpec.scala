@@ -34,6 +34,23 @@ class VectorExprSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("lsh buckets kernel bit-identical to composed per-plane formulation") {
+    import org.apache.spark.sql.functions.{array, posexplode}
+    val nTables = 12; val bits = 6; val dim = 64; val seed = 42L
+    val planes = VectorFns.hyperplanes(nTables * bits, dim, seed)
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val composed = emb.select(col("vec_id"),
+        posexplode(array((0 until nTables).map { t =>
+          VectorFns.lshBucket(col("v"), planes.slice(t * bits, (t + 1) * bits).toSeq)
+        }: _*))).toDF("vec_id", "tbl", "bucket")
+    val kernel = emb.select(col("vec_id"),
+        posexplode(graft.functions.NativeVector.lshBuckets(col("v"), seed, nTables, bits, dim)))
+      .toDF("vec_id", "tbl", "bucket")
+    assert(composed.except(kernel).count() == 0 && kernel.except(composed).count() == 0)
+    assert(kernel.count() == 200L * nTables)
+  }
+
   // independent reference EMD: exhaustive permutations, plain Scala
   private def refEmd(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
     def l2(x: Array[Double], y: Array[Double]): Double =
