@@ -168,9 +168,8 @@ object Dedup {
     * raw text stays partition-local at the scan (grouping on
     * first(text) would shuffle the corpus body). min_by's partial
     * aggregation keeps one (doc_id, hset) per digest per map task. */
-  private def hashSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"),
+  private[graft] def hashSetsOf(d: DataFrame, parallelism: Int): DataFrame =
+    d.select(col("doc_id"),
         sha2(col("text").cast("binary"), 256).as("content_sha"),
         TextFns.hashedTokenSet(col("text")).as("hset"))
       .groupBy("content_sha")
@@ -179,8 +178,11 @@ object Dedup {
       // AQE coalesces the small agg output to one partition, which
       // would serialize the entire downstream banding/verify fan-out —
       // spread the representatives back across the cluster first
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(parallelism)
       .select("doc_id", "hset")
+
+  private def hashSets(s: SparkSession, dir: String): DataFrame =
+    hashSetsOf(docs(s, dir), s.sparkContext.defaultParallelism)
 
   /** A degenerate bucket with k members yields k² candidate pairs —
     * at corpus scale one hot band (boilerplate docs, empty strings)
@@ -238,12 +240,9 @@ object Dedup {
       NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
   }
 
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // hs feeds three consumers (signatures + both verify sides); a
-    // lazy local checkpoint materializes the rep-selection + tokenize
-    // + hash work once instead of three times and hands Spark exact
-    // size stats for the downstream broadcast decisions
-    val hs = hashSets(s, dir).localCheckpoint(true)
+  /** Banding + exact verify over a (doc_id, hset) representative
+    * table — the minhash core, injectable for the layering spec. */
+  private[graft] def minhashPairs(hs: DataFrame): DataFrame = {
     val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
     val bands = capBuckets(sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -259,6 +258,13 @@ object Dedup {
     // shuffle-join it onto the pairs once it scales with the corpus.
     verifyJaccard(cand, hs).withColumn("is_dup", col("jaccard") >= 0.7)
   }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    // hs feeds three consumers (signatures + both verify sides); a
+    // lazy local checkpoint materializes the rep-selection + tokenize
+    // + hash work once instead of three times and hands Spark exact
+    // size stats for the downstream broadcast decisions
+    minhashPairs(hashSets(s, dir).localCheckpoint(true))
 
   // ---- dedup_simhash: 64-bit SimHash + 4×16-bit band candidates --------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {

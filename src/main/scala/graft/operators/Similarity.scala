@@ -253,7 +253,10 @@ object Similarity {
     * directories via partition pruning — the corpus is never scanned
     * at query time. The probe-cell set is bounded by
     * NQueries × NProbe (collected to drive `isin` pruning — tiny by
-    * construction). Output is identical to the in-memory ann_ivf. */
+    * construction). Output is identical to the in-memory ann_ivf.
+    * (The query entry rebuilds the index each run to stay
+    * self-contained; a production deployment builds once and probes
+    * many times — only the probe cost recurs.) */
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val centroids = centroidArray(e)

@@ -110,7 +110,10 @@ object StreamingPipelines {
   // ---- stream-static enrichment ----------------------------------------
   /** Enrich an event stream with the static customer dimension — the
     * standard stream-static broadcast join (no state, no watermark
-    * needed on the static side). */
+    * needed on the static side). The hint assumes a BOUNDED dimension
+    * (a curated enrichment table); for a dimension that scales with
+    * the corpus, drop the hint and let statistics choose — the
+    * stream-static join works shuffled too. */
   def enrichStream(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(
       org.apache.spark.sql.functions.broadcast(

@@ -111,6 +111,27 @@ class DedupSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("near-dup output invariant under corpus duplication (rep layering)") {
+    // every doc copied d x with fresh higher ids: the representative
+    // layer (exact-dedup-before-near-dup) must make the near-dup pair
+    // set IDENTICAL to the pristine corpus — no d^2 re-finds
+    import org.apache.spark.sql.functions.lit
+    val d = 10
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val dup = (0 until d).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    val par = spark.sparkContext.defaultParallelism
+    def pairs(docs: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairs(Dedup.hashSetsOf(docs, par).localCheckpoint(true))
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pristine = pairs(base)
+    val duplicated = pairs(dup)
+    assert(duplicated == pristine,
+      s"duplication changed near-dup output: +${duplicated.diff(pristine).size} -${pristine.diff(duplicated).size}")
+  }
+
   test("verifyJaccard: shuffle path (cap=0) matches broadcast path") {
     import graft.functions.TextFns
     val g = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
