@@ -40,17 +40,22 @@ class HashKernelPropertySpec extends AnyFunSuite {
   }
 
   test("simhash matches bit-vote reference") {
+    def reference(a: Array[Long]): Long = {
+      var out = 0L
+      for (b <- 0 until 64) {
+        val votes = a.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) out |= (1L << b)
+      }
+      out
+    }
     for (_ <- 0 until 100) {
       val a = randomSet()
-      val expected = {
-        var out = 0L
-        for (b <- 0 until 64) {
-          val votes = a.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
-          if (votes > 0) out |= (1L << b)
-        }
-        out
-      }
-      assert(HashKernels.simhash(new GenericArrayData(a)) == expected)
+      assert(HashKernels.simhash(new GenericArrayData(a)) == reference(a))
+    }
+    // sizes straddling the SWAR lane-flush cadence (255-token lanes)
+    for (n <- Seq(254, 255, 256, 510, 511, 1000)) {
+      val a = Array.fill(n)(rng.nextLong())
+      assert(HashKernels.simhash(new GenericArrayData(a)) == reference(a), s"n=$n")
     }
   }
 
