@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.SkewFns
+
+/** Analytic-core extensions (SURVEY.md §2.A): sliding-frame windows
+  * with lag/lead, cube/grouping-sets, ordered string aggregation,
+  * per-group top-k, set operations, post-aggregation filters,
+  * partitioned ntile, and an oracled salted aggregation.
+  *
+  * All eight are DuckDB-oracled. Decimal-exact sum rules from
+  * SURVEY.md §5 apply to every aggregated double.
+  *
+  * Scale posture: every window here is PARTITIONED (by customer /
+  * nation / event user) — no global single-partition window exists in
+  * this file; the per-group top-k filter compiles to Spark's
+  * WindowGroupLimit so each partition keeps only k rows before the
+  * final sort; the salted aggregation is the two-level (partial →
+  * merge) pattern that survives a hot key at 100 TB.
+  */
+object AnalyticsExtras {
+
+  private def decP(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast(DecimalType(12, 4))
+  private def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("double")
+
+  // ---- q_moving_avg: lag/lead + 3-row sliding average ------------------
+  /** Per-customer order history: previous/next order price and the
+    * 3-order trailing moving average. One shuffle on o_custkey; the
+    * frame is ROWS-bounded so state per key is O(frame). */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      (dbl(sum(decP(col("o_totalprice"))).over(w3)) /
+        dbl(count(lit(1)).over(w3))).as("ma3"))
+  }
+
+  val qMovingAvgSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w3 AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w3 AS DOUBLE) AS ma3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- q_cube: full cube with grouping_id ------------------------------
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * pass (Spark expands to a union of partial aggs over one shuffle).
+    * grouping_id disambiguates a real 'ALL' value from a subtotal. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        dbl(sum(decP(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n_rows"))
+
+  val qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- q_string_agg: ordered distinct string aggregation ---------------
+  /** Per nation: distinct market segments present, as one ordered
+    * comma-joined string. collect_set shuffles only distinct
+    * (nationkey, segment) pairs after partial dedup; the sort is
+    * per-group over ≤5 elements. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+
+  val qStringAggSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer GROUP BY c_nationkey""".stripMargin
+
+  // ---- q_group_topk: top-2 orders per customer -------------------------
+  /** row_number ≤ k filtered right after the window: Spark plans a
+    * WindowGroupLimit, so each shuffle partition retains only k rows
+    * per key before the full window evaluation — the scalable form of
+    * per-group top-k (vs. a global sort or per-group collect). */
+  def qGroupTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+  }
+
+  val qGroupTopKSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 2""".stripMargin
+
+  // ---- q_setops: INTERSECT / EXCEPT ------------------------------------
+  /** Customers ordering in both 1996 and 1997, minus any customer with
+    * a finished ('F') order: (A ∩ B) \ C. Each leg is a pushdown scan;
+    * the set ops are hash aggregations on the key. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def keysIn(from: String, until: String): DataFrame =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_custkey").as("custkey"))
+    val withF = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    keysIn("1996-01-01", "1997-01-01")
+      .intersect(keysIn("1997-01-01", "1998-01-01"))
+      .except(withF)
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  // ---- q_having: post-aggregation group filter -------------------------
+  /** Nations×segments whose customers hold above-threshold total
+    * balance — the HAVING clause; the filter applies after the final
+    * agg merge, partial aggregation still map-side. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        dbl(sum(decP(col("c_acctbal")))).as("sum_bal"))
+      .filter(col("n_customers") >= 3 && col("sum_bal") > 0.0)
+
+  val qHavingSql: String =
+    """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |HAVING COUNT(*) >= 3
+      |  AND CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) > 0.0""".stripMargin
+
+  // ---- q_ntile: partitioned decile assignment --------------------------
+  /** Balance deciles within each nation. Partitioned by nation so the
+    * sort is per-partition — no global single-partition window; the
+    * (c_acctbal, c_custkey) order is total, so tiles are
+    * deterministic. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"))
+  }
+
+  val qNtileSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  ntile(10) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal, c_custkey) AS decile
+      |FROM customer""".stripMargin
+
+  // ---- q_skew_salted: two-level salted aggregation, oracled ------------
+  /** Per-user event counts via SkewFns.saltedCount (partial agg on
+    * (key, salt), merge per key). The oracle is the PLAIN GROUP BY —
+    * an independent engine confirming the salted two-level plan is
+    * semantics-preserving. */
+  def qSkewSalted(s: SparkSession, dir: String): DataFrame =
+    SkewFns.saltedCount(Tables.events(s, dir), "user_id", col("event_id"), 8)
+
+  val qSkewSaltedSql: String =
+    "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_cube" -> (qCube _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_group_topk" -> (qGroupTopK _),
+    "q_setops" -> (qSetOps _),
+    "q_having" -> (qHaving _),
+    "q_ntile" -> (qNtile _),
+    "q_skew_salted" -> (qSkewSalted _))
+
+  val oracle: Map[String, String] = Map(
+    "q_moving_avg" -> qMovingAvgSql,
+    "q_cube" -> qCubeSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_group_topk" -> qGroupTopKSql,
+    "q_setops" -> qSetOpsSql,
+    "q_having" -> qHavingSql,
+    "q_ntile" -> qNtileSql,
+    "q_skew_salted" -> qSkewSaltedSql)
+}
