@@ -95,6 +95,46 @@ object StreamingPipelines {
       }
   }
 
+  // ---- ordered emission (the reference Reorder stage, streaming) -------
+  case class Item(key: Long, seq: Long, payload: String)
+  case class ReorderState(next: Long, buf: Map[Long, String], updates: Long)
+  case class OrderedOut(key: Long, seq: Long, payload: String, batch_emitted: Long)
+
+  /** BenSP's ordered output mode (encoder_spar_ord.cpp; Reorder,
+    * encoder.c:1345): items carry a sequence number, parallel stages
+    * may complete them out of order, and the output stage buffers
+    * until it can emit the contiguous prefix in sequence order.
+    *
+    * Spark-first form: ordered emission PER KEY (the reference's
+    * single global sequence is the key=constant special case — and,
+    * exactly like the reference's single Reorder thread, inherently
+    * serial; real pipelines shard the order guarantee by key the way
+    * a partitioned log does). State per key is the next expected seq
+    * plus the out-of-order buffer; the buffer holds only the items
+    * ahead of the contiguous frontier, so its size is bounded by the
+    * pipeline's reordering window, not the stream length.
+    * `batch_emitted` counts state updates per key, letting tests
+    * assert HOW items were released, not just their final order. */
+  def orderedEmit(items: Dataset[Item]): Dataset[OrderedOut] = {
+    import items.sparkSession.implicits._
+    items.groupByKey(_.key)
+      .flatMapGroupsWithState[ReorderState, OrderedOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[Item], state: GroupState[ReorderState]) =>
+          val s0 = state.getOption.getOrElse(ReorderState(0L, Map.empty, 0L))
+          var buf = s0.buf ++ it.map(i => i.seq -> i.payload)
+          var next = s0.next
+          val out = Vector.newBuilder[OrderedOut]
+          while (buf.contains(next)) {
+            out += OrderedOut(key, next, buf(next), s0.updates)
+            buf -= next
+            next += 1
+          }
+          state.update(ReorderState(next, buf, s0.updates + 1))
+          out.result().iterator
+      }
+  }
+
   // ---- stream-stream interval join -------------------------------------
   /** Watermarked stream-stream join: view→purchase attribution within
     * 30 minutes per user. Both sides carry watermarks so the join
