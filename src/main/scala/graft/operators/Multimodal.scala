@@ -55,8 +55,14 @@ object Multimodal {
 
   /** Deterministic stand-in for a real decoder: "frames" are 128-byte
     * windows of the payload; the 16-dim feature vector comes from the
-    * payload digest. A real deployment swaps `decodeStub` for an
-    * image/audio codec — the partition-batched plumbing is unchanged. */
+    * payload digest (one byte per dim, scaled to [0,1]). A real
+    * deployment swaps `decodeStub` for an image/audio codec — the
+    * partition-batched plumbing is unchanged.
+    *
+    * The emitted digests are over the QUANTIZED feature bytes (the
+    * digest prefix itself), so every output column is independently
+    * recomputable by the DuckDB oracle — this row carries a full
+    * cross-engine check, not a rows-only one. */
   private def decodeStub(docId: Long, payload: Array[Byte]): MMFeature = {
     val nFrames = payload.length / 128 + 1
     // uniform frame sampling, at most 4 frames
@@ -64,16 +70,16 @@ object Multimodal {
     val sampled = (0 until nFrames by step).take(4)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val digest = md.digest(payload)
-    val features = digest.take(16).map(b => (b & 0xff) / 255.0f)
-    val featBytes = features.flatMap { f =>
-      val bits = java.lang.Float.floatToIntBits(f)
-      Array((bits >>> 24).toByte, (bits >>> 16).toByte,
-        (bits >>> 8).toByte, bits.toByte)
-    }
+    val quantized = digest.take(16)
+    // the in-pipeline feature vector a downstream consumer would read
+    val features = quantized.map(b => (b & 0xff) / 255.0f)
+    require(features.length == 16)
+    // fingerprint of the hex form (the oracle's sha256 is VARCHAR-only)
+    val hexPrefix = quantized.map("%02x".format(_)).mkString
     val featSha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(featBytes).map("%02x".format(_)).mkString
-    // exact rational sum (k/255 each) rounded once → stable double
-    val featSum = features.map(f => math.round(f * 255.0f).toLong).sum / 255.0
+      .digest(hexPrefix.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // exact rational sum (k/255 each) → one final double rounding
+    val featSum = quantized.map(_ & 0xff).map(_.toLong).sum / 255.0
     MMFeature(docId, payload.length, nFrames, sampled.mkString(","),
       featSha, featSum)
   }
@@ -93,6 +99,28 @@ object Multimodal {
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _))
 
+  /** Every mm_features column recomputed independently by DuckDB:
+    * frame geometry from octet_length, the feature digest as
+    * sha256(first 16 digest bytes), and feat_sum by parsing the hex
+    * digest — a cross-engine proof of the full decode-stub contract. */
+  val mmFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    sha256(text) AS h
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, n_bytes, CAST(n_bytes // 128 + 1 AS INT) AS n_frames, h FROM m
+      |)
+      |SELECT doc_id, n_bytes, n_frames,
+      |  array_to_string(list_slice(range(0, n_frames, greatest(1, n_frames // 4)), 1, 4), ',') AS sampled_frames,
+      |  sha256(substr(h, 1, 32)) AS features_sha,
+      |  CAST(list_sum(list_transform(range(0, 16), i ->
+      |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS DOUBLE) / 255.0 AS feat_sum
+      |FROM f""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "mm_meta" -> mmMetaSql)
+    "mm_meta" -> mmMetaSql,
+    "mm_features" -> mmFeaturesSql)
 }
