@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer: `runMain graft.TimeQuery <sfDir> <name> [reps]`
+  * runs one SparkEntry query `reps` times in a warm JVM and prints
+  * each pass's wall time — for isolating a query's cost from the
+  * full-suite bench (JVM/GC interleaving makes Bench's per-query
+  * numbers noisy across runs; this pins one query at a time). */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-timequery")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val q = SparkEntry.queries(name)
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = q(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"pass $i: $sec%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -118,31 +118,11 @@ object TextAnalysis {
       |FROM s""".stripMargin
   }
 
-  /** Marker words per language for the single-pass token formulation.
-    * Counting tokens equal to a marker is count-identical to the
-    * oracle's `\b(marker|…)\b` regex: both Java regex (default) and
-    * DuckDB's RE2 define \b over ASCII word chars [A-Za-z0-9_], and
-    * the token extraction below yields exactly the maximal runs of
-    * that class — a run equals a marker iff the regex matches there.
-    */
-  private val MarkerSets: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "was", "for"),
-    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
-    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "que", "por", "para"))
-
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    // ONE regex pass: ASCII word-char runs, plus each CJK char as its
-    // own token. Per-language scores are then cheap array counts; the
-    // CJK test is a plain string compare (every '[a-z0-9_]+' token
-    // sorts below U+4E00).
-    val toks = regexp_extract_all(lower(col("text")),
-      lit("[a-z0-9_]+|[\\x{4e00}-\\x{9fff}]"), lit(0))
-    val scores = MarkerSets.map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+    val scores = LangMarkers.map { case (lang, re) =>
+      struct(regexp_count(lower(col("text")), lit(re)).as("score"),
         lit(lang).as("lang"))
-    } :+ struct(size(filter(toks, t => t >= "一")).as("score"),
-      lit("zh").as("lang"))
+    }
     // deterministic argmax: max score, ties broken by marker order via
     // greatest on (score, reverse-priority) structs
     val best = scores.zipWithIndex.map { case (sc, i) =>
