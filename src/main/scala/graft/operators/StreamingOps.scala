@@ -28,33 +28,32 @@ object StreamingOps {
       |  COUNT(*) AS n_dupes
       |FROM events GROUP BY user_id, event_type""".stripMargin
 
-  // ---- stream_rate_bench: MemoryStream throughput measurement ----------
-  /** Local measurement HARNESS, not a scale-path operator: MemoryStream
-    * can only be fed from the driver, so the events table is collected
-    * once (bounded by the bench SF — never run at production scale).
-    * Production streams read from a distributed source (files/Kafka)
-    * through the very same pipeline transforms, with no collect. */
+  // ---- stream_rate_bench: distributed-feed throughput measurement ------
+  /** Throughput harness on the SCALE path: the event feed is written
+    * as time-range parquet slices by a Spark job and replayed through
+    * a file-source stream — no event ever passes through the driver
+    * (the knob sweep below keeps MemoryStream for exact batch-size
+    * control; this flagship measurement does not). */
   def streamRateBench(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, dir)
+    val events = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-      .as[Ev].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
-    val batchSize = math.max(2000, evs.size / 10)
-    val results = Seq(
-      StreamingPipelines.throughputBench(s, evs, batchSize, "window_agg",
-        StreamingPipelines.windowAgg),
-      StreamingPipelines.throughputBench(s, evs, batchSize, "dedup",
-        StreamingPipelines.dedupStream),
-      // stateful per-key sessionization — the reference's core
-      // stream-parallelism characteristic (keyed state + event time)
-      StreamingPipelines.throughputBench(s, evs, batchSize, "sessionize",
-        df => {
-          import s.implicits._
-          StreamingPipelines.sessionize(df.as[Ev]).toDF()
-        }, org.apache.spark.sql.streaming.OutputMode.Append()))
-    s.createDataFrame(results)
+    val feed = StreamingPipelines.prepareFeed(s, events, nSlices = 10)
+    try {
+      val results = Seq(
+        StreamingPipelines.fileThroughputBench(s, feed, "window_agg",
+          StreamingPipelines.windowAgg),
+        StreamingPipelines.fileThroughputBench(s, feed, "dedup",
+          StreamingPipelines.dedupStream,
+          org.apache.spark.sql.streaming.OutputMode.Append()),
+        // stateful per-key sessionization — the reference's core
+        // stream-parallelism characteristic (keyed state + event time)
+        StreamingPipelines.fileThroughputBench(s, feed, "sessionize",
+          df => StreamingPipelines.sessionize(df.as[Ev]).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Append()))
+      s.createDataFrame(results)
+    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed))
   }
 
   // ---- stream_param_sweep: knob-grid sweep (testbed t1..t9 analog) -----

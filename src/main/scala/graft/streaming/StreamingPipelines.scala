@@ -86,9 +86,18 @@ object StreamingPipelines {
             }
             cur.foreach { s =>
               state.update(s)
-              // a tombstone is pure counter state — it never times out
-              if (s.nEvents > 0)
-                state.setTimeoutTimestamp(s.endUs / 1000L + SessionGapUs / 1000L)
+              // a tombstone is pure counter state — it never times out.
+              // The timeout is clamped above the current watermark:
+              // flatMapGroupsWithState hands LATE batches to the user
+              // function rather than filtering them, and a timeout at
+              // or below the watermark is an error — the clamp closes
+              // such a session at the next watermark advance instead
+              // of crashing the query.
+              if (s.nEvents > 0) {
+                val want = s.endUs / 1000L + SessionGapUs / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(want, state.getCurrentWatermarkMs() + 1L))
+              }
             }
             out.result().iterator
           }
@@ -194,9 +203,86 @@ object StreamingPipelines {
       s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
     }
 
+  /** Drive a pipeline from a DISTRIBUTED file source and measure
+    * end-to-end throughput — the reference's items/s metric
+    * (bin/parsec_stream logs) with no driver-side event collection:
+    * the feed is written as `nSlices` time-range parquet slices by a
+    * Spark job, and the stream replays them one slice per micro-batch
+    * (maxFilesPerTrigger=1; range slices land as lexicographically
+    * ordered part files, so replay follows event time). This is the
+    * scale path — the events never pass through the driver. */
+  /** Materialize the replay feed: `nSlices` time-range parquet slices
+    * written by one Spark job (no event touches the driver), restamped
+    * with strictly increasing mtimes — the parallel write stamps every
+    * slice identically, the file source replays in mtime order, and a
+    * live stream's file drops are mtime-ordered anyway. Returns the
+    * feed path; one feed serves any number of measured pipelines. */
+  def prepareFeed(s: SparkSession, events: DataFrame, nSlices: Int): String = {
+    val feedDir = s"${System.getProperty("java.io.tmpdir")}/graft_feed_${System.nanoTime()}"
+    events.repartitionByRange(nSlices, col("ts"), col("event_id"))
+      .sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(feedDir)
+    val parts = Option(new java.io.File(feedDir).listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 2000L): Unit
+    }
+    feedDir
+  }
+
+  def fileThroughputBench(s: SparkSession, feedDir: String,
+                          name: String, pipeline: DataFrame => DataFrame,
+                          mode: OutputMode = OutputMode.Update()): BenchResult = {
+    val rowsIn = s.read.parquet(feedDir).count()
+    val nSlices = Option(new java.io.File(feedDir).listFiles).getOrElse(Array.empty)
+      .count(_.getName.startsWith("part-"))
+    val schema = s.read.parquet(feedDir).schema
+    val sinkName = s"fbench_${name}_${System.nanoTime()}"
+    // state partitions sized to micro-batch volume (≈2k rows per
+    // partition per batch, floor 4): every state partition pays a
+    // store commit per batch, so partitions far in excess of the
+    // batch size measure commit overhead instead of the pipeline. A
+    // query pins its state layout at first start (the setting is
+    // per-query, restored after start) — on a real cluster this is
+    // the state-partition count you'd size to the trigger volume.
+    val stateParts = math.max(4, math.min(
+      s.sessionState.conf.numShufflePartitions,
+      (rowsIn / math.max(1, nSlices) / 2000L).toInt))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val t0 = System.nanoTime()
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      pipeline(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feedDir))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.processAllAvailable()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val rowsOut = s.table(sinkName).count()
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val batchMs = progress.map(_.batchDuration.toDouble)
+    def phaseMs(key: String): Seq[Double] = progress.map { p =>
+      Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
+    }
+    q.stop()
+    BenchResult(name, rowsIn, rowsOut, progress.size.toLong, elapsed,
+      rowsIn / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
+      pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5))
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Drive a pipeline with MemoryStream micro-batches of `batchSize`
     * events and measure end-to-end throughput — the reference's
-    * items/s metric (bin/parsec_stream logs). */
+    * items/s metric (bin/parsec_stream logs). MemoryStream feeds from
+    * the driver by construction; [[fileThroughputBench]] is the
+    * distributed-feed variant, this one exists for exact batch-size
+    * control in the knob sweep. */
   def throughputBench(s: SparkSession, events: Seq[Ev], batchSize: Int,
                       name: String, pipeline: DataFrame => DataFrame,
                       mode: OutputMode = OutputMode.Update()): BenchResult = {
