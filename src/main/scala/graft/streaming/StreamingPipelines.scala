@@ -290,9 +290,18 @@ object StreamingPipelines {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
     val sinkName = s"bench_${name}_${System.nanoTime()}"
-    val q = pipeline(source.toDF())
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(mode).start()
+    // state partitions sized to the trigger volume, as in
+    // fileThroughputBench — excess partitions measure per-batch store
+    // commits, not the pipeline (setting is per-query, restored)
+    val stateParts = math.max(4, math.min(
+      s.sessionState.conf.numShufflePartitions, batchSize / 2000))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+      pipeline(source.toDF())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val t0 = System.nanoTime()
     var batches = 0L
     events.grouped(batchSize).foreach { b =>
