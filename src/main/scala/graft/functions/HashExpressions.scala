@@ -22,17 +22,21 @@ object HashKernels {
   def minhashSig(hs: ArrayData, nPerms: Int): ArrayData = {
     val n = hs.numElements()
     val out = new Array[Long](nPerms)
-    var p = 0
-    while (p < nPerms) {
-      var best = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val v = XXH64.hashLong(hs.getLong(i), p.toLong)
-        if (v < best) best = v
-        i += 1
+    if (n == 0) return new GenericArrayData(out)
+    // one primitive copy (the ArrayData accessor costs more than the
+    // hash at 128 reads/element), token-outer loop with running minima
+    val xs = hs.toLongArray()
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs(i)
+      var p = 0
+      while (p < nPerms) {
+        val v = XXH64.hashLong(h, p.toLong)
+        if (v < out(p)) out(p) = v
+        p += 1
       }
-      out(p) = if (n == 0) 0L else best
-      p += 1
+      i += 1
     }
     new GenericArrayData(out)
   }
