@@ -51,6 +51,12 @@ object Bench {
     val singlePass = Set("stream_rate_bench", "stream_param_sweep")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // localCheckpoint blocks from earlier queries stay in the
+      // BlockManager until a driver GC lets the ContextCleaner reap
+      // them — collect them NOW so they don't tax later queries'
+      // measured passes (isolated runs measured 6× lower for small
+      // queries scheduled after checkpoint-heavy ones)
+      System.gc()
       once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes
       val runs = (1 to nPasses).map(_ => once(fn, sfDir))
