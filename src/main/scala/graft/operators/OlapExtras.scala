@@ -95,6 +95,12 @@ object OlapExtras {
       |GROUP BY event_type""".stripMargin
 
   // ---- q_percentile: exact quantiles per group -------------------------
+  /** EXACT quantiles buffer every group's values on its reducer — the
+    * right tool while groups fit an executor (here: 3 bounded flag
+    * groups). For high-cardinality or corpus-sized groups at 100 TB
+    * the serving path is `approx_percentile` (bounded-memory
+    * mergeable sketch, same shape as q_approx_distinct's HLL) — the
+    * exact form stays as the oracle-checkable reference. */
   def qPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
