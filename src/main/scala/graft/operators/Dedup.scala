@@ -50,8 +50,10 @@ object Dedup {
     chunkTable(s, dir)
 
   // ---- dedup_chunk_stats: Deduplicate-stage accounting -----------------
-  def dedupChunkStats(s: SparkSession, dir: String): DataFrame = {
-    val ch = chunkTable(s, dir)
+  def dedupChunkStats(s: SparkSession, dir: String): DataFrame =
+    chunkStatsOf(chunkTable(s, dir))
+
+  private def chunkStatsOf(ch: DataFrame): DataFrame = {
     // bytes of each distinct chunk counted once (first-writer-wins)
     val perSha = ch.groupBy("chunk_sha")
       .agg(first(col("length")).as("length"), count(lit(1)).as("refs"))
@@ -69,6 +71,23 @@ object Dedup {
         .as("dedup_ratio"),
       (col("total_bytes").cast("double") / col("n_chunks").cast("double"))
         .as("mean_chunk_len"))
+  }
+
+  // ---- dedup_chunk_sweep: chunk-granularity knob sweep -----------------
+  /** The reference's chunk-size parameterization (encoder.c cmdline;
+    * §1 "Parameterizable: chunk size"): the same Deduplicate
+    * accounting swept across three chunker granularities — finer
+    * chunks find more duplication at more per-chunk overhead. One
+    * chunking pass per granularity; all passes embarrassingly
+    * parallel. */
+  def dedupChunkSweep(s: SparkSession, dir: String): DataFrame = {
+    val grid = Seq((16, 128, 5), (32, 256, 6), (64, 512, 7))
+    grid.map { case (mn, mx, mb) =>
+      chunkStatsOf(docs(s, dir)
+          .select(col("doc_id"), NativeChunk.chunks(col("text"), mn, mx, mb)))
+        .select(lit(mn).as("min_size"), lit(mx).as("max_size"),
+          lit(mb).as("mask_bits"), col("*"))
+    }.reduce(_.unionAll(_))
   }
 
   // ---- chunk_compress: Compress stage over unique chunks ---------------
@@ -354,6 +373,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
+    "dedup_chunk_sweep" -> (dedupChunkSweep _),
     "dedup_chunk_check" -> (dedupChunkCheck _),
     "dedup_restore" -> (dedupRestore _),
     "chunk_compress" -> (chunkCompress _),

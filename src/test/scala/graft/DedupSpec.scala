@@ -146,4 +146,19 @@ class DedupSpec extends SparkSpec {
     assert(bc.except(sh).count() == 0 && sh.except(bc).count() == 0)
     assert(sh.count() > 0)
   }
+
+  test("dedup_chunk_sweep: finer granularity yields more, smaller chunks") {
+    val rows = Dedup.dedupChunkSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("mask_bits"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      val mean = r.getAs[Double]("mean_chunk_len")
+      assert(mean >= 1.0 && mean <= r.getAs[Int]("max_size").toDouble)
+    }
+    val byBits = rows.map(r => r.getAs[Long]("n_chunks"))
+    assert(byBits(0) >= byBits(1) && byBits(1) >= byBits(2),
+      s"chunk counts not monotone in granularity: ${byBits.toSeq}")
+  }
 }
