@@ -88,7 +88,8 @@ object Similarity {
     * the only plan that exists at 100 TB. The output is identical
     * either way (join strategy never changes semantics). */
   private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame,
-                               broadcastQueries: Boolean = true): DataFrame = {
+                               broadcastQueries: Boolean = true,
+                               overFetch: Int = OverFetch): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val e = withSketch(e0)
     val buckets = withBuckets(e.select("vec_id", "v"))
@@ -116,7 +117,7 @@ object Similarity {
         bit_count(col("sketch_lo").bitwiseXOR(col("qsketch_lo"))) +
           bit_count(col("sketch_hi").bitwiseXOR(col("qsketch_hi"))))
       .withColumn("phase1_rank", row_number().over(wSketch))
-      .filter(col("phase1_rank") <= OverFetch)
+      .filter(col("phase1_rank") <= overFetch)
     // phase 2: exact cosine re-rank to top-k (ferret t_rank)
     val wCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
@@ -362,6 +363,32 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_depth_sweep: the reference's ranking-depth knob -------------
+  case class DepthRow(over_fetch: Int, n_queries: Long, mean_recall: Double)
+
+  /** Recall@k as a function of the phase-1 over-fetch depth — ferret's
+    * precision/depth parameter (the reference fixes depth = 2·topK,
+    * ferret-pthreads.c:590; the cmdline exposes it). Recall is
+    * provably monotone in depth here: a deeper phase-1 keep is a
+    * SUPERSET of a shallower one (same sketch ordering), and a true
+    * top-K member can be displaced from the exact re-rank only by
+    * higher-cosine items, of which there are at most K-1 — the spec
+    * asserts the monotonicity. */
+  def annDepthSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    val exact = annBruteforce(s, dir).select("query_id", "vec_id")
+      .localCheckpoint(true)
+    val nq = q.count()
+    val rows = Seq(TopK, 2 * TopK, 4 * TopK).map { depth =>
+      val approx = lshSearch(e, q, overFetch = depth).select("query_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      DepthRow(depth, nq, hits.toDouble / (nq * TopK).toDouble)
+    }
+    s.createDataset(rows).toDF()
+  }
+
   // ---- ann_recall: quality gate of the approximate paths ---------------
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = annBruteforce(s, dir).select("query_id", "vec_id")
@@ -380,6 +407,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
+    "ann_depth_sweep" -> (annDepthSweep _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _))

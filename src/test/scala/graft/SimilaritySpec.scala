@@ -89,4 +89,18 @@ class SimilaritySpec extends SparkSpec {
     assert(meanLsh > 0.0, s"LSH recall is zero — candidate path broken")
     res.unpersist()
   }
+
+  test("ann_depth_sweep: recall is monotone in over-fetch depth") {
+    val rows = Similarity.annDepthSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("over_fetch"))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("mean_recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("mean_recall") >= a.getAs[Double]("mean_recall"),
+        s"recall fell as depth grew: ${rows.map(_.toString).mkString(", ")}")
+    }
+  }
 }
