@@ -307,6 +307,120 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_pq: IVF-PQ — product-quantized candidate scoring ------------
+  private val PqM = 8  // subspaces → 8-byte codes (32× vs float32[64])
+  private val PqK = 16 // centroids per subspace (4-bit codes, byte-stored)
+  // ADC reads 8 B/candidate, so PQ affords a much deeper phase-1 keep
+  // than the full-vector paths — that depth is what buys recall back
+  // from quantization noise (the standard IVF-PQ tradeoff)
+  private val PqOverFetch = 8 * TopK
+
+  /** Flat [m][k][subDim] PQ codebook: per-subspace Lloyd iterations
+    * seeded from the PqK lowest-id vectors, refined with the same
+    * deterministic per-partition-accumulate pattern as the IVF
+    * centroids — all M subspaces train in ONE pass per iteration, and
+    * only #partitions × M × K tiny partials reach the driver. */
+  private def pqCodebook(e: DataFrame): Array[Double] = {
+    val sub = EmbDim / PqM
+    var cb: Array[Double] = {
+      val seeds = e.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val a = new Array[Double](PqM * PqK * sub)
+      for (m <- 0 until PqM; c <- 0 until PqK; j <- 0 until sub)
+        a((m * PqK + c) * sub + j) = seeds(c)(m * sub + j)
+      a
+    }
+    for (_ <- 0 until KMeansIters) {
+      val bc = cb
+      val partials = e.select("v").rdd.mapPartitionsWithIndex { (pid, it) =>
+        val sums = Array.fill(PqM * PqK)(new Array[Double](sub))
+        val counts = new Array[Long](PqM * PqK)
+        it.foreach { row =>
+          val v = row.getSeq[Float](0)
+          var m = 0
+          while (m < PqM) {
+            var bestC = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < PqK) {
+              val base = (m * PqK + c) * sub
+              var d = 0.0; var j = 0
+              while (j < sub) {
+                val diff = v(m * sub + j) - bc(base + j); d += diff * diff; j += 1
+              }
+              if (d < bestD) { bestD = d; bestC = c }
+              c += 1
+            }
+            val cell = m * PqK + bestC
+            val sArr = sums(cell); var j = 0
+            while (j < sub) { sArr(j) += v(m * sub + j); j += 1 }
+            counts(cell) += 1
+            m += 1
+          }
+        }
+        Iterator.single((pid, sums, counts))
+      }.collect() // #partitions × M × K small rows — driver-safe
+      val mSums = Array.fill(PqM * PqK)(new Array[Double](sub))
+      val mCounts = new Array[Long](PqM * PqK)
+      partials.sortBy(_._1).foreach { case (_, sArr, nArr) =>
+        var cell = 0
+        while (cell < PqM * PqK) {
+          var j = 0
+          while (j < sub) { mSums(cell)(j) += sArr(cell)(j); j += 1 }
+          mCounts(cell) += nArr(cell)
+          cell += 1
+        }
+      }
+      val next = cb.clone() // empty cells keep their seed centroid
+      for (m <- 0 until PqM; c <- 0 until PqK; if mCounts(m * PqK + c) > 0) {
+        val cell = m * PqK + c
+        var j = 0
+        while (j < sub) {
+          next(cell * sub + j) = mSums(cell)(j) / mCounts(cell); j += 1
+        }
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** IVF-PQ search: probes read only their nprobe cells, phase-1
+    * scoring runs over 8-BYTE codes (+1 float norm) via the ADC
+    * kernel — the candidate scan reads 32× less memory than raw
+    * vectors, the binding constraint at 100 TB — and only the
+    * over-fetched ids touch full vectors for the exact re-rank. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cc = asCentroidColumn(centroidSeq(e))
+    val cb = pqCodebook(e)
+    val coded = e
+      .withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0))
+      .withColumn("codes", graft.functions.NativePq.encode(col("v"), cb, PqM, PqK))
+      .withColumn("vnorm", VectorFns.norm(col("v")))
+      .select("vec_id", "cell", "codes", "vnorm")
+    val q = queriesDf(e)
+      .withColumn("qnorm", VectorFns.norm(col("qv")))
+      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
+    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+      explode(col("probe_cells")).as("cell"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK) /
+          (col("qnorm") * col("vnorm")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= PqOverFetch)
+      .select("query_id", "vec_id")
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e, "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
   private val RegionsPerImage = 4
 
@@ -408,6 +522,7 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
     "ann_depth_sweep" -> (annDepthSweep _),
+    "ann_pq" -> (annPq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _))

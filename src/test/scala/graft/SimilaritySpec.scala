@@ -103,4 +103,22 @@ class SimilaritySpec extends SparkSpec {
         s"recall fell as depth grew: ${rows.map(_.toString).mkString(", ")}")
     }
   }
+
+  test("ann_pq: IVF-PQ top-k is deterministic with useful recall") {
+    val r1 = Similarity.annPq(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    val perQuery = r1.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach(rs => assert(rs.length <= Similarity.TopK))
+    // deterministic: same codebook, same index, same result
+    val r2 = Similarity.annPq(spark, sfDir).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    // recall vs the exact baseline: quantized phase-1 + exact re-rank
+    // must recover a useful fraction of the true top-k
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = r1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size.toDouble
+    assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
+  }
 }
