@@ -180,6 +180,25 @@ object AnalyticsExtras {
       |    ORDER BY c_acctbal, c_custkey) AS decile
       |FROM customer""".stripMargin
 
+  // ---- q_outer_join: left outer join with null-preserving agg ----------
+  /** Per-customer order profile including customers with NO orders
+    * (count 0, spend 0.0) — the outer-join capability the semi/anti
+    * pair doesn't cover. The unmatched side survives the join as
+    * nulls and the aggregates state them explicitly. */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(dbl(sum(decP(col("o_totalprice")))), lit(0.0)).as("total_spend"))
+
+  val qOuterJoinSql: String =
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE), 0.0) AS total_spend
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment""".stripMargin
+
   // ---- q_skew_salted: two-level salted aggregation, oracled ------------
   /** Per-user event counts via SkewFns.saltedCount (partial agg on
     * (key, salt), merge per key). The oracle is the PLAIN GROUP BY —
@@ -199,6 +218,7 @@ object AnalyticsExtras {
     "q_setops" -> (qSetOps _),
     "q_having" -> (qHaving _),
     "q_ntile" -> (qNtile _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_skew_salted" -> (qSkewSalted _))
 
   val oracle: Map[String, String] = Map(
@@ -209,5 +229,6 @@ object AnalyticsExtras {
     "q_setops" -> qSetOpsSql,
     "q_having" -> qHavingSql,
     "q_ntile" -> qNtileSql,
+    "q_outer_join" -> qOuterJoinSql,
     "q_skew_salted" -> qSkewSaltedSql)
 }
