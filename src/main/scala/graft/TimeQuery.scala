@@ -24,7 +24,7 @@ object TimeQuery {
     val q = SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = q(spark, dir).write.format("noop").mode("overwrite").save()
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"pass $i: $sec%.3f s")
     }

@@ -19,11 +19,30 @@ import org.apache.spark.sql.types._
   */
 object PqKernels {
 
-  /** Nearest sub-centroid per subspace by L2 over the sub-vector.
-    * Codebook layout: flat [m][k][subDim]. */
-  def encode(vec: ArrayData, cb: Array[Double], m: Int, k: Int): Array[Byte] = {
-    val dim = vec.numElements()
-    val sub = dim / m
+  /** The source embedding schema carries nullable elements (parquet
+    * list default), so — matching the float-vector expressions, which
+    * also accept it — nulls are guarded at RUNTIME, loudly: a blind
+    * getFloat would decode a null slot as 0.0 and silently corrupt
+    * codes/scores. */
+  private def checkedFloats(v: ArrayData, what: String): Array[Float] = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(s"$what contains a null element at $i")
+      out(i) = v.getFloat(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Nearest sub-centroid per subspace by L2 over the sub-vector —
+    * the SINGLE definition of the codebook layout ((m·k + c)·subDim)
+    * and assignment metric; training and serving both call it, so
+    * they can never desynchronize. */
+  def encodeArray(v: Array[Float], cb: Array[Double], m: Int, k: Int): Array[Byte] = {
+    val sub = v.length / m
     val out = new Array[Byte](m)
     var mi = 0
     while (mi < m) {
@@ -35,7 +54,7 @@ object PqKernels {
         var d = 0.0
         var j = 0
         while (j < sub) {
-          val diff = vec.getFloat(mi * sub + j) - cb(base + j)
+          val diff = v(mi * sub + j) - cb(base + j)
           d += diff * diff
           j += 1
         }
@@ -48,18 +67,26 @@ object PqKernels {
     out
   }
 
+  def encode(vec: ArrayData, cb: Array[Double], m: Int, k: Int): Array[Byte] =
+    encodeArray(checkedFloats(vec, "graft_pq_encode input"), cb, m, k)
+
   /** Approximate ⟨q, v⟩ from v's codes: sum over subspaces of
     * ⟨q_sub, centroid[m][code]⟩. */
   def adcDot(codes: Array[Byte], q: ArrayData, cb: Array[Double], k: Int): Double = {
     val m = codes.length
-    val sub = q.numElements() / m
+    val n = q.numElements()
+    val sub = n / m
     var acc = 0.0
     var mi = 0
     while (mi < m) {
       val base = (mi * k + (codes(mi) & 0xff)) * sub
       var j = 0
       while (j < sub) {
-        acc += q.getFloat(mi * sub + j) * cb(base + j)
+        val idx = mi * sub + j
+        if (q.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"graft_pq_adc_dot query contains a null element at $idx")
+        acc += q.getFloat(idx) * cb(base + j)
         j += 1
       }
       mi += 1

@@ -267,15 +267,34 @@ object Similarity {
     * build cost amortizes across probes; set GRAFT_IVF_REBUILD=1 to
     * force). The centroids are deterministic from the data, and the
     * output-equality spec against ann_ivf catches a stale layout. */
+  /** Fingerprint of the source table's files (path, size, mtime):
+    * keys the cached index so a regenerated dataset can never be
+    * served from a stale layout — any data change moves the cache
+    * path and forces a rebuild. */
+  private def sourceFingerprint(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val files = if (root.isDirectory)
+      Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
+    else Seq(root)
+    val desc = files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${math.abs(dir.hashCode)}"
+    val idxPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${sourceFingerprint(dir)}"
     // reuse needs BOTH artifacts complete (index marker written last)
     val complete = new java.io.File(s"$idxPath/_SUCCESS").isFile &&
       new java.io.File(s"$idxPath.centroids/_SUCCESS").isFile
     val centroids: Column =
       if (!complete || sys.env.contains("GRAFT_IVF_REBUILD")) {
+        // invalidate FIRST: a crash mid-rebuild must leave the cache
+        // incomplete, not an old index paired with new centroids
+        new java.io.File(s"$idxPath/_SUCCESS").delete(): Unit
         val cs = centroidSeq(e)
         val cc = asCentroidColumn(cs)
         // centroids land first; the index _SUCCESS marker (written
@@ -336,20 +355,13 @@ object Similarity {
         val sums = Array.fill(PqM * PqK)(new Array[Double](sub))
         val counts = new Array[Long](PqM * PqK)
         it.foreach { row =>
-          val v = row.getSeq[Float](0)
+          val v = row.getSeq[Float](0).toArray
+          // assignment through the SERVING encoder — training and
+          // encoding share one codebook-layout/metric definition
+          val codes = graft.functions.PqKernels.encodeArray(v, bc, PqM, PqK)
           var m = 0
           while (m < PqM) {
-            var bestC = 0; var bestD = Double.MaxValue; var c = 0
-            while (c < PqK) {
-              val base = (m * PqK + c) * sub
-              var d = 0.0; var j = 0
-              while (j < sub) {
-                val diff = v(m * sub + j) - bc(base + j); d += diff * diff; j += 1
-              }
-              if (d < bestD) { bestD = d; bestC = c }
-              c += 1
-            }
-            val cell = m * PqK + bestC
+            val cell = m * PqK + (codes(m) & 0xff)
             val sArr = sums(cell); var j = 0
             while (j < sub) { sArr(j) += v(m * sub + j); j += 1 }
             counts(cell) += 1

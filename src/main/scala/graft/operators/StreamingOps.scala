@@ -53,7 +53,7 @@ object StreamingOps {
           df => StreamingPipelines.sessionize(df.as[Ev]).toDF(),
           org.apache.spark.sql.streaming.OutputMode.Append()))
       s.createDataFrame(results)
-    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed))
+    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed.path))
   }
 
   // ---- stream_param_sweep: knob-grid sweep (testbed t1..t9 analog) -----

@@ -131,7 +131,10 @@ object StreamingPipelines {
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (key: Long, it: Iterator[Item], state: GroupState[ReorderState]) =>
           val s0 = state.getOption.getOrElse(ReorderState(0L, Map.empty, 0L))
-          var buf = s0.buf ++ it.map(i => i.seq -> i.payload)
+          // an at-least-once upstream can redeliver an already-emitted
+          // seq — below-frontier items must be DROPPED, not buffered,
+          // or they sit in state forever (nothing ever drains them)
+          var buf = s0.buf ++ it.filter(_.seq >= s0.next).map(i => i.seq -> i.payload)
           var next = s0.next
           val out = Vector.newBuilder[OrderedOut]
           while (buf.contains(next)) {
@@ -211,13 +214,18 @@ object StreamingPipelines {
     * (maxFilesPerTrigger=1; range slices land as lexicographically
     * ordered part files, so replay follows event time). This is the
     * scale path — the events never pass through the driver. */
+  /** A materialized replay feed: path + the metadata every measured
+    * run needs (so the bench never re-scans the feed per pipeline). */
+  case class Feed(path: String, rows: Long, slices: Int,
+                  schema: org.apache.spark.sql.types.StructType)
+
   /** Materialize the replay feed: `nSlices` time-range parquet slices
     * written by one Spark job (no event touches the driver), restamped
     * with strictly increasing mtimes — the parallel write stamps every
     * slice identically, the file source replays in mtime order, and a
-    * live stream's file drops are mtime-ordered anyway. Returns the
-    * feed path; one feed serves any number of measured pipelines. */
-  def prepareFeed(s: SparkSession, events: DataFrame, nSlices: Int): String = {
+    * live stream's file drops are mtime-ordered anyway. One feed
+    * serves any number of measured pipelines. */
+  def prepareFeed(s: SparkSession, events: DataFrame, nSlices: Int): Feed = {
     val feedDir = s"${System.getProperty("java.io.tmpdir")}/graft_feed_${System.nanoTime()}"
     events.repartitionByRange(nSlices, col("ts"), col("event_id"))
       .sortWithinPartitions("ts", "event_id")
@@ -226,18 +234,19 @@ object StreamingPipelines {
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     val base = System.currentTimeMillis() - parts.length * 2000L
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 2000L): Unit
+      // the restamp IS the replay-ordering mechanism — a filesystem
+      // that refuses it must fail the bench, not silently feed the
+      // watermark out-of-order data
+      require(f.setLastModified(base + i * 2000L),
+        s"cannot restamp feed slice ${f.getPath} — replay order would be undefined")
     }
-    feedDir
+    val df = s.read.parquet(feedDir)
+    Feed(feedDir, df.count(), parts.length, df.schema)
   }
 
-  def fileThroughputBench(s: SparkSession, feedDir: String,
+  def fileThroughputBench(s: SparkSession, feed: Feed,
                           name: String, pipeline: DataFrame => DataFrame,
                           mode: OutputMode = OutputMode.Update()): BenchResult = {
-    val rowsIn = s.read.parquet(feedDir).count()
-    val nSlices = Option(new java.io.File(feedDir).listFiles).getOrElse(Array.empty)
-      .count(_.getName.startsWith("part-"))
-    val schema = s.read.parquet(feedDir).schema
     val sinkName = s"fbench_${name}_${System.nanoTime()}"
     // state partitions sized to micro-batch volume (≈2k rows per
     // partition per batch, floor 4): every state partition pays a
@@ -248,28 +257,31 @@ object StreamingPipelines {
     // the state-partition count you'd size to the trigger volume.
     val stateParts = math.max(4, math.min(
       s.sessionState.conf.numShufflePartitions,
-      (rowsIn / math.max(1, nSlices) / 2000L).toInt))
+      (feed.rows / math.max(1, feed.slices) / 2000L).toInt))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val t0 = System.nanoTime()
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
-      pipeline(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feedDir))
+      pipeline(s.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed.path))
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(mode).start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.processAllAvailable()
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val rowsOut = s.table(sinkName).count()
-    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-    val batchMs = progress.map(_.batchDuration.toDouble)
-    def phaseMs(key: String): Seq[Double] = progress.map { p =>
-      Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
-    }
-    q.stop()
-    BenchResult(name, rowsIn, rowsOut, progress.size.toLong, elapsed,
-      rowsIn / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
-      pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5))
+    try {
+      // clock starts AFTER query startup, matching throughputBench —
+      // the two harnesses' rows_per_sec stay comparable
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val rowsOut = s.table(sinkName).count()
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      val batchMs = progress.map(_.batchDuration.toDouble)
+      def phaseMs(key: String): Seq[Double] = progress.map { p =>
+        Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
+      }
+      BenchResult(name, feed.rows, rowsOut, progress.size.toLong, elapsed,
+        feed.rows / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
+        pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5))
+    } finally q.stop() // never leak a live query over its feed dir
   }
 
   def deleteRecursively(f: java.io.File): Unit = {

@@ -23,11 +23,10 @@ class FileFeedSpec extends SparkSpec {
         col("event_type"), col("value"))
     val feed = StreamingPipelines.prepareFeed(spark, events, nSlices = 5)
     try {
-      val schema = spark.read.parquet(feed).schema
       val sink = s"filefeed_sink_${System.nanoTime()}"
       val q = StreamingPipelines.sessionize(
-          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-            .parquet(feed).as[Ev])
+          spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1)
+            .parquet(feed.path).as[Ev])
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
       q.processAllAvailable()
@@ -42,6 +41,6 @@ class FileFeedSpec extends SparkSpec {
       val nBatch = batch.count()
       assert(nStream >= nBatch / 2,
         s"only $nStream of $nBatch sessions closed — replay order suspect")
-    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed))
+    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed.path))
   }
 }

@@ -47,6 +47,16 @@ class OrderedEmitSpec extends SparkSpec {
     assert(out.find(r => r.key == 1 && r.seq == 0).get.batch_emitted == 0L)
   }
 
+  test("redelivered below-frontier items are dropped, not re-emitted or buffered") {
+    val (out, cumCounts) = run(Seq(
+      Seq(Item(1, 0, "a"), Item(1, 1, "b")),
+      Seq(Item(1, 0, "a")),            // at-least-once redelivery
+      Seq(Item(1, 2, "c"))))           // frontier still advances cleanly
+    assert(cumCounts == Seq(2, 2, 3))  // the duplicate emits nothing
+    assert(out.map(r => (r.seq, r.payload)).sorted ==
+      Seq((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
   test("ordered emission matches input order under random batch shuffling") {
     val rng = new scala.util.Random(7)
     val items = for (k <- 1L to 3L; s <- 0L until 40L)
