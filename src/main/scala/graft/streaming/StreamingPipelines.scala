@@ -195,7 +195,8 @@ object StreamingPipelines {
   case class BenchResult(pipeline: String, rows_in: Long, rows_out: Long,
                          batches: Long, elapsed_sec: Double, rows_per_sec: Double,
                          batch_ms_p50: Double, batch_ms_p95: Double,
-                         exec_ms_p50: Double, plan_ms_p50: Double)
+                         exec_ms_p50: Double, plan_ms_p50: Double,
+                         commit_ms_p50: Double)
 
   /** Percentile of observed micro-batch durations (BenSP's per-stage
     * latency metric, at micro-batch granularity). */
@@ -206,14 +207,6 @@ object StreamingPipelines {
       s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
     }
 
-  /** Drive a pipeline from a DISTRIBUTED file source and measure
-    * end-to-end throughput — the reference's items/s metric
-    * (bin/parsec_stream logs) with no driver-side event collection:
-    * the feed is written as `nSlices` time-range parquet slices by a
-    * Spark job, and the stream replays them one slice per micro-batch
-    * (maxFilesPerTrigger=1; range slices land as lexicographically
-    * ordered part files, so replay follows event time). This is the
-    * scale path — the events never pass through the driver. */
   /** A materialized replay feed: path + the metadata every measured
     * run needs (so the bench never re-scans the feed per pipeline). */
   case class Feed(path: String, rows: Long, slices: Int,
@@ -244,6 +237,12 @@ object StreamingPipelines {
     Feed(feedDir, df.count(), parts.length, df.schema)
   }
 
+  /** Drive a pipeline from a DISTRIBUTED file source and measure
+    * end-to-end throughput — the reference's items/s metric
+    * (bin/parsec_stream logs) with no driver-side event collection:
+    * the stream replays the feed one slice per micro-batch
+    * (maxFilesPerTrigger=1) in mtime order. This is the scale path —
+    * the events never pass through the driver. */
   def fileThroughputBench(s: SparkSession, feed: Feed,
                           name: String, pipeline: DataFrame => DataFrame,
                           mode: OutputMode = OutputMode.Update()): BenchResult = {
@@ -278,9 +277,12 @@ object StreamingPipelines {
       def phaseMs(key: String): Seq[Double] = progress.map { p =>
         Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
       }
+      val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
+        .map { case (a, b) => a + b }
       BenchResult(name, feed.rows, rowsOut, progress.size.toLong, elapsed,
         feed.rows / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
-        pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5))
+        pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5),
+        pct(commitMs, 0.5))
     } finally q.stop() // never leak a live query over its feed dir
   }
 
@@ -330,9 +332,11 @@ object StreamingPipelines {
     }
     val execMs = phaseMs("addBatch")
     val planMs = phaseMs("queryPlanning")
+    val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
+      .map { case (a, b) => a + b }
     q.stop()
     BenchResult(name, events.size.toLong, rowsOut, batches, elapsed,
       events.size.toLong / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
-      pct(execMs, 0.5), pct(planMs, 0.5))
+      pct(execMs, 0.5), pct(planMs, 0.5), pct(commitMs, 0.5))
   }
 }

@@ -61,4 +61,35 @@ class ExprTypeCheckSpec extends SparkSpec {
     val df = Seq(Some(""), None).toDF("text")
     assert(df.select(NativeChunk.chunks(col("text"))).count() == 0)
   }
+
+  test("graft_pq_encode rejects non-float arrays at analysis time") {
+    import graft.functions.NativePq
+    val cb = new Array[Double](8 * 16 * 8)
+    val df = Seq(Tuple1(Array(1L, 2L))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(NativePq.encode(col("v"), cb, 8, 16)).collect()
+    }
+    assert(e.getMessage.contains("graft_pq_encode"))
+  }
+
+  test("graft_pq kernels reject null vector elements loudly at runtime") {
+    import graft.functions.NativePq
+    val cb = new Array[Double](2 * 2 * 2)
+    val df = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 2.0f, 3.0f))).toDF("v")
+    val e = intercept[Exception] {
+      df.select(NativePq.encode(col("v"), cb, 2, 2)).collect()
+    }
+    assert(e.getMessage.contains("null element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null element")))
+  }
+
+  test("graft_pq_adc_dot rejects non-binary codes") {
+    import graft.functions.NativePq
+    val cb = new Array[Double](2 * 2 * 2)
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("c", "q")
+    val e = intercept[Exception] {
+      df.select(NativePq.adcDot(col("c"), col("q"), cb, 2)).collect()
+    }
+    assert(e.getMessage.contains("graft_pq_adc_dot"))
+  }
 }
