@@ -199,6 +199,47 @@ object AnalyticsExtras {
       |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_mktsegment""".stripMargin
 
+  // ---- q_gap_fill: time-spine densification ----------------------------
+  /** Monthly revenue per customer with missing months filled as
+    * explicit zeros: each customer's spine spans their own first-to-
+    * last order month (sequence + explode — a generated dimension,
+    * not a data shuffle), left-joined with the monthly aggregate.
+    * The spine generation is map-side work proportional to customers
+    * × months; the only shuffles are the monthly agg and the spine
+    * join on (custkey, month). */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dbl(sum(decP(col("o_totalprice")))).as("revenue"))
+    val spine = monthly.groupBy("custkey")
+      .agg(min(col("month")).as("m0"), max(col("month")).as("m1"))
+      .select(col("custkey"),
+        explode(sequence(col("m0"), col("m1"),
+          expr("interval 1 month"))).as("month"))
+    spine.join(monthly, Seq("custkey", "month"), "left_outer")
+      .select(col("custkey"),
+        date_format(col("month"), "yyyy-MM").as("month"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        col("revenue").isNotNull.as("had_orders"))
+  }
+
+  val qGapFillSql: String =
+    """WITH monthly AS (
+      |  SELECT o_custkey AS custkey, date_trunc('month', o_orderdate) AS month,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT custkey, unnest(generate_series(MIN(month), MAX(month),
+      |    INTERVAL 1 MONTH)) AS month
+      |  FROM monthly GROUP BY custkey
+      |)
+      |SELECT s.custkey, strftime(s.month, '%Y-%m') AS month,
+      |  COALESCE(m.revenue, 0.0) AS revenue,
+      |  m.revenue IS NOT NULL AS had_orders
+      |FROM spine s LEFT JOIN monthly m
+      |  ON s.custkey = m.custkey AND s.month = m.month""".stripMargin
+
   // ---- q_skew_salted: two-level salted aggregation, oracled ------------
   /** Per-user event counts via SkewFns.saltedCount (partial agg on
     * (key, salt), merge per key). The oracle is the PLAIN GROUP BY —
@@ -219,6 +260,7 @@ object AnalyticsExtras {
     "q_having" -> (qHaving _),
     "q_ntile" -> (qNtile _),
     "q_outer_join" -> (qOuterJoin _),
+    "q_gap_fill" -> (qGapFill _),
     "q_skew_salted" -> (qSkewSalted _))
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +272,6 @@ object AnalyticsExtras {
     "q_having" -> qHavingSql,
     "q_ntile" -> qNtileSql,
     "q_outer_join" -> qOuterJoinSql,
+    "q_gap_fill" -> qGapFillSql,
     "q_skew_salted" -> qSkewSaltedSql)
 }
