@@ -202,16 +202,20 @@ object AnalyticsExtras {
   // ---- q_gap_fill: time-spine densification ----------------------------
   /** Monthly revenue per customer with missing months filled as
     * explicit zeros: each customer's spine spans their own first-to-
-    * last order month (sequence + explode — a generated dimension,
-    * not a data shuffle), left-joined with the monthly aggregate.
-    * The spine generation is map-side work proportional to customers
-    * × months; the only shuffles are the monthly agg and the spine
-    * join on (custkey, month). */
+    * last order month (sequence + explode over the MONTHLY table —
+    * a generated dimension derived from the aggregate, never a
+    * second pass over the fact table), left-joined back with the
+    * monthly aggregate. The fact table is scanned and shuffled
+    * exactly once (the monthly agg — materialized so both the spine
+    * bounds and the join reuse it); the spine join strategy is left
+    * to statistics (broadcast while monthly is small, shuffle on
+    * (custkey, month) at scale). */
   def qGapFill(s: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"),
         date_trunc("month", col("o_orderdate")).as("month"))
       .agg(dbl(sum(decP(col("o_totalprice")))).as("revenue"))
+      .localCheckpoint(true) // two consumers: spine bounds + the join
     val spine = monthly.groupBy("custkey")
       .agg(min(col("month")).as("m0"), max(col("month")).as("m1"))
       .select(col("custkey"),

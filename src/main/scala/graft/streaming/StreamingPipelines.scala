@@ -207,6 +207,24 @@ object StreamingPipelines {
       s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
     }
 
+  /** One definition of the progress→metrics mapping, shared by both
+    * harnesses so their reported latencies can never diverge. */
+  private def benchResultOf(name: String, rowsIn: Long, rowsOut: Long,
+                            batches: Long, elapsed: Double,
+                            progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : BenchResult = {
+    val batchMs = progress.map(_.batchDuration.toDouble)
+    def phaseMs(key: String): Seq[Double] = progress.map { p =>
+      Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
+    }
+    val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
+      .map { case (a, b) => a + b }
+    BenchResult(name, rowsIn, rowsOut, batches, elapsed, rowsIn / elapsed,
+      pct(batchMs, 0.5), pct(batchMs, 0.95),
+      pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5),
+      pct(commitMs, 0.5))
+  }
+
   /** A materialized replay feed: path + the metadata every measured
     * run needs (so the bench never re-scans the feed per pipeline). */
   case class Feed(path: String, rows: Long, slices: Int,
@@ -273,16 +291,7 @@ object StreamingPipelines {
       val elapsed = (System.nanoTime() - t0) / 1e9
       val rowsOut = s.table(sinkName).count()
       val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      val batchMs = progress.map(_.batchDuration.toDouble)
-      def phaseMs(key: String): Seq[Double] = progress.map { p =>
-        Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
-      }
-      val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
-        .map { case (a, b) => a + b }
-      BenchResult(name, feed.rows, rowsOut, progress.size.toLong, elapsed,
-        feed.rows / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
-        pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5),
-        pct(commitMs, 0.5))
+      benchResultOf(name, feed.rows, rowsOut, progress.size.toLong, elapsed, progress)
     } finally q.stop() // never leak a live query over its feed dir
   }
 
@@ -326,17 +335,7 @@ object StreamingPipelines {
     val elapsed = (System.nanoTime() - t0) / 1e9
     val rowsOut = s.table(sinkName).count()
     val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-    val batchMs = progress.map(_.batchDuration.toDouble)
-    def phaseMs(key: String): Seq[Double] = progress.map { p =>
-      Option(p.durationMs.get(key)).map(_.doubleValue).getOrElse(0.0)
-    }
-    val execMs = phaseMs("addBatch")
-    val planMs = phaseMs("queryPlanning")
-    val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
-      .map { case (a, b) => a + b }
     q.stop()
-    BenchResult(name, events.size.toLong, rowsOut, batches, elapsed,
-      events.size.toLong / elapsed, pct(batchMs, 0.5), pct(batchMs, 0.95),
-      pct(execMs, 0.5), pct(planMs, 0.5), pct(commitMs, 0.5))
+    benchResultOf(name, events.size.toLong, rowsOut, batches, elapsed, progress)
   }
 }
