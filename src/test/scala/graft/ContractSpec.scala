@@ -1,0 +1,35 @@
+package graft
+
+/** Driver-contract wiring net: every oracle key must resolve to a
+  * query, and every query must at least ANALYZE against the test
+  * tables (catches renamed columns, broken imports, bad expression
+  * types for all 61 entries without paying full execution — the two
+  * self-measuring streaming harnesses construct eagerly and are
+  * covered by their own specs).
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle keys without a query: $orphans")
+  }
+
+  test("entry() targets sf0.001 and analyzes") {
+    assert(SparkEntry.entry(spark).schema.nonEmpty)
+  }
+
+  test("every query analyzes against the sf0.001 tables") {
+    val eager = Set("stream_rate_bench", "stream_param_sweep")
+    val broken = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => eager(n) }
+      .flatMap { case (name, fn) =>
+        try {
+          val schema = fn(spark, sfDir).schema
+          if (schema.isEmpty) Some(s"$name: empty schema") else None
+        } catch {
+          case e: Exception => Some(s"$name: ${e.getMessage.take(120)}")
+        }
+      }
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
+}
