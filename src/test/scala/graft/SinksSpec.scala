@@ -38,4 +38,24 @@ class SinksSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.read.parquet(out).count() == 400)
   }
+
+  test("storage formats: orc/json/csv round-trip the lineitem sample exactly") {
+    import java.nio.file.Files
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_linestatus")
+    def assertSame(back: org.apache.spark.sql.DataFrame): Unit = {
+      assert(back.count() == src.count())
+      assert(back.except(src).isEmpty && src.except(back).isEmpty)
+    }
+    val orc = Files.createTempDirectory("graft_orc").toString
+    src.write.mode("overwrite").orc(orc)
+    assertSame(spark.read.orc(orc))
+    val json = Files.createTempDirectory("graft_json").toString
+    src.write.mode("overwrite").json(json)
+    assertSame(spark.read.schema(src.schema).json(json))
+    val csv = Files.createTempDirectory("graft_csv").toString
+    src.write.mode("overwrite").option("header", "true").csv(csv)
+    assertSame(spark.read.schema(src.schema).option("header", "true").csv(csv))
+  }
 }
