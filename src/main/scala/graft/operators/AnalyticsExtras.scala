@@ -244,6 +244,84 @@ object AnalyticsExtras {
       |FROM spine s LEFT JOIN monthly m
       |  ON s.custkey = m.custkey AND s.month = m.month""".stripMargin
 
+  // ---- q_histogram: fixed-width numeric binning ------------------------
+  /** Price histogram over lineitem: integer bucket = floor(price/W).
+    * One partial→final agg on the bucket key; bucket arithmetic is a
+    * single correctly-rounded double division + floor, so the binning
+    * is bit-identical cross-engine and scale-free (bucket count is
+    * bounded by the value range, not the row count). */
+  private val HistWidth = 5000.0
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / lit(HistWidth)).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        dbl(sum(decP(col("l_extendedprice")))).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .withColumn("lo", col("bucket").cast("double") * lit(HistWidth))
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS lo
+      |FROM lineitem
+      |GROUP BY CAST(floor(l_extendedprice / 5000.0) AS BIGINT)""".stripMargin
+
+  // ---- q_stats: moment statistics from exact decimal sums --------------
+  /** Per-flag mean / sample variance / stddev / correlation, derived
+    * from DECIMAL-EXACT power sums (Σx, Σx², Σy, Σy², Σxy) — the
+    * distributed-moments formulation: the shuffle carries five decimal
+    * partials per group regardless of row count, and because the sums
+    * are exact (not floating accumulations) the result is
+    * order-independent and bit-identical cross-engine. The derived
+    * stats are computed in double with one fixed expression order in
+    * both engines (built-in stddev/corr would accumulate floats in
+    * partition order — nondeterministic under repartitioning). */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    val qd = decP(col("l_quantity"))
+    val pd = decP(col("l_extendedprice"))
+    val a = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(qd)).as("sx"), dbl(sum(qd * qd)).as("sxx"),
+        dbl(sum(pd)).as("sy"), dbl(sum(pd * pd)).as("syy"),
+        dbl(sum(qd * pd)).as("sxy"))
+    val nD = col("n").cast("double")
+    a.select(col("l_returnflag"), col("n"),
+      (col("sx") / nD).as("mean_qty"),
+      ((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - lit(1.0))))
+        .as("var_qty"),
+      sqrt((nD * col("sxx") - col("sx") * col("sx")) / (nD * (nD - lit(1.0))))
+        .as("stddev_qty"),
+      (col("sy") / nD).as("mean_price"),
+      ((nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+          sqrt(nD * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+  }
+
+  val qStatsSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  sx / CAST(n AS DOUBLE) AS mean_qty,
+      |  (CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+      |  sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+      |  sy / CAST(n AS DOUBLE) AS mean_price,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+      |FROM a""".stripMargin
+
   // ---- q_skew_salted: two-level salted aggregation, oracled ------------
   /** Per-user event counts via SkewFns.saltedCount (partial agg on
     * (key, salt), merge per key). The oracle is the PLAIN GROUP BY —
@@ -265,6 +343,8 @@ object AnalyticsExtras {
     "q_ntile" -> (qNtile _),
     "q_outer_join" -> (qOuterJoin _),
     "q_gap_fill" -> (qGapFill _),
+    "q_histogram" -> (qHistogram _),
+    "q_stats" -> (qStats _),
     "q_skew_salted" -> (qSkewSalted _))
 
   val oracle: Map[String, String] = Map(
@@ -277,5 +357,7 @@ object AnalyticsExtras {
     "q_ntile" -> qNtileSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_gap_fill" -> qGapFillSql,
+    "q_histogram" -> qHistogramSql,
+    "q_stats" -> qStatsSql,
     "q_skew_salted" -> qSkewSaltedSql)
 }

@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Corpus-curation operators (SURVEY.md §2.B/§2.D extensions) — the
+  * layer a 100 TB training-data pipeline runs ON TOP of the pairwise
+  * dedup primitives: near-dup pairs → duplicate CLUSTERS (connected
+  * components) → one canonical document per cluster → a filtered,
+  * deduplicated corpus with per-source accounting.
+  *
+  * Everything here is DuckDB-oracled except the recall gate: the
+  * cluster assignment is recomputed independently by a recursive-CTE
+  * transitive closure, the canonical choice by a window over the same
+  * closure, and the pipeline accounting by inline re-derivations of
+  * the quality/langid expressions.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, Tables.documents(s, dir))
+
+  // ---- dedup_clusters: connected components over near-dup pairs --------
+  /** Duplicate clusters via iterative hash-min label propagation with
+    * pointer jumping — each node's label converges to the minimum
+    * doc_id of its connected component. Per round: one shuffle join of
+    * the edge table against the label table (8-byte keys and labels
+    * only) plus one label-table self-join (the pointer jump), so the
+    * round count is O(log diameter) rather than O(diameter) — the
+    * DataFrame form of the alternating large-star/small-star MapReduce
+    * CC algorithm. Near-dup components are shallow (most are pairs or
+    * small cliques), so convergence is 2-3 rounds in practice.
+    *
+    * Labels only ever decrease, so Σlabel is strictly monotone and a
+    * fixpoint of the per-round sum is exact convergence — the check
+    * costs one tiny agg per round, not a join. localCheckpoint
+    * truncates the iterative lineage (the standard guard against plan
+    * blowup in loops).
+    *
+    * Edges are the ORACLED exact near-dup pairs (source-blocked
+    * Jaccard ≥ 0.5 — Dedup.dedupNgramJaccard); at 100 TB the same
+    * loop runs unchanged on LSH-banded candidate pairs
+    * (dedup_minhash), which is just a different edge generator. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = docs(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
+    var prevSum = labels.agg(sum("cluster_id")).first().getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 32) {
+      // hash-min: every node offers its label to its neighbors
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val merged = labels.union(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jump: relabel through the label's own current label
+      val next = merged
+        .join(merged.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("jump")), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jump"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val s2 = next.agg(sum("cluster_id")).first().getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Independent cross-engine recomputation: transitive closure of the
+    * same exact near-dup edge set by recursive CTE, cluster id = min
+    * reachable doc_id. */
+  val dedupClustersSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |), e AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM g a, g b
+      |  WHERE a.source = b.source AND a.doc_id < b.doc_id
+      |    AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) >= 0.5
+      |), ud AS (
+      |  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+      |), reach(doc_id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.doc_id
+      |)
+      |SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
+  // ---- dedup_canonical: one representative document per cluster --------
+  /** Canonical-document selection: within each duplicate cluster keep
+    * the highest-quality member (ties → lowest doc_id) — what a
+    * curation pipeline actually emits downstream. The quality join is
+    * a doc_id equi-join; the per-cluster argmax is a partitioned
+    * window with a total order. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val quality = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    dedupClusters(s, dir).join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("n_members"), col("quality_score").as("canon_quality"))
+  }
+
+  val dedupCanonicalSql: String = {
+    val closure = dedupClustersSql.replace(
+      "SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id", "")
+    s"""$closure, cl AS (
+      |  SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+      |), q AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+      |      ELSE CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as)\\b')) AS DOUBLE)
+      |        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END * 0.25
+      |    + CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) END * 0.25
+      |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) END) * 0.25
+      |    + least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0) * 0.25
+      |      AS quality_score
+      |  FROM documents
+      |)
+      |SELECT cluster_id, doc_id AS canonical_doc, n_members, quality_score AS canon_quality
+      |FROM (
+      |  SELECT cl.cluster_id, cl.doc_id, q.quality_score,
+      |    CAST(row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY q.quality_score DESC, cl.doc_id) AS INT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+      |  FROM cl JOIN q USING (doc_id)
+      |) WHERE rn = 1""".stripMargin
+  }
+
+  // ---- text_pipeline: end-to-end corpus curation accounting ------------
+  /** The curation funnel as one declarative pass: quality scoring,
+    * language ID, the keep decision (quality ≥ 0.5 AND predicted
+    * English), and exact-content dedup of the survivors, accounted per
+    * source. One scan of the corpus, one shuffle on the source key;
+    * the distinct-content count is a conditional COUNT(DISTINCT sha)
+    * over 32-byte digests. The kept-docs mean quality follows the §5
+    * decimal-exact sum rule. */
+  private val QualityCut = 0.5
+  def textPipeline(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(col("text"))
+    val pred = TextAnalysis.predLang(col("text"))
+    val scored = docs(s, dir).select(col("source"),
+      quality.as("q"), pred.as("p"),
+      sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .withColumn("kept", col("q") >= QualityCut && col("p") === "en")
+    val decQ = col("q").cast(DecimalType(14, 12))
+    scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("q") >= QualityCut, 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("p") === "en", 1L).otherwise(0L)).as("n_lang_en"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      countDistinct(when(col("kept"), col("content_sha"))).as("n_unique_kept"),
+      (sum(when(col("kept"), decQ)).cast("double") /
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("double"))
+        .as("mean_quality_kept"))
+  }
+
+  val textPipelineSql: String = {
+    val qualityExpr =
+      """CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as)\b')) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END * 0.25
+        |    + CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) END * 0.25
+        |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) END) * 0.25
+        |    + least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0) * 0.25""".stripMargin
+    s"""WITH l AS (
+      |  ${TextAnalysis.predLangInlineSql}
+      |), scored AS (
+      |  SELECT d.source, $qualityExpr AS q, l.pred_lang AS p,
+      |    sha256(d.text) AS content_sha
+      |  FROM documents d JOIN l ON d.doc_id = l.doc_id
+      |), flagged AS (
+      |  SELECT source, q, p, content_sha,
+      |    (q >= 0.5 AND p = 'en') AS kept
+      |  FROM scored
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      |  CAST(SUM(CASE WHEN p = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_en,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COUNT(DISTINCT CASE WHEN kept THEN content_sha END) AS n_unique_kept,
+      |  CAST(CAST(SUM(CASE WHEN kept THEN CAST(q AS DECIMAL(14,12)) END) AS VARCHAR) AS DOUBLE)
+      |    / CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) AS mean_quality_kept
+      |FROM flagged GROUP BY source""".stripMargin
+  }
+
+  // ---- dedup_embedding_exact: exact pair baseline on a bounded sample --
+  /** Exact cosine near-dup pairs over a FIXED absolute sample
+    * (vec_id < [[SampleN]]) — the ground truth the LSH path is graded
+    * against. The sample bound makes the all-pairs cost a constant
+    * (SampleN²/2 cosines) independent of corpus scale: this is a
+    * quality gate, not a scan path; the production candidate
+    * generator is dedup_embedding's bucketed LSH. */
+  private[operators] val SampleN = 500
+  private val NdThreshold = 0.4
+
+  def dedupEmbeddingExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+      .filter(col("vec_id") < SampleN)
+      .select(col("vec_id"), col("embedding").as("v"))
+    e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"))),
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VectorFns.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= NdThreshold)
+  }
+
+  /** Same double-cast list_cosine_similarity parity as the
+    * ann_bruteforce oracle (Similarity.annBruteforceSql). */
+  val dedupEmbeddingExactSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 500
+      |)
+      |SELECT * FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |) WHERE cos >= 0.4""".stripMargin
+
+  // ---- dedup_nd_recall: LSH near-dup recall vs the exact baseline ------
+  /** Recall quality gate for the bucketed LSH near-dup path: the
+    * fraction of true pairs (exact baseline, same sample window) the
+    * LSH candidate generator surfaced. Mirrors ann_recall's role for
+    * the ANN family. */
+  def dedupNdRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = dedupEmbeddingExact(s, dir).select("vec_a", "vec_b")
+    val lsh = Dedup.dedupEmbedding(s, dir)
+      .filter(col("is_dup") && col("vec_a") < SampleN && col("vec_b") < SampleN)
+      .select("vec_a", "vec_b")
+    val nExact = exact.count()
+    val nLsh = lsh.count()
+    val nHit = exact.intersect(lsh).count()
+    import s.implicits._
+    Seq((nExact, nLsh, nHit,
+      if (nExact == 0) 1.0 else nHit.toDouble / nExact.toDouble))
+      .toDF("n_exact", "n_lsh", "n_hit", "recall")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_canonical" -> (dedupCanonical _),
+    "text_pipeline" -> (textPipeline _),
+    "dedup_embedding_exact" -> (dedupEmbeddingExact _),
+    "dedup_nd_recall" -> (dedupNdRecall _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql,
+    "text_pipeline" -> textPipelineSql,
+    "dedup_embedding_exact" -> dedupEmbeddingExactSql)
+}

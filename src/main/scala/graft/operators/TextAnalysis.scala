@@ -46,25 +46,34 @@ object TextAnalysis {
   private val StopRe = "\\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as)\\b"
   private val PunctCls = "[.,;:!?'\"()\\[\\]{}-]"
 
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val nChars = length(col("text"))
-    val nWs = size(split(trim(col("text")), "\\s+"))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit(StopRe), lit(0)))
-    val nPunct = size(regexp_extract_all(col("text"), lit(PunctCls), lit(0)))
-    val nAlpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-    def ratio(a: Column, b: Column): Column =
-      when(b === 0, 0.0).otherwise(a.cast("double") / b.cast("double"))
-    val stopR = ratio(nStop, nWs)
-    val punctR = ratio(nPunct, nChars)
-    val alphaR = ratio(nAlpha, nChars)
-    val lenNorm = least(lit(1.0), nWs.cast("double") / lit(100.0))
+  private def ratio(a: Column, b: Column): Column =
+    when(b === 0, 0.0).otherwise(a.cast("double") / b.cast("double"))
+
+  private def stopRatio(text: Column): Column =
+    ratio(size(regexp_extract_all(lower(text), lit(StopRe), lit(0))),
+      size(split(trim(text), "\\s+")))
+  private def punctRatio(text: Column): Column =
+    ratio(size(regexp_extract_all(text, lit(PunctCls), lit(0))), length(text))
+  private def alphaRatio(text: Column): Column =
+    ratio(length(regexp_replace(text, "[^a-zA-Z]", "")), length(text))
+  private def lenNorm(text: Column): Column =
+    least(lit(1.0), size(split(trim(text), "\\s+")).cast("double") / lit(100.0))
+
+  /** The composite quality score as a reusable expression — the
+    * curation pipeline (Curation.textPipeline) filters on it. */
+  private[graft] def qualityScore(text: Column): Column =
+    stopRatio(text) * 0.25 + alphaRatio(text) * 0.25 +
+      (lit(1.0) - punctRatio(text)) * 0.25 + lenNorm(text) * 0.25
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      nChars.as("n_chars"), nWs.as("n_ws_tokens"),
-      stopR.as("stopword_ratio"), punctR.as("punct_ratio"),
-      alphaR.as("alpha_ratio"), lenNorm.as("len_norm"),
-      (stopR * 0.25 + alphaR * 0.25 + (lit(1.0) - punctR) * 0.25 + lenNorm * 0.25)
-        .as("quality_score"))
-  }
+      length(col("text")).as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      stopRatio(col("text")).as("stopword_ratio"),
+      punctRatio(col("text")).as("punct_ratio"),
+      alphaRatio(col("text")).as("alpha_ratio"),
+      lenNorm(col("text")).as("len_norm"),
+      qualityScore(col("text")).as("quality_score"))
 
   val textQualitySql: String =
     """SELECT doc_id,
@@ -118,19 +127,43 @@ object TextAnalysis {
       |FROM s""".stripMargin
   }
 
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic argmax over the marker scores: max score, ties
+    * broken by marker order — reusable (score, lang) struct for the
+    * langid query and the curation pipeline. */
+  private[operators] def langBest(text: Column): Column = {
     val scores = LangMarkers.map { case (lang, re) =>
-      struct(regexp_count(lower(col("text")), lit(re)).as("score"),
+      struct(regexp_count(lower(text), lit(re)).as("score"),
         lit(lang).as("lang"))
     }
-    // deterministic argmax: max score, ties broken by marker order via
-    // greatest on (score, reverse-priority) structs
-    val best = scores.zipWithIndex.map { case (sc, i) =>
+    scores.zipWithIndex.map { case (sc, i) =>
       struct(sc.getField("score").as("score"),
         lit(LangMarkers.size - i).as("prio"), sc.getField("lang").as("lang"))
     }.reduce((a, b) => when(b.getField("score") > a.getField("score") ||
       (b.getField("score") === a.getField("score") &&
         b.getField("prio") > a.getField("prio")), b).otherwise(a))
+  }
+
+  private[operators] def predLang(text: Column): Column =
+    langBest(text).getField("lang")
+
+  /** Inline (no-CTE) DuckDB SELECT computing pred_lang per doc_id —
+    * embeddable as a CTE body by composite oracles (the curation
+    * pipeline), where the WITH-form [[textLangidSql]] can't nest. */
+  private[operators] val predLangInlineSql: String = {
+    val scores = LangMarkers.map { case (lang, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS s_$lang"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $caseArms ELSE '${langs.last}' END AS pred_lang
+       |  FROM (SELECT doc_id, $scores FROM documents)""".stripMargin
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val best = langBest(col("text"))
     docs(s, dir).select(col("doc_id"), col("lang").as("label_lang"),
         best.getField("lang").as("pred_lang"),
         best.getField("score").as("marker_hits"))
@@ -138,23 +171,92 @@ object TextAnalysis {
   }
 
   // ---- text_fingerprint: order-sensitive rolling document hash ---------
-  /** Chained-xxhash64 rolling fingerprint over the token stream —
-    * order-sensitive (unlike the set-based dedup signatures), overflow-
-    * free under ANSI mode. */
+  /** Horner polynomial rolling fingerprint over the document's Unicode
+    * code points, mod the Mersenne prime 2^31-1 — order-sensitive
+    * (unlike the set-based dedup signatures) and engine-neutral, so the
+    * oracle recomputes it independently (DuckDB list_reduce over
+    * unicode(char)). Spark's split('')/ascii pair yields full code
+    * points (astral plane included), verified identical to DuckDB's
+    * string_split('')/unicode. Empty text pins to 0 (the engines
+    * disagree on unicode('')). Pure codegen map stage, zero shuffle. */
+  private val FpMod = 2147483647L // 2^31 - 1
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-      aggregate(TextFns.tokens(col("text")), lit(0L),
-        (acc, t) => xxhash64(acc, t)).as("fingerprint"),
+      when(length(col("text")) === 0, lit(0L)).otherwise(
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => (acc * 31 + x) % FpMod)).as("fingerprint"),
       size(TextFns.tokens(col("text"))).as("n_tokens"))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 2147483647) END AS fingerprint,
+      |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+      |FROM documents""".stripMargin
+
+  // ---- text_tfidf: corpus TF-IDF top terms per document ----------------
+  /** Top-[[TfidfTopK]] TF-IDF terms per document. tf/df are exact
+    * integer counts; the idf weight is the RATIONAL (N+1)/(df+1) —
+    * chosen over log-idf because ln() is not correctly rounded in
+    * either engine (measured: 4/11502 inputs differ between Java
+    * Math.log and DuckDB ln), while one integer-ratio multiply and
+    * divide is bit-exact cross-engine. Ranking per doc is total-ordered
+    * by (score DESC, term) so the top-k set is deterministic.
+    *
+    * Scale posture: tf is a (doc,term)-keyed partial→final agg; df
+    * aggregates the already-distinct tf table by term; the tf⋈df
+    * equi-join shuffles on the term key. No driver loop — the corpus
+    * size N enters as a broadcast one-row cross join. */
+  private val TfidfTopK = 5
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") + lit(1)).cast("double") /
+          (col("df") + lit(1)).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+  }
+
+  val textTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, df, score, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) DESC,
+      |        tf.term) AS INT) AS rank
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |) WHERE rank <= 5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql)
+    "text_langid" -> textLangidSql,
+    "text_tfidf" -> textTfidfSql,
+    "text_fingerprint" -> textFingerprintSql)
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnalyticsExtras, Curation, Dedup, TextAnalysis}
+
+class CurationSpec extends SparkSpec {
+
+  test("dedup_clusters: labels are component minima and edges never straddle clusters") {
+    val labels = Curation.dedupClusters(spark, sfDir)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(labels.count() == nDocs, "every document gets a cluster")
+    // every near-dup edge's endpoints share a cluster
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val straddling = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(straddling == 0, "edge endpoints must share a cluster")
+    // cluster_id is the min doc_id of its members, and is itself a member
+    val badMin = labels.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count()
+    assert(badMin == 0, "cluster id must be the component minimum")
+  }
+
+  test("dedup_clusters: transitive chains collapse into one cluster") {
+    import spark.implicits._
+    // a->b, b->c but never a->c directly: label propagation must still
+    // put all three in one component (this is what the recursive-CTE
+    // oracle checks cross-engine; here we assert it structurally)
+    val labels = Curation.dedupClusters(spark, sfDir)
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // reference flood fill on the driver
+    val lab = scala.collection.mutable.Map[Long, Long]()
+    def component(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    adj.keys.foreach { k =>
+      if (!lab.contains(k)) {
+        val comp = component(k); val m = comp.min
+        comp.foreach(lab(_) = m)
+      }
+    }
+    val got = labels.as[(Long, Long)].collect().toMap
+    lab.foreach { case (d, m) =>
+      assert(got(d) == m, s"doc $d: expected component min $m, got ${got(d)}")
+    }
+  }
+
+  test("dedup_canonical: picks the highest-quality member of each cluster") {
+    val canon = Curation.dedupCanonical(spark, sfDir)
+    val labels = Curation.dedupClusters(spark, sfDir)
+    assert(canon.count() == labels.select("cluster_id").distinct().count())
+    // canonical quality is the cluster max
+    val quality = graft.Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val maxQ = labels.join(quality, "doc_id")
+      .groupBy("cluster_id").agg(max("q").as("max_q"))
+    val mismatch = canon.join(maxQ, "cluster_id")
+      .filter(col("canon_quality") < col("max_q")).count()
+    assert(mismatch == 0, "canonical doc must have the cluster's max quality")
+    // members count reconciles
+    val total = canon.agg(sum("n_members")).first().getLong(0)
+    assert(total == labels.count())
+  }
+
+  test("text_pipeline: funnel counts are consistent per source") {
+    val r = Curation.textPipeline(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_docs")
+      val q = row.getAs[Long]("n_quality")
+      val e = row.getAs[Long]("n_lang_en")
+      val k = row.getAs[Long]("n_kept")
+      val u = row.getAs[Long]("n_unique_kept")
+      assert(q <= n && e <= n && k <= math.min(q, e) && u <= k,
+        s"inconsistent funnel: $row")
+    }
+  }
+
+  test("dedup_embedding_exact ⊇ sampled LSH pairs; nd_recall in [0,1]") {
+    val exact = Curation.dedupEmbeddingExact(spark, sfDir)
+    assert(exact.filter(col("cos") < 0.4).count() == 0)
+    val rec = Curation.dedupNdRecall(spark, sfDir).collect().head
+    val (nExact, nHit, recall) = (rec.getAs[Long]("n_exact"),
+      rec.getAs[Long]("n_hit"), rec.getAs[Double]("recall"))
+    assert(nHit <= nExact)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // LSH near-dup pairs on the sample window must be TRUE pairs too
+    // (the verify stage filters on exact cosine, so no false positives)
+    assert(rec.getAs[Long]("n_lsh") == nHit,
+      "every sampled LSH pair above threshold must appear in the exact baseline")
+  }
+
+  test("text_fingerprint: order-sensitive, deterministic, empty → 0") {
+    import spark.implicits._
+    val fp = TextAnalysis.textFingerprint(spark, sfDir)
+    assert(fp.filter(col("fingerprint") < 0).count() == 0, "mod keeps it non-negative")
+    // order sensitivity via the same expression over literal rows
+    val two = Seq(("ab cd", 1L), ("cd ab", 2L), ("", 3L)).toDF("text", "doc_id")
+    val vals = two.select(col("doc_id"),
+        when(length(col("text")) === 0, lit(0L)).otherwise(
+          aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)).as("f"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("f")).toMap
+    assert(vals(1L) != vals(2L), "token order must change the fingerprint")
+    assert(vals(3L) == 0L)
+  }
+
+  test("text_tfidf: rank bounded, scores consistent with tf/df") {
+    val r = TextAnalysis.textTfidf(spark, sfDir)
+    assert(r.filter(col("rank") > 5).count() == 0)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val bad = r.filter(col("df") > nDocs || col("df") < 1).count()
+    assert(bad == 0)
+    // score recomputes from its own row
+    val wrong = r.filter(abs(col("score") -
+      col("tf").cast("double") * lit((nDocs + 1).toDouble) /
+        (col("df") + lit(1)).cast("double")) > 1e-12).count()
+    assert(wrong == 0)
+  }
+
+  test("q_histogram: buckets partition the table") {
+    val h = AnalyticsExtras.qHistogram(spark, sfDir)
+    val total = h.agg(sum("n_items")).first().getLong(0)
+    assert(total == graft.Tables.lineitem(spark, sfDir).count())
+    val bad = h.filter(col("min_price") < col("lo") ||
+      col("max_price") >= col("lo") + 5000.0).count()
+    assert(bad == 0, "bucket bounds must contain their min/max")
+  }
+
+  test("q_stats: moments match a driver-side reference computation") {
+    val r = AnalyticsExtras.qStats(spark, sfDir).collect()
+      .map(x => x.getAs[String]("l_returnflag") -> x).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    rows.groupBy(_.getString(0)).foreach { case (flag, rs) =>
+      val xs = rs.map(_.getDouble(1)); val ys = rs.map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val mx = xs.sum / n
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
+      val got = r(flag)
+      assert(math.abs(got.getAs[Double]("mean_qty") - mx) < 1e-9 * math.abs(mx))
+      assert(math.abs(got.getAs[Double]("var_qty") - vx) < 1e-6 * math.abs(vx),
+        s"$flag var: got ${got.getAs[Double]("var_qty")} want $vx")
+      val my = ys.sum / n
+      val cxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val corr = cxy / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+      assert(math.abs(got.getAs[Double]("corr_qty_price") - corr) < 1e-6,
+        s"$flag corr: got ${got.getAs[Double]("corr_qty_price")} want $corr")
+    }
+  }
+}
