@@ -64,16 +64,22 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
+  // all locals freshName'd: two instances of this expression can land
+  // in ONE codegen function (e.g. a projection scoring against two
+  // columns) — fixed names redefine and knock the whole stage back to
+  // the interpreted path
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val gl = leftGetter; val gr = rightGetter
+      val n = ctx.freshName("n"); val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += (double)$a.$gl(i) * (double)$b.$gr(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double)$a.$gl($i) * (double)$b.$gr($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 
@@ -103,19 +109,24 @@ case class CosineSim(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  // freshName'd locals — see DotProduct.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val gl = leftGetter; val gr = rightGetter
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double)$a.$gl(i);
-         |  double yv = (double)$b.$gr(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double)$a.$gl($i);
+         |  double $yv = (double)$b.$gr($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 

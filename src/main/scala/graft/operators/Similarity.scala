@@ -90,6 +90,23 @@ object Similarity {
   private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame,
                                broadcastQueries: Boolean = true,
                                overFetch: Int = OverFetch): DataFrame = {
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    lshScored(e0, qdf, broadcastQueries, overFetch)
+      .select("query_id", "vec_id", "cos")
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** The search up to exact scoring: over-fetched candidates carrying
+    * BOTH phase-1 sketch rank and the exact cosine — lshSearch's final
+    * per-query rank filter is the only thing left out. Exposed so the
+    * depth sweep can derive every shallower depth from ONE deep search
+    * (a depth-d candidate set is exactly `phase1_rank <= d` of the
+    * same sketch ordering). */
+  private[graft] def lshScored(e0: DataFrame, qdf: DataFrame,
+                               broadcastQueries: Boolean = true,
+                               overFetch: Int = OverFetch): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val e = withSketch(e0)
     val buckets = withBuckets(e.select("vec_id", "v"))
@@ -118,16 +135,12 @@ object Similarity {
           bit_count(col("sketch_hi").bitwiseXOR(col("qsketch_hi"))))
       .withColumn("phase1_rank", row_number().over(wSketch))
       .filter(col("phase1_rank") <= overFetch)
-    // phase 2: exact cosine re-rank to top-k (ferret t_rank)
-    val wCos = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
+    // phase 2: exact cosine on the over-fetched set (ferret t_rank)
     overfetched
       .join(e.select("vec_id", "v"), "vec_id")
       .join(qside(q.select("query_id", "qv")), "query_id")
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"), col("phase1_rank"),
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= TopK)
   }
 
   // ---- ann_ivf: inverted-file cells + nprobe search --------------------
@@ -490,7 +503,7 @@ object Similarity {
   }
 
   // ---- ann_depth_sweep: the reference's ranking-depth knob -------------
-  case class DepthRow(over_fetch: Int, n_queries: Long, mean_recall: Double)
+  private[graft] val SweepDepths = Seq(TopK, 2 * TopK, 4 * TopK)
 
   /** Recall@k as a function of the phase-1 over-fetch depth — ferret's
     * precision/depth parameter (the reference fixes depth = 2·topK,
@@ -499,20 +512,36 @@ object Similarity {
     * SUPERSET of a shallower one (same sketch ordering), and a true
     * top-K member can be displaced from the exact re-rank only by
     * higher-cosine items, of which there are at most K-1 — the spec
-    * asserts the monotonicity. */
+    * asserts the monotonicity.
+    *
+    * The superset property is also the execution strategy: ONE search
+    * runs at the deepest depth keeping phase1_rank, and every
+    * shallower depth is a `phase1_rank <= d` filter re-ranked under a
+    * (depth, query) window — identical results to a per-depth search
+    * at ~1/3 the work (the prior formulation recomputed the full
+    * bucket join + sketch phase per depth; a differential spec pins
+    * the outputs equal). */
   def annDepthSweep(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = emb(s, dir)
     val q = queriesDf(e)
-    val exact = annBruteforce(s, dir).select("query_id", "vec_id")
-      .localCheckpoint(true)
     val nq = q.count()
-    val rows = Seq(TopK, 2 * TopK, 4 * TopK).map { depth =>
-      val approx = lshSearch(e, q, overFetch = depth).select("query_id", "vec_id")
-      val hits = exact.intersect(approx).count()
-      DepthRow(depth, nq, hits.toDouble / (nq * TopK).toDouble)
-    }
-    s.createDataset(rows).toDF()
+    val perDepth = lshScored(e, q, overFetch = SweepDepths.max)
+      .withColumn("over_fetch", explode(typedLit(SweepDepths)))
+      .filter(col("phase1_rank") <= col("over_fetch"))
+    val wCos = Window.partitionBy("over_fetch", "query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val approx = perDepth
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select("over_fetch", "query_id", "vec_id")
+    val exact = annBruteforce(s, dir)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    approx.join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy("over_fetch")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        lit((nq * TopK).toDouble)).as("mean_recall"))
+      .select(col("over_fetch"), lit(nq).as("n_queries"), col("mean_recall"))
+      .orderBy("over_fetch")
   }
 
   // ---- ann_recall: quality gate of the approximate paths ---------------

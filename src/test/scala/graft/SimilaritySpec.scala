@@ -104,6 +104,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_depth_sweep: single-deep-search equals a per-depth recompute") {
+    // the shipped sweep derives each depth by filtering phase1_rank of
+    // ONE deep search; this recomputes every depth with an independent
+    // lshSearch (the pre-r5 formulation) and demands identical recalls
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").localCheckpoint(true)
+    val nq = q.count()
+    val expected = Similarity.SweepDepths.map { depth =>
+      val approx = Similarity.lshSearch(e, q, overFetch = depth)
+        .select("query_id", "vec_id")
+      val hits = exact.intersect(approx).count()
+      depth -> hits.toDouble / (nq * Similarity.TopK).toDouble
+    }.toMap
+    val got = Similarity.annDepthSweep(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("over_fetch") -> r.getAs[Double]("mean_recall")).toMap
+    assert(got == expected, s"sweep diverged from per-depth recompute: $got vs $expected")
+  }
+
   test("ann_pq: IVF-PQ top-k is deterministic with useful recall") {
     val r1 = Similarity.annPq(spark, sfDir).collect()
     assert(r1.nonEmpty)

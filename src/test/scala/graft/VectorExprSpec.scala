@@ -27,6 +27,29 @@ class VectorExprSpec extends SparkSpec {
     assert(got(1) == 0.0 && got(2) == 0.0)
   }
 
+  test("two instances of a vector kernel compile in ONE codegen stage") {
+    // regression: doGenCode used fixed local names (n/i/sum/dot/...),
+    // so a projection containing the expression twice generated
+    // redefined variables — janino failed and the whole stage fell
+    // back to the interpreted path. fallback=false turns that silent
+    // 10× slowdown into a test failure.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f)))
+        .toDF("a", "b", "c")
+      val r = df.select(
+        VectorFns.dot(col("a"), col("b")).as("d1"),
+        VectorFns.dot(col("a"), col("c")).as("d2"),
+        VectorFns.cosine(col("a"), col("b")).as("c1"),
+        VectorFns.cosine(col("a"), col("c")).as("c2")).collect().head
+      assert(math.abs(r.getDouble(0) - 11.0) < 1e-12)
+      assert(math.abs(r.getDouble(1) - 17.0) < 1e-12)
+      assert(r.getDouble(2) > 0 && r.getDouble(3) > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("mixed float/double children are accepted") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("f", "d")
