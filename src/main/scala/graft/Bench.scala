@@ -70,7 +70,7 @@ object Bench {
       val errs = runs.collect { case Left(m) => m }
       val median = if (oks.isEmpty) None
         else Some(oks.sorted.apply((oks.size - 1) / 2))
-      (name, median, errs.headOption.filter(_ => oks.isEmpty))
+      (name, median, errs.headOption.filter(_ => oks.isEmpty), oks)
     }
 
     def jstr(s: String): String =
@@ -79,12 +79,19 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.collect { case (n, Some(t), _) => n -> t }
-    val failed = results.collect { case (n, None, err) => n -> err.getOrElse("unknown") }
+    val ok = results.collect { case (n, Some(t), _, _) => n -> t }
+    val failed = results.collect { case (n, None, err, _) => n -> err.getOrElse("unknown") }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    // per-pass spread, so round-over-round variance is self-documenting
+    // (a regressed median with a tight spread is code; with a wide
+    // spread it's the environment) — `queries` stays the median alone
+    // for driver compatibility
+    val spread = results.collect { case (n, Some(t), _, oks) =>
+      jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max}}"""
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"pass_stats":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

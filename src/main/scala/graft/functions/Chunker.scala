@@ -105,16 +105,34 @@ object Chunker {
     counter.n
   }
 
+  /** Bzip2-framed size via commons-compress (on the Spark classpath)
+    * through the same counting sink as gzip — completes the
+    * reference's codec menu (encoder.c:587 selects gzip OR bzip2 at
+    * runtime). Block size 1 (100 kB): chunks are ≤ a few hundred
+    * bytes, so larger blocks only waste allocation. */
+  def bzip2Len(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val counter = new java.io.OutputStream {
+      var n = 0
+      override def write(b: Int): Unit = n += 1
+      override def write(b: Array[Byte], o: Int, l: Int): Unit = n += l
+    }
+    val bz = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(counter, 1)
+    bz.write(bytes, off, len)
+    bz.close()
+    counter.n
+  }
+
   /** Codecs the reference's Compress stage selects among
-    * (encoder.c:587 COMPRESS_GZIP / COMPRESS_BZIP2 / COMPRESS_NONE —
-    * bzip2 has no JDK implementation, so the menu here is
-    * none/deflate/gzip). */
-  val Codecs: Set[String] = Set("none", "deflate", "gzip")
+    * (encoder.c:587 COMPRESS_GZIP / COMPRESS_BZIP2 / COMPRESS_NONE;
+    * deflate is gzip's stream without the framing). */
+  val Codecs: Set[String] = Set("none", "deflate", "gzip", "bzip2")
 
   def compressedLen(bytes: Array[Byte], off: Int, len: Int, codec: String): Int =
     codec match {
       case "deflate" => deflatedLen(bytes, off, len)
       case "gzip"    => gzipLen(bytes, off, len)
+      case "bzip2"   => bzip2Len(bytes, off, len)
       case "none"    => len
       case c => throw new IllegalArgumentException(
         s"unknown codec '$c' (expected one of ${Codecs.mkString("/")})")

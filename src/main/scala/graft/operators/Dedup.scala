@@ -110,11 +110,14 @@ object Dedup {
       .select(col("chunk_sha"), col("doc_id"), col("chunk_idx"),
         col("length").as("orig_len"),
         NativeChunk.compressedLen(col("piece"), "deflate").as("comp_deflate"),
-        NativeChunk.compressedLen(col("piece"), "gzip").as("comp_gzip"))
+        NativeChunk.compressedLen(col("piece"), "gzip").as("comp_gzip"),
+        NativeChunk.compressedLen(col("piece"), "bzip2").as("comp_bzip2"))
       .withColumn("ratio_deflate",
         col("comp_deflate").cast("double") / col("orig_len").cast("double"))
       .withColumn("ratio_gzip",
         col("comp_gzip").cast("double") / col("orig_len").cast("double"))
+      .withColumn("ratio_bzip2",
+        col("comp_bzip2").cast("double") / col("orig_len").cast("double"))
   }
 
   // ---- dedup_restore: Reorder/decode round-trip ------------------------

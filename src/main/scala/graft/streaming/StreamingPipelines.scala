@@ -189,14 +189,20 @@ object StreamingPipelines {
       .start()
 
   // ---- throughput harness (BenSP parsec_stream equivalent) -------------
-  /** exec/plan columns split each micro-batch duration into its
-    * execution (addBatch — the reference's per-stage service time, at
-    * micro-batch granularity) and query-planning components. */
+  /** Per-stage latency breakdown of each micro-batch — the reference
+    * harness's per-stage latency / service-time dump (bin/parsec_stream,
+    * bensp_ferret UPL metrics) at micro-batch granularity:
+    * exec (addBatch = the pipeline's service time), plan
+    * (queryPlanning), getbatch (source read setup), commit (offset WAL),
+    * trigger (whole-trigger wall), and the state store's own split
+    * (update vs store-commit time, from StateOperatorProgress). */
   case class BenchResult(pipeline: String, rows_in: Long, rows_out: Long,
                          batches: Long, elapsed_sec: Double, rows_per_sec: Double,
                          batch_ms_p50: Double, batch_ms_p95: Double,
                          exec_ms_p50: Double, plan_ms_p50: Double,
-                         commit_ms_p50: Double)
+                         commit_ms_p50: Double, getbatch_ms_p50: Double,
+                         trigger_ms_p50: Double, state_update_ms_p50: Double,
+                         state_commit_ms_p50: Double)
 
   /** Percentile of observed micro-batch durations (BenSP's per-stage
     * latency metric, at micro-batch granularity). */
@@ -219,10 +225,18 @@ object StreamingPipelines {
     }
     val commitMs = phaseMs("walCommit").zip(phaseMs("commitOffsets"))
       .map { case (a, b) => a + b }
+    // state-store time summed over the query's stateful operators (a
+    // stateless pipeline reports 0s — the columns are always present)
+    def stateMs(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long)
+        : Seq[Double] =
+      progress.map(_.stateOperators.map(f(_).toDouble).sum)
     BenchResult(name, rowsIn, rowsOut, batches, elapsed, rowsIn / elapsed,
       pct(batchMs, 0.5), pct(batchMs, 0.95),
       pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5),
-      pct(commitMs, 0.5))
+      pct(commitMs, 0.5), pct(phaseMs("getBatch"), 0.5),
+      pct(phaseMs("triggerExecution"), 0.5),
+      pct(stateMs(p => p.allUpdatesTimeMs + p.allRemovalsTimeMs), 0.5),
+      pct(stateMs(_.commitTimeMs), 0.5))
   }
 
   /** A materialized replay feed: path + the metadata every measured

@@ -69,9 +69,25 @@ class ChunkerPropertySpec extends AnyFunSuite {
       val g = Chunker.compressedLen(bytes, 0, len, "gzip")
       assert(d > 0 && g > d) // gzip framing (18B) > zlib framing (6B)
       assert(g <= len + 64 + 18)
+      // bzip2: always positive; unlike deflate (stored-block fallback)
+      // its BWT+MTF coder can EXPAND incompressible input — observed
+      // ~1.22x on random bytes, so the sanity bound is 1.25x + header
+      val b = Chunker.compressedLen(bytes, 0, len, "bzip2")
+      assert(b > 0 && b <= len + len / 4 + 256)
     }
     intercept[IllegalArgumentException] {
-      Chunker.compressedLen(Array[Byte](1), 0, 1, "bzip2")
+      Chunker.compressedLen(Array[Byte](1), 0, 1, "zstd")
+    }
+  }
+
+  test("bzip2 length equals an independently framed commons-compress stream") {
+    cases.filter(_.nonEmpty).foreach { bytes =>
+      val buf = new java.io.ByteArrayOutputStream()
+      val bz = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(buf, 1)
+      bz.write(bytes, 0, bytes.length)
+      bz.close()
+      assert(Chunker.bzip2Len(bytes, 0, bytes.length) == buf.size())
     }
   }
 }

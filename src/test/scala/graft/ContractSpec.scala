@@ -3,7 +3,7 @@ package graft
 /** Driver-contract wiring net: every oracle key must resolve to a
   * query, and every query must at least ANALYZE against the test
   * tables (catches renamed columns, broken imports, bad expression
-  * types for all 61 entries without paying full execution — the two
+  * types for every entry in the map without paying full execution — the two
   * self-measuring streaming harnesses construct eagerly and are
   * covered by their own specs).
   */

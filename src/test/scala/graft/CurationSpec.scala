@@ -55,6 +55,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters_lsh: LSH-edge clustering matches a driver flood fill") {
+    import spark.implicits._
+    val labels = Curation.dedupClustersLsh(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("sha"))
+      .as[(Long, String)].collect()
+    assert(labels.count() == docs.length, "every document gets a label")
+    // reference edge set on the driver: the banded-LSH near-dup pairs
+    // plus member→representative stitching from the content digest —
+    // exactly what the production operator feeds clustersFromPairs
+    val near = Dedup.dedupMinhash(spark, sfDir).filter(col("is_dup"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val stitch = docs.groupBy(_._2).values.toSeq.flatMap { g =>
+      val ids = g.map(_._1); val m = ids.min
+      ids.filter(_ != m).map(m -> _)
+    }
+    val adj = (near ++ stitch).flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val lab = scala.collection.mutable.Map[Long, Long]()
+    adj.keys.foreach { k =>
+      if (!lab.contains(k)) {
+        var seen = Set(k); var frontier = Set(k)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+          seen ++= frontier
+        }
+        val m = seen.min
+        seen.foreach(lab(_) = m)
+      }
+    }
+    val got = labels.as[(Long, Long)].collect().toMap
+    docs.foreach { case (d, _) =>
+      val want = lab.getOrElse(d, d) // edge-less docs keep their own label
+      assert(got(d) == want, s"doc $d: expected cluster $want, got ${got(d)}")
+    }
+    // exact copies can never straddle clusters (stitching guarantees it)
+    docs.groupBy(_._2).values.foreach { g =>
+      assert(g.map(x => got(x._1)).distinct.size == 1,
+        "identical-content documents must share a cluster")
+    }
+  }
+
+  test("clustersFromPairs: no edges → every node is its own cluster") {
+    import spark.implicits._
+    val nodes = Seq(5L, 9L, 2L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = Curation.clustersFromPairs(nodes, noPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 9L -> 9L, 2L -> 2L))
+  }
+
   test("dedup_canonical: picks the highest-quality member of each cluster") {
     val canon = Curation.dedupCanonical(spark, sfDir)
     val labels = Curation.dedupClusters(spark, sfDir)

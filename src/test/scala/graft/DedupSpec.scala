@@ -105,9 +105,14 @@ class DedupSpec extends SparkSpec {
     assert(stats.getAs[Long]("total_bytes") >= stats.getAs[Long]("unique_bytes"))
     val comp = Dedup.chunkCompress(spark, sfDir).cache()
     assert(comp.count() == stats.getAs[Long]("n_unique_chunks"))
-    assert(comp.filter(col("comp_deflate") <= 0 || col("comp_gzip") <= 0).count() == 0)
+    assert(comp.filter(col("comp_deflate") <= 0 || col("comp_gzip") <= 0 ||
+      col("comp_bzip2") <= 0).count() == 0)
     // gzip = deflate stream + 18 bytes of framing, always
     assert(comp.filter(col("comp_gzip") <= col("comp_deflate")).count() == 0)
+    // every codec's ratio column recomputes from its own size column
+    assert(comp.filter(abs(col("ratio_bzip2") -
+      col("comp_bzip2").cast("double") / col("orig_len").cast("double")) > 1e-12)
+      .count() == 0)
     comp.unpersist()
   }
 

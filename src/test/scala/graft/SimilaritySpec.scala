@@ -115,14 +115,18 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.annBruteforce(spark, sfDir)
       .select("query_id", "vec_id").localCheckpoint(true)
     val nq = q.count()
+    // compare INTEGER hit counts per depth, not derived double recalls
+    // — both sides divide by the same nq*TopK, so hits are the exact
+    // quantity under test and immune to float-arithmetic reshuffles
     val expected = Similarity.SweepDepths.map { depth =>
       val approx = Similarity.lshSearch(e, q, overFetch = depth)
         .select("query_id", "vec_id")
-      val hits = exact.intersect(approx).count()
-      depth -> hits.toDouble / (nq * Similarity.TopK).toDouble
+      depth -> exact.intersect(approx).count()
     }.toMap
     val got = Similarity.annDepthSweep(spark, sfDir).collect()
-      .map(r => r.getAs[Int]("over_fetch") -> r.getAs[Double]("mean_recall")).toMap
+      .map(r => r.getAs[Int]("over_fetch") ->
+        math.round(r.getAs[Double]("mean_recall") * (nq * Similarity.TopK)))
+      .toMap
     assert(got == expected, s"sweep diverged from per-depth recompute: $got vs $expected")
   }
 

@@ -119,12 +119,23 @@ class StreamingSpec extends SparkSpec {
     assert(sess7001.forall(_.getAs[Long]("n_events") == 1L))
   }
 
-  test("throughput harness returns sane metrics") {
+  test("throughput harness returns sane metrics with a per-stage breakdown") {
     val evs = loadEvents().take(600)
     val r = StreamingPipelines.throughputBench(spark, evs, 200, "spec",
       StreamingPipelines.windowAgg)
     assert(r.rows_in == 600 && r.batches == 3)
     assert(r.rows_per_sec > 0 && r.rows_out > 0)
+    // per-stage latency breakdown (the reference's per-stage service
+    // time dump): phases nest inside the trigger wall-clock, and a
+    // stateful pipeline must report state-store time
+    assert(r.trigger_ms_p50 > 0)
+    assert(r.exec_ms_p50 <= r.trigger_ms_p50)
+    assert(r.plan_ms_p50 >= 0 && r.getbatch_ms_p50 >= 0)
+    assert(r.state_update_ms_p50 >= 0 && r.state_commit_ms_p50 >= 0)
+    // windowAgg is stateful: at least one batch paid a store commit
+    val rows = spark.createDataFrame(Seq(r))
+    Seq("getbatch_ms_p50", "trigger_ms_p50", "state_update_ms_p50",
+      "state_commit_ms_p50").foreach(c => assert(rows.columns.contains(c)))
   }
 
   test("param sweep: one row per grid cell, all cells measured") {
