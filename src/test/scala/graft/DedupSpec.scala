@@ -116,6 +116,70 @@ class DedupSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("emitted near-dup VALUES recompute from raw text on the driver") {
+    // end-to-end value check, independent of TextFns and every native
+    // kernel: tokenize + hash + jaccard/simhash reimplemented here
+    // from first principles (catalyst's XXH64 statics, driver Set
+    // ops), applied to the pairs the operators actually emitted
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Set[Long] =
+      t.trim.toLowerCase.split("\\s+").distinct
+        .map(w => XXH64.hashUTF8String(UTF8String.fromString(w), 42L)).toSet
+    def jac(a: Set[Long], b: Set[Long]): Double = {
+      val u = (a ++ b).size
+      if (u == 0) 0.0 else a.intersect(b).size.toDouble / u
+    }
+    val mh = Dedup.dedupMinhash(spark, sfDir).collect()
+    assert(mh.nonEmpty)
+    mh.foreach { r =>
+      val want = jac(toks(text(r.getAs[Long]("doc_a"))),
+        toks(text(r.getAs[Long]("doc_b"))))
+      assert(r.getAs[Double]("jaccard") == want,
+        s"minhash pair (${r.get(0)},${r.get(1)}) jaccard drifted")
+    }
+    def simhash(a: Set[Long]): Long = {
+      var out = 0L
+      for (b <- 0 until 64)
+        if (a.iterator.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum > 0)
+          out |= (1L << b)
+      out
+    }
+    val sh = Dedup.dedupSimhash(spark, sfDir).collect()
+    assert(sh.nonEmpty)
+    sh.foreach { r =>
+      val want = java.lang.Long.bitCount(
+        simhash(toks(text(r.getAs[Long]("doc_a")))) ^
+          simhash(toks(text(r.getAs[Long]("doc_b")))))
+      assert(r.getAs[Int]("hamming") == want,
+        s"simhash pair (${r.get(0)},${r.get(1)}) hamming drifted")
+    }
+  }
+
+  test("emitted embedding near-dup cosines recompute from raw vectors") {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = Dedup.dedupEmbedding(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val want = cos(vecs(r.getAs[Long]("vec_a")), vecs(r.getAs[Long]("vec_b")))
+      assert(math.abs(r.getAs[Double]("cos") - want) < 1e-9,
+        s"pair (${r.get(0)},${r.get(1)}): ${r.getAs[Double]("cos")} vs $want")
+    }
+  }
+
   test("near-dup output invariant under corpus duplication (rep layering)") {
     // every doc copied d x with fresh higher ids: the representative
     // layer (exact-dedup-before-near-dup) must make the near-dup pair
