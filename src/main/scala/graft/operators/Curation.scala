@@ -47,14 +47,43 @@ object Curation {
     * LSH-banded near-dup pairs plus exact-content stitching edges,
     * so no all-pairs generator is anywhere in the production plan. */
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("doc_a", "doc_b")
-      .union(pairs.toDF("doc_a", "doc_b")
-        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    // directed pair list, materialized ONCE — the pair generator (an
+    // LSH verify join) must never re-run per consumer
+    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
+    // ---- contraction pass (min-neighbor hooking) ----
+    // Near-dup graphs are clique-heavy (every member of a dup block
+    // pairs with every other), and an iterative loop pays the full
+    // edge list every round. One flat pass collapses each clique to a
+    // star: every node hooks to min(self, neighbors), and only edges
+    // whose endpoints hooked to DIFFERENT representatives survive into
+    // the loop (measured at sf0.1: 4.4M pairs → a few thousand).
+    // Components are exactly preserved (standard CC hooking), and so
+    // is the min-label: the component minimum hooks to itself.
+    val minN = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
+      .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
+      .groupBy("doc_id").agg(min("nb").as("mn"))
+    val l0 = nodes
+      .join(minN, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("rep"))
+      .localCheckpoint(true)
+    // contract the DIRECTED pairs through l0 (broadcast joins — l0 is
+    // node-sized with exact checkpoint stats), then symmetrize only
+    // the tiny surviving edge set; distinct's partial aggregation
+    // collapses the clique fan-in map-side
+    val e = p
+      .join(l0.select(col("doc_id").as("doc_a"), col("rep").as("la")), "doc_a")
+      .join(l0.select(col("doc_id").as("doc_b"), col("rep").as("lb")), "doc_b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("src"), col("lb").as("dst"))
+      .distinct()
+    val edges = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).localCheckpoint(true)
-    var labels = nodes
+    // ---- frontier-only hash-min propagation on the contracted graph --
+    var labels = l0.select(col("rep").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
-    var frontier = labels // round 1: every node offers its own label
+    var frontier = labels // round 1: every rep offers its own label
     var active = 1L
     var round = 0
     while (active > 0 && round < 64) {
@@ -75,7 +104,9 @@ object Curation {
       labels = next
       round += 1
     }
-    labels
+    // expand rep labels back through the contraction map
+    l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   /** Oracled variant: clusters over the EXACT near-dup pairs

