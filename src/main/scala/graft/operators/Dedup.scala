@@ -38,6 +38,30 @@ object Dedup {
       |  COUNT(*) AS n_copies
       |FROM documents GROUP BY sha256(text)""".stripMargin
 
+  // ---- dedup_exact_bucketed: shuffle-free dedup off a bucketed store ---
+  /** The ingest-side answer to the dedup shuffle: bucket the
+    * (doc_id, content_sha) store BY THE DIGEST once at write time, and
+    * every downstream dedup/group pass over it is shuffle-free — the
+    * bucketed scan's hash partitioning already satisfies the
+    * aggregation's distribution, so the exchange disappears from the
+    * plan (DedupSpec asserts zero ShuffleExchange nodes). At 100 TB
+    * this is the difference between re-shuffling the corpus digest
+    * table per pipeline run and paying the shuffle once at ingest.
+    * Output is bit-identical to [[dedupExact]] and shares its oracle. */
+  def dedupExactBucketed(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_store"
+    docs(s, dir)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(16, "content_sha")
+      .format("parquet")
+      .saveAsTable("graft_bucketed_store")
+    s.table("graft_bucketed_store")
+      .groupBy("content_sha")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
   /** Chunk boundaries + identities only — compression is opt-in
     * downstream (chunk_compress), so this table never pays a codec
@@ -374,6 +398,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_bucketed" -> (dedupExactBucketed _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
     "dedup_chunk_sweep" -> (dedupChunkSweep _),
@@ -387,6 +412,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)

@@ -57,17 +57,21 @@ object StreamingOps {
   }
 
   // ---- stream_param_sweep: knob-grid sweep (testbed t1..t9 analog) -----
-  case class SweepRow(pipeline: String, batch_size: Int, rows_in: Long,
-                      rows_out: Long, batches: Long, elapsed_sec: Double,
-                      rows_per_sec: Double, batch_ms_p50: Double,
-                      batch_ms_p95: Double, exec_ms_p50: Double)
+  case class SweepRow(pipeline: String, batch_size: Int, state_partitions: Int,
+                      rows_in: Long, rows_out: Long, batches: Long,
+                      elapsed_sec: Double, rows_per_sec: Double,
+                      batch_ms_p50: Double, batch_ms_p95: Double,
+                      exec_ms_p50: Double)
 
   /** The reference sweeps per-stage replica counts and queue sizes
     * across a config grid (bin/parsec_stream over testbed/t1..t9,
-    * encoder.c cmdline -t/-q): the micro-batch analogs here are batch
-    * size × pipeline, each cell measured by the same throughput
-    * harness. Event count is capped — the sweep characterizes the
-    * per-config overhead curve (latency vs batch size), while
+    * encoder.c cmdline -t/-q): the micro-batch analogs are batch size
+    * (queue depth) and STATE PARTITIONS (per-stage replica count — the
+    * number of parallel state-store tasks per trigger), each cell
+    * measured by the same throughput harness. The parallelism axis is
+    * swept on the stateful-heaviest pipeline (sessionize), the batch
+    * axis on all three. Event count is capped — the sweep
+    * characterizes the per-config overhead curve, while
     * stream_rate_bench measures corpus throughput. */
   def streamParamSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -77,19 +81,28 @@ object StreamingOps {
       .orderBy(col("ts"), col("event_id")).limit(10000)
       .as[Ev].collect().toSeq
     val append = org.apache.spark.sql.streaming.OutputMode.Append()
+    val sessionizePipe: DataFrame => DataFrame =
+      df => StreamingPipelines.sessionize(df.as[Ev]).toDF()
     val pipelines: Seq[(String, DataFrame => DataFrame, org.apache.spark.sql.streaming.OutputMode)] = Seq(
       ("window_agg", StreamingPipelines.windowAgg _,
         org.apache.spark.sql.streaming.OutputMode.Update()),
       ("dedup", StreamingPipelines.dedupStream _, append),
-      ("sessionize",
-        (df: DataFrame) => StreamingPipelines.sessionize(df.as[Ev]).toDF(), append))
-    val rows = for {
+      ("sessionize", sessionizePipe, append))
+    // grid: batch axis × all pipelines at default parallelism, plus
+    // the replica-count axis on sessionize at fixed batch size
+    val batchCells = for {
       bs <- Seq(500, 2000)
       (name, pipe, mode) <- pipelines
-    } yield {
-      val r = StreamingPipelines.throughputBench(s, evs, bs, s"${name}_$bs", pipe, mode)
-      SweepRow(name, bs, r.rows_in, r.rows_out, r.batches, r.elapsed_sec,
-        r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95, r.exec_ms_p50)
+    } yield (name, bs, None: Option[Int], pipe, mode)
+    val parCells = Seq(2, 8).map(p =>
+      ("sessionize", 2000, Some(p), sessionizePipe, append))
+    val rows = (batchCells ++ parCells).map { case (name, bs, parts, pipe, mode) =>
+      val actualParts = parts.getOrElse(StreamingPipelines.statePartsFor(s, bs))
+      val r = StreamingPipelines.throughputBench(s, evs, bs,
+        s"${name}_${bs}_p$actualParts", pipe, mode, parts)
+      SweepRow(name, bs, actualParts, r.rows_in, r.rows_out, r.batches,
+        r.elapsed_sec, r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95,
+        r.exec_ms_p50)
     }
     s.createDataFrame(rows)
   }

@@ -320,18 +320,27 @@ object StreamingPipelines {
     * the driver by construction; [[fileThroughputBench]] is the
     * distributed-feed variant, this one exists for exact batch-size
     * control in the knob sweep. */
+  /** Trigger-volume-proportional state-partition count (both
+    * harnesses' default sizing; see the comments at the use sites). */
+  def statePartsFor(s: SparkSession, batchSize: Int): Int =
+    math.max(4, math.min(
+      s.sessionState.conf.numShufflePartitions, batchSize / 2000))
+
   def throughputBench(s: SparkSession, events: Seq[Ev], batchSize: Int,
                       name: String, pipeline: DataFrame => DataFrame,
-                      mode: OutputMode = OutputMode.Update()): BenchResult = {
+                      mode: OutputMode = OutputMode.Update(),
+                      statePartsOverride: Option[Int] = None): BenchResult = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
     val sinkName = s"bench_${name}_${System.nanoTime()}"
     // state partitions sized to the trigger volume, as in
     // fileThroughputBench — excess partitions measure per-batch store
-    // commits, not the pipeline (setting is per-query, restored)
-    val stateParts = math.max(4, math.min(
-      s.sessionState.conf.numShufflePartitions, batchSize / 2000))
+    // commits, not the pipeline (setting is per-query, restored).
+    // The override is the knob sweep's parallelism axis — the
+    // reference's per-stage replica count (-t), which in micro-batch
+    // form is the number of parallel state-store tasks per trigger.
+    val stateParts = statePartsOverride.getOrElse(statePartsFor(s, batchSize))
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)

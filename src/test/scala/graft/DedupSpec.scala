@@ -116,6 +116,20 @@ class DedupSpec extends SparkSpec {
     comp.unpersist()
   }
 
+  test("dedup_exact_bucketed: equals dedup_exact with a shuffle-free agg plan") {
+    val bucketed = Dedup.dedupExactBucketed(spark, sfDir)
+    val plain = Dedup.dedupExact(spark, sfDir)
+    assert(bucketed.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // the whole point: the aggregation runs WITHOUT a shuffle because
+    // the bucketed scan already hash-partitions on the group key
+    val shuffles = bucketed.queryExecution.executedPlan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed dedup must not shuffle, found: ${shuffles.map(_.nodeName)}")
+  }
+
   test("emitted near-dup VALUES recompute from raw text on the driver") {
     // end-to-end value check, independent of TextFns and every native
     // kernel: tokenize + hash + jaccard/simhash reimplemented here

@@ -140,13 +140,20 @@ class StreamingSpec extends SparkSpec {
 
   test("param sweep: one row per grid cell, all cells measured") {
     val res = StreamingOps.streamParamSweep(spark, sfDir).collect()
-    assert(res.length == 6) // 2 batch sizes x 3 pipelines
-    assert(res.map(r => (r.getAs[String]("pipeline"), r.getAs[Int]("batch_size")))
-      .distinct.length == 6)
+    // 2 batch sizes x 3 pipelines + 2 parallelism cells on sessionize
+    assert(res.length == 8)
+    assert(res.map(r => (r.getAs[String]("pipeline"), r.getAs[Int]("batch_size"),
+      r.getAs[Int]("state_partitions"))).distinct.length == 8)
     res.foreach { r =>
       assert(r.getAs[Double]("rows_per_sec") > 0)
       assert(r.getAs[Long]("rows_in") > 0)
       assert(r.getAs[Long]("batches") > 0)
+      assert(r.getAs[Int]("state_partitions") > 0)
     }
+    // the replica-count axis (reference -t knob): both swept cells
+    // exist and processed the full feed
+    val par = res.filter(r => r.getAs[String]("pipeline") == "sessionize" &&
+      r.getAs[Int]("batch_size") == 2000)
+    assert(par.map(_.getAs[Int]("state_partitions")).toSet.size >= 2)
   }
 }
