@@ -333,6 +333,96 @@ object AnalyticsExtras {
   val qSkewSaltedSql: String =
     "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
+  // ---- q_fuzzy_join: blocked edit-distance similarity join -------------
+  /** Entity-resolution join: part names within edit distance 3 of each
+    * other, blocked on the name's head noun so candidates come from an
+    * equi-join — never a cartesian; the levenshtein verify runs only
+    * inside a block. The fuzzy match runs on DISTINCT names (the
+    * dedup-before-similarity layering every fuzzy join needs: a
+    * row-level formulation re-finds each name pair n_a×n_b times),
+    * then joins per-name row counts back so the output carries the
+    * row-pair accounting. At 100 TB the name table is the small
+    * distinct side — broadcast by statistics — while the counts stay
+    * an aggregation over the fact scan. */
+  def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(s, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_rows"))
+    val names = counts
+      .select(col("p_name"), split(col("p_name"), " ").getItem(1).as("noun"))
+    names.select(col("p_name").as("name_a"), col("noun"))
+      .join(names.select(col("p_name").as("name_b"), col("noun")), "noun")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .join(counts.select(col("p_name").as("name_a"), col("n_rows").as("n_a")), "name_a")
+      .join(counts.select(col("p_name").as("name_b"), col("n_rows").as("n_b")), "name_b")
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+  }
+
+  val qFuzzyJoinSql: String =
+    """WITH counts AS (
+      |  SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+      |), names AS (
+      |  SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM counts
+      |)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      |  ca.n_rows AS n_a, cb.n_rows AS n_b
+      |FROM names a
+      |JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+      |JOIN counts ca ON ca.p_name = a.p_name
+      |JOIN counts cb ON cb.p_name = b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
+  // ---- q_full_outer: full outer join of two aggregates -----------------
+  /** FULL OUTER join of two independently aggregated sides (high-value
+    * BUILDING customers vs high-balance suppliers, per nation): rows
+    * surviving on either side alone keep zeros for the other, and a
+    * presence tag records which side matched. The dim attach after the
+    * outer join is a broadcast on the coalesced key (an FK into
+    * nation, so it preserves every row). */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    val nation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nationkey"), col("n_name"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .withColumn("presence",
+        when(col("n_cust").isNotNull && col("n_supp").isNotNull, "both")
+          .when(col("n_cust").isNotNull, "cust_only")
+          .otherwise("supp_only"))
+      .join(broadcast(nation), "nationkey")
+      .select(col("n_name"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        col("presence"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH cust AS (
+      |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000
+      |  GROUP BY c_nationkey
+      |), supp AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 8000
+      |  GROUP BY s_nationkey
+      |)
+      |SELECT n.n_name,
+      |  COALESCE(c.n_cust, 0) AS n_cust,
+      |  COALESCE(s.n_supp, 0) AS n_supp,
+      |  CASE WHEN c.nationkey IS NOT NULL AND s.nationkey IS NOT NULL THEN 'both'
+      |       WHEN c.nationkey IS NOT NULL THEN 'cust_only'
+      |       ELSE 'supp_only' END AS presence
+      |FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+      |JOIN nation n ON n.n_nationkey = COALESCE(c.nationkey, s.nationkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moving_avg" -> (qMovingAvg _),
     "q_cube" -> (qCube _),
@@ -345,7 +435,9 @@ object AnalyticsExtras {
     "q_gap_fill" -> (qGapFill _),
     "q_histogram" -> (qHistogram _),
     "q_stats" -> (qStats _),
-    "q_skew_salted" -> (qSkewSalted _))
+    "q_skew_salted" -> (qSkewSalted _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_full_outer" -> (qFullOuter _))
 
   val oracle: Map[String, String] = Map(
     "q_moving_avg" -> qMovingAvgSql,
@@ -359,5 +451,7 @@ object AnalyticsExtras {
     "q_gap_fill" -> qGapFillSql,
     "q_histogram" -> qHistogramSql,
     "q_stats" -> qStatsSql,
-    "q_skew_salted" -> qSkewSaltedSql)
+    "q_skew_salted" -> qSkewSaltedSql,
+    "q_fuzzy_join" -> qFuzzyJoinSql,
+    "q_full_outer" -> qFullOuterSql)
 }

@@ -62,6 +62,63 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  // ---- dedup_incremental: new-batch ingest against the digest store ----
+  /** Incremental ingest dedup — the nightly-batch pattern: a NEW
+    * document batch arrives and every doc is classified against the
+    * EXISTING corpus as duplicate-of-store, duplicate-within-batch
+    * (an earlier batch doc holds the same content), or truly new, with
+    * per-source accounting. The store/batch split is a deterministic
+    * hash of the doc key (25% batch), so the whole operator is
+    * DuckDB-oracled.
+    *
+    * Scale posture: the store side is the digest table — at ingest
+    * scale the bucketed layout from [[dedupExactBucketed]], so the
+    * membership probe is an equi-join on 32-byte digests whose store
+    * side arrives pre-partitioned; within-batch first-occurrence is a
+    * window over batch digests only. Document text never moves —
+    * everything downstream of the scan joins on digests. */
+  private[graft] def incrementalFromDocs(d: DataFrame): DataFrame = {
+    val keyed = d.select(col("doc_id"), col("source"),
+      sha2(col("text").cast("binary"), 256).as("content_sha"),
+      (substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))
+        .cast("binary")), 1, 1) >= "c").as("is_batch"))
+    val store = keyed.filter(!col("is_batch"))
+      .select(col("content_sha")).distinct().withColumn("in_store", lit(true))
+    val batch = keyed.filter(col("is_batch"))
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("content_sha")))
+    batch.join(store, Seq("content_sha"), "left")
+      .withColumn("in_store", coalesce(col("in_store"), lit(false)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("in_store"), 1L).otherwise(0L)).as("n_dup_store"),
+        sum(when(!col("in_store") && col("doc_id") =!= col("first_id"), 1L)
+          .otherwise(0L)).as("n_dup_batch"),
+        sum(when(!col("in_store") && col("doc_id") === col("first_id"), 1L)
+          .otherwise(0L)).as("n_new_unique"))
+  }
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    incrementalFromDocs(docs(s, dir))
+
+  val dedupIncrementalSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source, sha256(text) AS content_sha,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 1) >= 'c' AS is_batch
+      |  FROM documents
+      |), store AS (
+      |  SELECT DISTINCT content_sha FROM keyed WHERE NOT is_batch
+      |), batch AS (
+      |  SELECT doc_id, source, content_sha,
+      |    MIN(doc_id) OVER (PARTITION BY content_sha) AS first_id
+      |  FROM keyed WHERE is_batch
+      |)
+      |SELECT b.source, COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN s.content_sha IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_store,
+      |  CAST(SUM(CASE WHEN s.content_sha IS NULL AND b.doc_id <> b.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+      |  CAST(SUM(CASE WHEN s.content_sha IS NULL AND b.doc_id = b.first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new_unique
+      |FROM batch b LEFT JOIN store s ON b.content_sha = s.content_sha
+      |GROUP BY b.source""".stripMargin
+
   // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
   /** Chunk boundaries + identities only — compression is opt-in
     * downstream (chunk_compress), so this table never pays a codec
@@ -399,6 +456,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_bucketed" -> (dedupExactBucketed _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
     "dedup_chunk_sweep" -> (dedupChunkSweep _),
@@ -413,6 +471,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_bucketed" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)

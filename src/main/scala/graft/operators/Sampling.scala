@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus sampling, splitting, and shard-packing operators
+  * (SURVEY.md §2.B extension) — the organization layer a training-data
+  * pipeline runs after curation: deterministic sub-sampling, train/
+  * val/test assignment, per-stratum quotas, and token-budgeted shard
+  * packing for the trainer.
+  *
+  * Everything derives its randomness from one primitive: an md5 of the
+  * salted document key. Both engines hash identical UTF-8 bytes and
+  * compare the hex lexicographically, so every operator here is fully
+  * DuckDB-oracled — no seeded RNG, no partition-order dependence, and
+  * re-running the pipeline on a grown corpus never reassigns an
+  * existing document (the property that makes hash splits the standard
+  * over random() splits for training data).
+  *
+  * Scale posture: sample/split/stratify are pure map or
+  * partitioned-window stages (shuffle at most once on the stratum
+  * key). Shard packing needs a GLOBAL running sum — the one operation
+  * a naive window formulation serializes onto a single task — so it
+  * ships as a two-pass distributed prefix sum: range-partition by the
+  * hash key, per-partition partial sums (#partitions rows to the
+  * driver), broadcast exclusive offsets back, local cumsum per
+  * partition. Wall-clock tracks the largest partition, never the
+  * corpus.
+  */
+object Sampling {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, Tables.documents(s, dir))
+
+  /** md5-hex of a salted key — the deterministic-randomness primitive
+    * every operator in this file derives from. */
+  private def hashKey(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(":" + salt)).cast("binary"))
+
+  private def hashKeySql(idExpr: String, salt: String): String =
+    s"md5(CAST($idExpr AS VARCHAR) || ':$salt')"
+
+  // ---- sample_hash: deterministic Bernoulli sampling -------------------
+  /** Keep a document iff the first 4 hex digits of its salted md5 sort
+    * below the cut — rate = 0x1999/0x10000 ≈ 10%, exact in
+    * expectation, reproducible row-by-row on any engine. Pure map
+    * stage; the full assignment table is emitted because the sample IS
+    * the output (downstream reads `sampled`). */
+  private[operators] val SampleHexCut = "1999"
+
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(hashKey(col("doc_id"), "s1"), 1, 4)
+    docs(s, dir).select(col("doc_id"), col("source"),
+      bucket.as("bucket"),
+      (bucket < SampleHexCut).as("sampled"))
+  }
+
+  val sampleHashSql: String =
+    s"""SELECT doc_id, source,
+      |  substr(${hashKeySql("doc_id", "s1")}, 1, 4) AS bucket,
+      |  substr(${hashKeySql("doc_id", "s1")}, 1, 4) < '$SampleHexCut' AS sampled
+      |FROM documents""".stripMargin
+
+  // ---- sample_split: train/val/test assignment accounting --------------
+  /** Hash-bucket split on the first hex digit: 0..b → train (75%),
+    * c..d → val (12.5%), e..f → test (12.5%). The output is the
+    * per-(source, split) accounting — constant-size at any corpus
+    * scale; the assignment expression itself is what a pipeline
+    * filters on. One shuffle on the (source, split) group key. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val c = substring(hashKey(col("doc_id"), "split"), 1, 1)
+    val split = when(c < "c", "train").when(c < "e", "val").otherwise("test")
+    docs(s, dir).select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
+  val sampleSplitSql: String = {
+    val c = s"substr(${hashKeySql("doc_id", "split")}, 1, 1)"
+    s"""SELECT source,
+      |  CASE WHEN $c < 'c' THEN 'train'
+      |       WHEN $c < 'e' THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- sample_stratified: fixed per-stratum quota ----------------------
+  /** Exactly K documents per source, chosen by hash order (uniform
+    * within the stratum, deterministic, stable under corpus growth for
+    * surviving docs). The window is PARTITIONED by the stratum key —
+    * strata spread across the cluster; no global window exists. */
+  private[operators] val StratumK = 25
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(hashKey(col("doc_id"), "strat"), col("doc_id"))
+    docs(s, dir).select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumK)
+  }
+
+  val sampleStratifiedSql: String =
+    s"""SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY ${hashKeySql("doc_id", "strat")}, doc_id) AS INT) AS rk
+      |  FROM documents
+      |) WHERE rk <= $StratumK""".stripMargin
+
+  // ---- shard_pack: token-budgeted training-shard packing ---------------
+  /** Pack documents into contiguous training shards of ~[[PackBudget]]
+    * whitespace tokens, in deterministic hash order: shard_id =
+    * floor(exclusive-prefix-tokens / budget). A document lands in the
+    * shard its running offset starts in, so every shard holds a
+    * contiguous hash-order run and sums to < budget + max_doc_tokens.
+    *
+    * The global running sum is the classic distributed prefix-sum, NOT
+    * a global window (which Spark plans as a single-task sort —
+    * the textbook 100 TB serialization point):
+    *   1. range-partition by (hash key, doc_id) — total order across
+    *      partitions, each partition a contiguous key run;
+    *   2. per-partition token sums → #partitions (pid, sum) rows to
+    *      the driver — independent of corpus size;
+    *   3. exclusive offsets broadcast back, one partitioned window
+    *      adds the local cumsum.
+    * ShardPackSpec proves the result identical to the naive global
+    * window at test scale and that the shipped plan keeps the data
+    * spread across partitions. */
+  private[operators] val PackBudget = 4096L
+
+  def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      hashKey(col("doc_id"), "pack").as("key"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // one materialization: partial sums and the final cumsum must see
+    // the SAME partition assignment (localCheckpoint pins it and
+    // truncates lineage)
+    val parts = base.repartitionByRange(col("key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partials = parts.groupBy("pid")
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partials.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    val w = Window.partitionBy("pid").orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offDf), "pid")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("offset"))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(PackBudget.toDouble)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+  }
+
+  /** The oracle states the SEMANTICS (one global running sum) — DuckDB
+    * may evaluate it however it likes; the Spark side must only never
+    * plan it that way. */
+  val shardPackSql: String =
+    s"""SELECT doc_id, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(floor((CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+      |    / ${PackBudget}.0) AS BIGINT) AS shard_id
+      |FROM (
+      |  SELECT doc_id, ${hashKeySql("doc_id", "pack")} AS key,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash" -> (sampleHash _),
+    "sample_split" -> (sampleSplit _),
+    "sample_stratified" -> (sampleStratified _),
+    "shard_pack" -> (shardPack _))
+
+  val oracle: Map[String, String] = Map(
+    "sample_hash" -> sampleHashSql,
+    "sample_split" -> sampleSplitSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "shard_pack" -> shardPackSql)
+}

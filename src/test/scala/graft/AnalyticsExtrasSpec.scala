@@ -83,4 +83,42 @@ class AnalyticsExtrasSpec extends SparkSpec {
       assert(parts == parts.sorted && parts.distinct == parts)
     }
   }
+
+  test("q_fuzzy_join: pairs share the blocking noun, distances in (0,3]") {
+    val rows = AnalyticsExtras.qFuzzyJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[String]("name_a"); val b = r.getAs[String]("name_b")
+      assert(a.split(" ")(1) == b.split(" ")(1), s"pair crosses blocks: $a / $b")
+      val d = r.getAs[Int]("dist")
+      assert(d >= 1 && d <= 3, s"distance out of bounds: $a / $b = $d")
+      assert(a < b, "pair not canonically ordered")
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    // no duplicate pairs
+    val keys = rows.map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("q_full_outer: unmatched sides survive with zeros, coverage is the union") {
+    val rows = AnalyticsExtras.qFullOuter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_cust"); val ns = r.getAs[Long]("n_supp")
+      r.getAs[String]("presence") match {
+        case "both"      => assert(nc > 0 && ns > 0)
+        case "cust_only" => assert(nc > 0 && ns == 0)
+        case "supp_only" => assert(nc == 0 && ns > 0)
+        case p           => fail(s"unknown presence tag $p")
+      }
+    }
+    // the joined key set is exactly the union of the two filtered sides
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000)
+      .select(col("c_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val supp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 8000)
+      .select(col("s_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.length == (cust ++ supp).size)
+  }
 }

@@ -244,4 +244,36 @@ class DedupSpec extends SparkSpec {
     assert(byBits(0) >= byBits(1) && byBits(1) >= byBits(2),
       s"chunk counts not monotone in granularity: ${byBits.toSeq}")
   }
+
+  test("dedup_incremental: classifies store-dup, batch-dup, and new docs") {
+    import spark.implicits._
+    // pristine corpus: content is unique, so every batch doc is new
+    Dedup.incrementalFromDocs(Tables.documents(spark, sfDir)).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("n_dup_store") == 0)
+        assert(r.getAs[Long]("n_dup_batch") == 0)
+        assert(r.getAs[Long]("n_batch") == r.getAs[Long]("n_new_unique"))
+      }
+    // injected corpus exercising all three classes — batch membership
+    // depends only on md5(doc_id:inc), recomputed here to pick ids
+    def isBatch(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:inc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.charAt(0) >= 'c'
+    }
+    val storeId = (0L to 100L).find(id => !isBatch(id)).get
+    val Seq(b1, b2, b3) = (0L to 200L).filter(isBatch).take(3).toSeq
+    val injected = Seq(
+      (storeId, "shared with store", "x"),
+      (b1, "shared with store", "x"), // duplicate of the store
+      (b2, "fresh content", "x"),     // first occurrence in the batch
+      (b3, "fresh content", "x"))     // duplicate within the batch
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.incrementalFromDocs(injected).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_batch") == 3)
+    assert(r.head.getAs[Long]("n_dup_store") == 1)
+    assert(r.head.getAs[Long]("n_dup_batch") == 1)
+    assert(r.head.getAs[Long]("n_new_unique") == 1)
+  }
 }

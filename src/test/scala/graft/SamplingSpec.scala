@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  test("sample_hash: deterministic assignment, flag consistent with bucket") {
+    val r1 = Sampling.sampleHash(spark, sfDir).collect()
+    val r2 = Sampling.sampleHash(spark, sfDir).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    r1.foreach { r =>
+      assert(r.getAs[Boolean]("sampled") == (r.getAs[String]("bucket") < "1999"))
+    }
+    val rate = r1.count(_.getAs[Boolean]("sampled")).toDouble / r1.length
+    assert(rate >= 0.0 && rate <= 0.35, s"10% hash sample wildly off: $rate")
+  }
+
+  test("sample_split: partitions the corpus exactly, train dominates") {
+    val rows = Sampling.sampleSplit(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("sample_stratified: at most K per source, ranks contiguous from 1") {
+    val rows = Sampling.sampleStratified(spark, sfDir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rk")).sorted
+      assert(ranks.length <= 25, s"stratum $src over quota")
+      assert(ranks.toSeq == (1 to ranks.length), s"ranks not contiguous in $src")
+    }
+    // deterministic: re-run picks the identical documents
+    val again = Sampling.sampleStratified(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("shard_pack: distributed prefix sum equals the naive global window") {
+    val packed = Sampling.shardPack(spark, sfDir)
+    // the naive formulation the shipped plan must NEVER use: one
+    // global unpartitioned window (single-task sort at scale)
+    val key = md5(concat(col("doc_id").cast("string"), lit(":pack")).cast("binary"))
+    val naive = Tables.documents(spark, sfDir).select(col("doc_id"),
+      key.as("key"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(col("key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(4096.0)).cast("long"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+    assert(packed.collect().map(_.toString).sorted.toSeq ==
+      naive.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("shard_pack: contiguous shards within budget + one doc, spread plan") {
+    val rows = Sampling.shardPack(spark, sfDir).collect()
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+    byShard.foreach { case (sid, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_tokens")).sum
+      assert(tot < 4096L + maxDoc, s"shard $sid over budget: $tot")
+    }
+    // shard ids are a contiguous 0..n range (contiguous hash-order runs)
+    val ids = byShard.keySet
+    assert(ids == (0L until ids.size).toSet)
+    // the cumsum is a permutation-free exact prefix: max cum == total
+    assert(rows.map(_.getAs[Long]("cum_tokens")).max ==
+      rows.map(_.getAs[Long]("n_tokens")).sum)
+    // scale posture: every window in the shipped plan is PARTITIONED —
+    // the naive formulation's unpartitioned window (single-task global
+    // sort) must never appear (AQE may still coalesce tiny test data,
+    // so assert the plan property, not the partition count)
+    val windows = Sampling.shardPack(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in shard_pack"))
+  }
+}
