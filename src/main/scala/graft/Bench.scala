@@ -24,6 +24,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the ContextCleaner only reclaims broadcast/shuffle/checkpoint
+      // blocks after a DRIVER GC notices the references are dead; a
+      // bench driver with a large idle heap may never GC on its own,
+      // so executor-side blocks accumulate across hundreds of passes
+      // (default periodicGC is 30 min — longer than the whole bench)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,9 +65,14 @@ object Bench {
       .map { case (name, fn) =>
       // localCheckpoint blocks from earlier queries stay in the
       // BlockManager until a driver GC lets the ContextCleaner reap
-      // them — collect them NOW so they don't tax later queries'
-      // measured passes (isolated runs measured 6× lower for small
-      // queries scheduled after checkpoint-heavy ones)
+      // them — and the ContextCleaner frees them ASYNCHRONOUSLY, so a
+      // System.gc() alone still let checkpoint-heavy queries tax their
+      // neighbors (measured: 4-55 s pass spread on unchanged code once
+      // the iterative cluster queries joined the bench). Unpersist
+      // every leaked persistent RDD BLOCKING, then GC the object
+      // graphs.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes

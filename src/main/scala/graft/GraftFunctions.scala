@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{ChunkDocument, CompressedLen, CosineSim, DotProduct, EmdDistance, LongSetJaccard, LshBuckets, MinHashSig, SimHash64}
+import graft.functions.{ChunkDocument, CompressedLen, CosineSim, DotProduct, EmdDistance, LongSetJaccard, LshBuckets, MinHashSig, NfcNormalize, SimHash64}
 
 /** SQL-surface registration of the graft native expressions, so
   * `spark.sql("SELECT graft_cosine(a.embedding, b.embedding) ...")`
@@ -43,6 +43,7 @@ object GraftFunctions {
       else ChunkDocument(args(0), intArg(args(1), "minSize"),
         intArg(args(2), "maxSize"), intArg(args(3), "maskBits"))),
     "graft_emd" -> (args => EmdDistance(args(0), args(1))),
+    "graft_nfc" -> (args => NfcNormalize(args(0))),
     "graft_lsh_buckets" -> (args => LshBuckets(args(0),
       longArg(args(1), "seed"), intArg(args(2), "nTables"),
       intArg(args(3), "bits"), intArg(args(4), "dim"))),

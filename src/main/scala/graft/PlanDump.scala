@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool behind PLANS.md: prints the formatted physical plan of
+  * named driver-contract queries (all of them if no names given).
+  *   sbt "runMain graft.PlanDump /root/testdata/sf0.01 q1_agg shard_pack"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      println(s"===== $name =====")
+      println(fn(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

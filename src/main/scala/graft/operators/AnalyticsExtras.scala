@@ -333,6 +333,104 @@ object AnalyticsExtras {
   val qSkewSaltedSql: String =
     "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
+  // ---- q_window_range: RANGE-framed event-time sliding aggregate -------
+  /** Trailing 1-hour RANGE frame per user: for every event, the count
+    * and decimal-exact value sum of that user's events in the
+    * preceding hour (inclusive). RANGE frames bound state by TIME —
+    * the frame is defined by the ordering value, so ts ties are peers
+    * and the result is deterministic with no tiebreak column (the
+    * complement of q_moving_avg's ROWS frame, which is why both
+    * exist). The window is PARTITIONED by user; event time is
+    * microseconds since epoch in both engines. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select("event_id", "user_id", "us", "n_1h", "sum_1h")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- q_multi_distinct: several COUNT(DISTINCT) in one pass -----------
+  /** Three distinct-counts over different keys in ONE aggregation:
+    * Catalyst plans this with an Expand (one row copy per distinct
+    * key, tagged by gid) feeding a two-level aggregate, so the table
+    * is scanned once and each copy partial-aggregates map-side —
+    * scan count stays 1 at any scale, trading a bounded 3× row
+    * expansion for two extra passes over the data that a naive
+    * per-key self-join formulation would pay as three scans plus
+    * joins. */
+  def qMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order"),
+        count(lit(1)).as("n_rows"))
+
+  val qMultiDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS nd_part,
+      |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+      |  COUNT(DISTINCT l_orderkey) AS nd_order,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- q_histogram_eqdepth: equi-depth histogram via distributed rank --
+  /** Equi-depth (equal-frequency) histogram over l_extendedprice:
+    * B buckets of ~N/B rows each, with per-bucket count, bounds, and a
+    * decimal-exact revenue sum. The global rank that assigns buckets
+    * is [[PrefixSum.runningSum]] with unit weights — a distributed
+    * prefix rank — NOT ntile()/row_number() over a global window,
+    * which Spark plans as one sorted task (the complement of
+    * q_histogram's equi-width bucketing, which needs no rank at all).
+    * Ties on price are broken by (l_orderkey, l_linenumber), so
+    * assignment is a total order and fully deterministic. */
+  private val EqDepthBuckets = 10
+
+  def qHistogramEqdepth(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        lit(1L).as("one"))
+    val n = base.count()
+    val ranked = PrefixSum.runningSum(base,
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "one", "rk")
+    ranked
+      .withColumn("bucket",
+        floor((col("rk") - 1) * EqDepthBuckets / lit(n.toDouble)).cast("long"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_rows"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        sum(decP(col("l_extendedprice"))).cast("double").as("sum_price"))
+  }
+
+  val qHistogramEqdepthSql: String =
+    s"""WITH r AS (
+      |  SELECT l_extendedprice,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM lineitem
+      |)
+      |SELECT CAST(floor((rk - 1) * $EqDepthBuckets / CAST(n AS DOUBLE)) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+      |FROM r GROUP BY 1""".stripMargin
+
   // ---- q_fuzzy_join: blocked edit-distance similarity join -------------
   /** Entity-resolution join: part names within edit distance 3 of each
     * other, blocked on the name's head noun so candidates come from an
@@ -437,7 +535,10 @@ object AnalyticsExtras {
     "q_stats" -> (qStats _),
     "q_skew_salted" -> (qSkewSalted _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
-    "q_full_outer" -> (qFullOuter _))
+    "q_full_outer" -> (qFullOuter _),
+    "q_histogram_eqdepth" -> (qHistogramEqdepth _),
+    "q_window_range" -> (qWindowRange _),
+    "q_multi_distinct" -> (qMultiDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q_moving_avg" -> qMovingAvgSql,
@@ -453,5 +554,8 @@ object AnalyticsExtras {
     "q_stats" -> qStatsSql,
     "q_skew_salted" -> qSkewSaltedSql,
     "q_fuzzy_join" -> qFuzzyJoinSql,
-    "q_full_outer" -> qFullOuterSql)
+    "q_full_outer" -> qFullOuterSql,
+    "q_histogram_eqdepth" -> qHistogramEqdepthSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_multi_distinct" -> qMultiDistinctSql)
 }

@@ -47,6 +47,14 @@ object Curation {
     * LSH-banded near-dup pairs plus exact-content stitching edges,
     * so no all-pairs generator is anywhere in the production plan. */
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    // self-cleaning: every localCheckpoint below persists an RDD that
+    // outlives this call unless freed — in a long-running session an
+    // iterative operator that leaks its round blocks taxes every later
+    // job (measured 4× on neighbors in a full bench sweep). Snapshot
+    // the persisted set now; free everything new except the final
+    // result before returning.
+    val persistedBefore = sc.getPersistentRDDs.keySet
     // directed pair list, materialized ONCE — the pair generator (an
     // LSH verify join) must never re-run per consumer
     val p = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
@@ -93,20 +101,35 @@ object Curation {
           "src")
         .groupBy(col("dst").as("doc_id")).agg(min("cand").as("cand"))
       // one checkpointed join feeds BOTH the next label table and the
-      // next frontier — the edge join never runs twice per round
+      // next frontier — the edge join never runs twice per round, and
+      // since `joined` is already a materialized LogicalRDD the
+      // derived label/frontier selects stay depth-1 plans with no
+      // checkpoint of their own (each eager checkpoint is a full
+      // materialization pass; one per round is enough)
       val joined = labels.join(offers, Seq("doc_id"), "left").localCheckpoint(true)
       val next = joined.select(col("doc_id"),
         least(col("cluster_id"), coalesce(col("cand"), col("cluster_id")))
-          .as("cluster_id")).localCheckpoint(true)
+          .as("cluster_id"))
       frontier = joined.filter(col("cand") < col("cluster_id"))
         .select(col("doc_id"), col("cand").as("cluster_id"))
       active = frontier.count()
       labels = next
       round += 1
     }
-    // expand rep labels back through the contraction map
-    l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
+    // expand rep labels back through the contraction map, materialize
+    // the (small, node-sized) result, then free every intermediate
+    // round block — only the result's own checkpoint survives the call
+    val res = l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val keep = res.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!persistedBefore.contains(id) && !keep.contains(id))
+        rdd.unpersist(blocking = false)
+    }
+    res
   }
 
   /** Oracled variant: clusters over the EXACT near-dup pairs

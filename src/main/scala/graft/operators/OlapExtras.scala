@@ -221,7 +221,33 @@ object OlapExtras {
         abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users").cast("double"))
 
+  // ---- q_approx_percentile: quantile sketch vs exact (rows-only) -------
+  /** The quantile twin of q_approx_distinct: approx_percentile's
+    * bounded-memory mergeable sketch (the 100 TB path for
+    * high-cardinality groups) against the exact buffered percentile,
+    * with the relative error riding along as the quality gate. Sketch
+    * internals are engine-specific → rows-only; the EXACT side is
+    * already oracled via q_percentile. */
+  def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9))).as("exact"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("approx"))
+      .select(col("l_returnflag"),
+        col("exact").getItem(0).as("exact_p50"),
+        col("approx").getItem(0).as("approx_p50"),
+        col("exact").getItem(1).as("exact_p90"),
+        col("approx").getItem(1).as("approx_p90"))
+      .withColumn("rel_err_p50",
+        abs(col("approx_p50") - col("exact_p50")) / col("exact_p50"))
+      .withColumn("rel_err_p90",
+        abs(col("approx_p90") - col("exact_p90")) / col("exact_p90"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_percentile" -> (qApproxPercentile _),
     "q_asof" -> (qAsof _),
     "q_range_join" -> (qRangeJoin _),
     "q_json" -> (qJson _),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — the scale-safe replacement for
+  * Spark's unpartitioned window (which plans every global running
+  * sum/rank as ONE sorted task, the textbook serialization point at
+  * 100 TB):
+  *
+  *   1. range-partition on the total-order key, so each partition
+  *      holds a contiguous key run;
+  *   2. per-partition partial sums — #partitions small rows to the
+  *      driver, independent of data size;
+  *   3. broadcast exclusive offsets back and add a PARTITIONED window
+  *      cumsum, so wall-clock tracks the largest partition.
+  *
+  * The result is exactly the global inclusive running sum regardless
+  * of where the sampled range boundaries fall (offsets reconstruct
+  * the global prefix for any partitioning of a total order).
+  * Consumers: [[Sampling.shardPack]] (token-weighted),
+  * [[AnalyticsExtras.qHistogramEqdepth]] (unit-weighted global rank).
+  */
+private[graft] object PrefixSum {
+
+  /** Appends `cumName` = inclusive running sum of `weight` (must be a
+    * LongType column already present in `df`) in `sortCols` order.
+    * `sortCols` must be a total order (include a tiebreak key).
+    * Materializes `df` once (localCheckpoint) so the partition
+    * assignment seen by the partial-sum pass and the cumsum pass is
+    * identical. */
+  def runningSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                 cumName: String): DataFrame = {
+    val parts = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partials = parts.groupBy("__pid").agg(sum(col(weightCol)).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partials.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val s = df.sparkSession
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offDf), "__pid")
+      .withColumn(cumName, sum(col(weightCol)).over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+}

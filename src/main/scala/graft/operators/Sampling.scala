@@ -118,41 +118,18 @@ object Sampling {
     * shard its running offset starts in, so every shard holds a
     * contiguous hash-order run and sums to < budget + max_doc_tokens.
     *
-    * The global running sum is the classic distributed prefix-sum, NOT
-    * a global window (which Spark plans as a single-task sort —
-    * the textbook 100 TB serialization point):
-    *   1. range-partition by (hash key, doc_id) — total order across
-    *      partitions, each partition a contiguous key run;
-    *   2. per-partition token sums → #partitions (pid, sum) rows to
-    *      the driver — independent of corpus size;
-    *   3. exclusive offsets broadcast back, one partitioned window
-    *      adds the local cumsum.
-    * ShardPackSpec proves the result identical to the naive global
-    * window at test scale and that the shipped plan keeps the data
-    * spread across partitions. */
+    * The global running sum is [[PrefixSum.runningSum]] — the
+    * distributed prefix-sum, never Spark's single-task global window.
+    * SamplingSpec proves the result identical to the naive global
+    * window at test scale and that no unpartitioned window reaches
+    * the plan. */
   private[operators] val PackBudget = 4096L
 
   def shardPack(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"),
       hashKey(col("doc_id"), "pack").as("key"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    // one materialization: partial sums and the final cumsum must see
-    // the SAME partition assignment (localCheckpoint pins it and
-    // truncates lineage)
-    val parts = base.repartitionByRange(col("key"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val partials = parts.groupBy("pid")
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = partials.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
-    import s.implicits._
-    val offDf = offsets.toSeq.toDF("pid", "offset")
-    val w = Window.partitionBy("pid").orderBy(col("key"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(offDf), "pid")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("offset"))
+    PrefixSum.runningSum(base, Seq(col("key"), col("doc_id")), "n_tokens", "cum_tokens")
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("n_tokens")) / lit(PackBudget.toDouble)).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))

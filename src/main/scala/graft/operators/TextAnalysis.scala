@@ -392,7 +392,40 @@ object TextAnalysis {
       |    ELSE CAST(h.n_contaminated AS DOUBLE) / CAST(h.n_ngrams AS DOUBLE) END AS contamination_frac
       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
 
+  // ---- text_normalize: canonical text normalization (oracled) ----------
+  /** The curation normalize pass: Unicode NFC (native codegen
+    * expression — composed vs decomposed accents must agree before any
+    * content hash), lowercase, trim, whitespace collapse. Emits
+    * before/after char counts, a changed flag, and the sha256 of the
+    * normalized form — the digest exact dedup would run on after
+    * normalization. Pure map stage, zero shuffle, embarrassingly
+    * parallel at any corpus scale. Oracled end-to-end: DuckDB applies
+    * nfc_normalize + the same regex pipeline and recomputes the
+    * digest. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(
+      trim(lower(graft.functions.NormFns.nfc(col("text")))), "\\s+", " ")
+    docs(s, dir).select(col("doc_id"),
+      length(col("text")).as("n_chars_raw"),
+      length(norm).as("n_chars_norm"),
+      (norm =!= col("text")).as("changed"),
+      sha2(norm.cast("binary"), 256).as("norm_sha"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_raw,
+      |  length(norm) AS n_chars_norm,
+      |  norm <> text AS changed,
+      |  sha256(norm) AS norm_sha
+      |FROM (
+      |  SELECT doc_id, text,
+      |    regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g') AS norm
+      |  FROM documents
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -403,6 +436,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

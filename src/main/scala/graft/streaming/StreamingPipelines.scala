@@ -159,6 +159,32 @@ object StreamingPipelines {
                |AND purchase_ts >= view_ts
                |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
 
+  // ---- incremental ingest dedup (foreachBatch vs a digest store) -------
+  /** The streaming twin of `Dedup.dedupIncremental`: each micro-batch
+    * of documents is deduplicated against a PERSISTENT digest store.
+    * Batch-local first occurrences (min doc_id per digest) that are
+    * absent from the store append (doc_id, content_sha); everything
+    * else drops as a duplicate — so the store converges to exactly one
+    * row per distinct content ever streamed, keyed by its earliest
+    * arrival. foreachBatch is the production pattern: the store probe
+    * is a batch left-anti join on 32-byte digests (the bucketed
+    * digest layout of dedup_exact_bucketed at ingest scale, so the
+    * store side arrives pre-partitioned), and raw text never outlives
+    * the per-batch digest projection. */
+  def incrementalIngest(s: SparkSession, storePath: String)(
+      batch: DataFrame, epoch: Long): Unit = {
+    val firsts = batch
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("content_sha"))
+      .groupBy("content_sha").agg(min("doc_id").as("doc_id"))
+    val fresh =
+      if (new java.io.File(storePath).exists())
+        firsts.join(s.read.parquet(storePath).select("content_sha"),
+          Seq("content_sha"), "left_anti")
+      else firsts
+    fresh.select("doc_id", "content_sha")
+      .write.mode("append").parquet(storePath)
+  }
+
   // ---- stream-static enrichment ----------------------------------------
   /** Enrich an event stream with the static customer dimension — the
     * standard stream-static broadcast join (no state, no watermark

@@ -84,6 +84,71 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q_window_range: frame sums match a driver recomputation per user") {
+    val rows = AnalyticsExtras.qWindowRange(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    // recompute the trailing 1h frame by brute force for a few users
+    byUser.take(5).foreach { case (_, rs) =>
+      rs.foreach { r =>
+        val us = r.getAs[Long]("us")
+        val inFrame = rs.filter { o =>
+          val ou = o.getAs[Long]("us")
+          ou >= us - 3600L * 1000000L && ou <= us
+        }
+        assert(r.getAs[Long]("n_1h") == inFrame.length,
+          s"frame count drifted at us=$us")
+      }
+    }
+    // ts ties are peers: rows with equal (user_id, us) report equal frames
+    byUser.values.foreach { rs =>
+      rs.groupBy(_.getAs[Long]("us")).values.foreach { peers =>
+        assert(peers.map(_.getAs[Long]("n_1h")).distinct.length == 1)
+        assert(peers.map(_.getAs[Double]("sum_1h")).distinct.length == 1)
+      }
+    }
+  }
+
+  test("q_multi_distinct: one-pass counts equal per-key recomputations") {
+    val rows = AnalyticsExtras.qMultiDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val slice = li.filter(col("l_returnflag") === flag)
+      assert(r.getAs[Long]("nd_part") ==
+        slice.select("l_partkey").distinct().count())
+      assert(r.getAs[Long]("nd_supp") ==
+        slice.select("l_suppkey").distinct().count())
+      assert(r.getAs[Long]("nd_order") ==
+        slice.select("l_orderkey").distinct().count())
+      assert(r.getAs[Long]("n_rows") == slice.count())
+    }
+  }
+
+  test("q_histogram_eqdepth: balanced ordered buckets, no global window") {
+    val rows = AnalyticsExtras.qHistogramEqdepth(spark, sfDir)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L until 10L).toSeq)
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1, s"not equi-depth: ${sizes.toSeq}")
+    assert(sizes.sum == Tables.lineitem(spark, sfDir).count())
+    // buckets are ordered price ranges (ties may touch at boundaries)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("min_price") >= a.getAs[Double]("max_price") - 1e-9)
+      case _ =>
+    }
+    // scale posture: the global rank comes from the distributed prefix
+    // sum — no unpartitioned window may reach the plan
+    val windows = AnalyticsExtras.qHistogramEqdepth(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in eqdepth"))
+  }
+
   test("q_fuzzy_join: pairs share the blocking noun, distances in (0,3]") {
     val rows = AnalyticsExtras.qFuzzyJoin(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -39,4 +39,17 @@ class OlapExtrasSpec extends SparkSpec {
     val rows = OlapExtras.qApproxDistinct(spark, sfDir).collect()
     rows.foreach(r => assert(r.getAs[Double]("rel_err") < 0.1))
   }
+
+  test("q_approx_percentile: sketch tracks the exact quantiles") {
+    val rows = OlapExtras.qApproxPercentile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err_p50") < 0.05,
+        s"p50 sketch drifted: ${r.mkString(",")}")
+      assert(r.getAs[Double]("rel_err_p90") < 0.05,
+        s"p90 sketch drifted: ${r.mkString(",")}")
+      // quantile ordering survives the sketch
+      assert(r.getAs[Double]("approx_p90") >= r.getAs[Double]("approx_p50"))
+    }
+  }
 }

@@ -156,4 +156,32 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Int]("batch_size") == 2000)
     assert(par.map(_.getAs[Int]("state_partitions")).toSet.size >= 2)
   }
+
+  test("incremental ingest: digest store converges to earliest-arrival uniques") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_store").toFile
+    val storePath = new java.io.File(dir, "store").getAbsolutePath
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingPipelines.incrementalIngest(spark, storePath) _)
+      .outputMode(OutputMode.Append()).start()
+    // one processAllAvailable per addData → real micro-batch boundaries
+    // batch 1: duplicate content WITHIN the batch → min doc_id wins
+    source.addData(Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta")))
+    q.processAllAvailable()
+    // batch 2: duplicate of the store ("beta") → dropped; new "gamma"
+    source.addData(Seq((20L, "beta"), (21L, "gamma")))
+    q.processAllAvailable()
+    // batch 3: everything already stored → appends nothing
+    source.addData(Seq((30L, "alpha"), (31L, "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    val store = spark.read.parquet(storePath)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(store == Set(10L, 12L, 21L),
+      s"store must hold earliest arrival per distinct content, got $store")
+    StreamingPipelines.deleteRecursively(dir)
+  }
 }

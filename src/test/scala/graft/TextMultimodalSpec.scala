@@ -128,4 +128,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(res.filter(col("feat_sum") < 0 || col("feat_sum") > 16).count() == 0)
     res.unpersist()
   }
+
+  test("graft_nfc: canonical composition matches composed forms") {
+    import spark.implicits._
+    val composed = "café"                 // é as one code point
+    val decomposed = "café"              // e + combining acute
+    val rows = Seq(("a", decomposed), ("b", composed), ("c", "plain ascii"))
+      .toDF("id", "s")
+      .select(col("id"), graft.functions.NormFns.nfc(col("s")).as("n"))
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("n")).toMap
+    assert(rows("a") == composed, "decomposed form did not compose")
+    assert(rows("b") == composed)
+    assert(rows("c") == "plain ascii")
+    // SQL surface
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_nfc('café') AS n")
+      .collect().head.getAs[String]("n")
+    assert(viaSql == composed)
+  }
+
+  test("text_normalize: digests match a driver recomputation, unicode folds") {
+    val res = TextAnalysis.textNormalize(spark, sfDir).cache()
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+    assert(res.filter(length(col("norm_sha")) =!= 64).count() == 0)
+    // driver recomputation of the full normalize chain on a sample
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = res.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("norm_sha")).toMap
+    docs.take(50).foreach { case (id, text) =>
+      val norm = java.text.Normalizer
+        .normalize(text, java.text.Normalizer.Form.NFC)
+        .toLowerCase.trim.replaceAll("\\s+", " ")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id) == sha, s"normalize digest drifted for doc $id")
+    }
+    res.unpersist()
+  }
 }
