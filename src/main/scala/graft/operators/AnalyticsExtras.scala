@@ -333,6 +333,76 @@ object AnalyticsExtras {
   val qSkewSaltedSql: String =
     "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
+  // ---- q_grouping_sets: arbitrary grouping-set combination -------------
+  /** GROUPING SETS that neither ROLLUP nor CUBE can express —
+    * ((flag, status), (status), ()) — in one Expand-planned pass
+    * (each set is one tagged row copy, partial-aggregated map-side;
+    * the complement of q_rollup/q_cube, which cover the hierarchical
+    * and full-lattice specials). Via the SQL surface: Spark's
+    * DataFrame API exposes only rollup/cube, so this is also the
+    * driver-contract proof that `spark.sql` plans land in the same
+    * engine paths. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gsets")
+    s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_rows
+      FROM lineitem_gsets
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""")
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+
+  // ---- profile_table: one-pass column profiler -------------------------
+  /** Data-quality profile of the numeric measure columns in ONE scan:
+    * null count, exact distinct count, min, max per column. The four
+    * distinct counts ride the same Expand strategy as
+    * q_multi_distinct (one scan, tagged copies, map-side partials) —
+    * the profile a pipeline runs before trusting a new drop of data,
+    * at a cost that stays one table pass at any scale. */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols.map(c =>
+      s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    one.selectExpr("n_rows",
+      s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+  }
+
+  val profileTableSql: String = {
+    val arms = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows,
+         |  nn_$c AS n_nulls, nd_$c AS n_distinct,
+         |  min_$c AS min_val, max_$c AS max_val FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val aggs = ProfileCols.map { c =>
+      s"""CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+         |  COUNT(DISTINCT $c) AS nd_$c, MIN($c) AS min_$c, MAX($c) AS max_$c""".stripMargin
+    }.mkString(",\n  ")
+    s"""WITH a AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |  $aggs
+       |  FROM lineitem
+       |)
+       |$arms""".stripMargin
+  }
+
   // ---- q_window_range: RANGE-framed event-time sliding aggregate -------
   /** Trailing 1-hour RANGE frame per user: for every event, the count
     * and decimal-exact value sum of that user's events in the
@@ -538,7 +608,9 @@ object AnalyticsExtras {
     "q_full_outer" -> (qFullOuter _),
     "q_histogram_eqdepth" -> (qHistogramEqdepth _),
     "q_window_range" -> (qWindowRange _),
-    "q_multi_distinct" -> (qMultiDistinct _))
+    "q_multi_distinct" -> (qMultiDistinct _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "profile_table" -> (profileTable _))
 
   val oracle: Map[String, String] = Map(
     "q_moving_avg" -> qMovingAvgSql,
@@ -557,5 +629,7 @@ object AnalyticsExtras {
     "q_full_outer" -> qFullOuterSql,
     "q_histogram_eqdepth" -> qHistogramEqdepthSql,
     "q_window_range" -> qWindowRangeSql,
-    "q_multi_distinct" -> qMultiDistinctSql)
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "profile_table" -> profileTableSql)
 }

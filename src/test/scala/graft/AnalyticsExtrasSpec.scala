@@ -84,6 +84,33 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q_grouping_sets: every grouping set reconciles with the base table") {
+    val rows = AnalyticsExtras.qGroupingSets(spark, sfDir).collect()
+    val total = Tables.lineitem(spark, sfDir).count()
+    // gid: (flag,status)=0, (status)=2 [flag grouped out], ()=3
+    assert(rows.map(_.getAs[Long]("gid")).toSet == Set(0L, 2L, 3L))
+    Seq(0L, 2L).foreach { gid =>
+      val n = rows.filter(_.getAs[Long]("gid") == gid).map(_.getAs[Long]("n_rows")).sum
+      assert(n == total, s"set gid=$gid does not cover the table: $n vs $total")
+    }
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_rows") == total)
+  }
+
+  test("profile_table: one-pass profile matches direct recomputations") {
+    val rows = AnalyticsExtras.profileTable(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val c = r.getAs[String]("col_name")
+      assert(r.getAs[Long]("n_rows") == total)
+      assert(r.getAs[Long]("n_nulls") == li.filter(col(c).isNull).count())
+      assert(r.getAs[Long]("n_distinct") == li.select(c).distinct().count())
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+  }
+
   test("q_window_range: frame sums match a driver recomputation per user") {
     val rows = AnalyticsExtras.qWindowRange(spark, sfDir).collect()
     assert(rows.nonEmpty)
