@@ -424,7 +424,84 @@ object TextAnalysis {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- text_crossdup: cross-document repeated-span coverage ------------
+  /** The distributed approximation of suffix-array training-data
+    * dedup (remove long substrings repeated across documents): every
+    * token position is covered iff it lies inside an 8-gram that also
+    * occurs in ANOTHER document; the output is each doc's covered
+    * position count and fraction — the signal a curation pipeline
+    * cuts on (complement of text_repetition, which is intra-doc).
+    *
+    * Shape: one gram explode (W tokens per row), a distinct-doc count
+    * per gram (partial→final agg), a semi-join of gram occurrences
+    * against the repeated grams, a span re-explode to positions, and
+    * a distinct+count per doc. Nothing is quadratic: cost tracks
+    * total gram occurrences, and only (gram, doc, pos) rows shuffle.
+    * At 100 TB the gram key would be a 64-bit hash (xxhash64) rather
+    * than the token string — engine-specific, so the oracled form
+    * keeps the string and the note stays here. */
+  private val CrossW = 8
+
+  private[graft] def crossdupFromDocs(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= CrossW)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), (col("n_tokens") - CrossW).cast("int")),
+        i => struct((i + 1).as("pos"),
+          array_join(slice(col("ts"), i + 1, lit(CrossW)), " ").as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (CrossW - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
+    toks.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        (coalesce(col("n_dup_positions"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  def textCrossdup(s: SparkSession, dir: String): DataFrame =
+    crossdupFromDocs(docs(s, dir))
+
+  val textCrossdupSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |  FROM documents
+      |), sized AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM base
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(ts[pos:pos+${CrossW - 1}], ' ') AS gram
+      |  FROM (
+      |    SELECT doc_id, ts,
+      |      unnest(generate_series(1, CAST(n_tokens - ${CrossW - 1} AS BIGINT))) AS pos
+      |    FROM sized WHERE n_tokens >= $CrossW
+      |  )
+      |), dup AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + ${CrossW - 1})) AS p
+      |    FROM grams g JOIN dup d USING (gram)
+      |  )
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup_positions FROM cov GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.n_tokens,
+      |  COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
+      |  CAST(COALESCE(a.n_dup_positions, 0) AS DOUBLE)
+      |    / CAST(b.n_tokens AS DOUBLE) AS dup_frac
+      |FROM sized b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_crossdup" -> (textCrossdup _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -436,6 +513,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_crossdup" -> textCrossdupSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

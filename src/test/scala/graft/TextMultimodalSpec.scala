@@ -129,6 +129,33 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("text_crossdup: shared spans are covered exactly, unique text is not") {
+    import spark.implicits._
+    // a 10-token span shared by docs 1 and 2 at different offsets;
+    // only grams fully inside the span are identical across docs, and
+    // their union covers exactly the 10 span positions in each doc
+    val span = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val injected = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $span"),
+      (3L, "solo tokens that never repeat across documents one two three four"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.crossdupFromDocs(injected).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("n_dup_positions") == 10)
+    assert(r(2L).getAs[Long]("n_dup_positions") == 10)
+    assert(r(3L).getAs[Long]("n_dup_positions") == 0)
+    assert(r(3L).getAs[Double]("dup_frac") == 0.0)
+    // corpus run: one row per doc, fractions in [0,1]
+    val corpus = TextAnalysis.textCrossdup(spark, sfDir).collect()
+    assert(corpus.length == Tables.documents(spark, sfDir).count())
+    corpus.foreach { row =>
+      val f = row.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(row.getAs[Long]("n_dup_positions") <= row.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
