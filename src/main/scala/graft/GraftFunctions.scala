@@ -62,9 +62,11 @@ object GraftFunctions {
 
 /** Config-based install: `--conf spark.sql.extensions=graft.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.HashExpressions", name), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBound)
+  }
 }
