@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.VectorFns
@@ -557,7 +558,49 @@ object Similarity {
       .join(recallOf(annIvf(s, dir), "recall_ivf"), "query_id")
   }
 
+  // ---- vec_centroids: decimal-exact per-label centroids (oracled) ------
+  /** Per-label centroid of the embedding corpus, one row per (label,
+    * dimension) — the k-means E-step as an oracled batch operator.
+    * Exactness: each float is widened to double (exact) then summed as
+    * DECIMAL(20,10) in both engines, so the per-dimension sums are
+    * order-independent and bit-identical cross-engine (float→decimal
+    * directly is NOT cross-engine stable: DuckDB rounds the float's
+    * shortest repr, Spark the exact binary value — the double hop
+    * restores parity, SURVEY §5).
+    *
+    * This oracled form explodes (vec × dim) rows into a partial→final
+    * aggregation — one scan, shuffle on (label, dim) pairs only. The
+    * production k-means path remains the per-partition accumulate
+    * kernel (ann_ivf), which ships #partitions × K partials instead;
+    * this entry is its cross-engine ground truth at full precision. */
+  def vecCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v").cast("double").cast(DecimalType(20, 10)))
+          .cast("double").as("sum_v"))
+      .withColumn("mean_v", col("sum_v") / col("n_vecs").cast("double"))
+
+  /** Both decimal hops in this oracle route through VARCHAR: DuckDB's
+    * direct double→decimal (like its decimal→double, SURVEY §5) is
+    * not correctly rounded — measured 1-ulp drift on 1 cell in 640 —
+    * while its string parse and Spark's shortest-repr rounding agree
+    * exactly. */
+  val vecCentroidsSql: String =
+    """SELECT label, dim, COUNT(*) AS n_vecs,
+      |  CAST(CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE) AS sum_v,
+      |  CAST(CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(20,10))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_v
+      |FROM (
+      |  SELECT label, unnest(embedding) AS v,
+      |    CAST(unnest(generate_series(0, CAST(len(embedding) - 1 AS BIGINT))) AS INT) AS dim
+      |  FROM embeddings
+      |)
+      |GROUP BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -587,5 +630,6 @@ object Similarity {
       |  FROM scored) WHERE rank <= 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "vec_centroids" -> vecCentroidsSql,
     "ann_bruteforce" -> annBruteforceSql)
 }

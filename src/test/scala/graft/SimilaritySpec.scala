@@ -147,4 +147,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size.toDouble
     assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
   }
+
+  test("vec_centroids: shape complete, means match a driver recomputation") {
+    val rows = Similarity.vecCentroids(spark, sfDir).collect()
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val dim = embs.head._2.length
+    val labels = embs.map(_._1).distinct
+    assert(rows.length == labels.length * dim)
+    // exact recomputation for one (label, dim) cell per label
+    val byKey = rows.map(r =>
+      (r.getAs[Int]("label"), r.getAs[Int]("dim")) -> r).toMap
+    labels.foreach { l =>
+      val vs = embs.filter(_._1 == l).map(_._2(0).toDouble)
+      val r = byKey((l, 0))
+      assert(r.getAs[Long]("n_vecs") == vs.length)
+      val mean = vs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vs.length
+      assert(math.abs(r.getAs[Double]("mean_v") - mean) < 1e-9,
+        s"centroid drifted for label $l: ${r.getAs[Double]("mean_v")} vs $mean")
+    }
+  }
 }
