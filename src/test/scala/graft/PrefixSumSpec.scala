@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends SparkSpec {
+
+  private def check(rows: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("id", "key", "w")
+    val got = PrefixSum.runningSum(df,
+        Seq(col("key"), col("id")), "w", "cum")
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.sortBy(r => (r._2, r._1))
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, _, w)) => (id, acc + w) }
+      .drop(1).toMap
+    assert(got == expected, s"prefix sum diverged for ${rows.take(5)}...")
+  }
+
+  test("random weights over random keys: matches an in-memory scan") {
+    val rnd = new scala.util.Random(42)
+    // several shapes: uniform keys, heavy key ties, all-equal keys
+    check((1L to 500L).map(i => (i, rnd.nextLong(), rnd.nextInt(100).toLong)))
+    check((1L to 300L).map(i => (i, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(10).toLong)))
+    check((1L to 100L).map(i => (i, 7L, rnd.nextInt(1000).toLong)))
+  }
+
+  test("edge cases: empty input, single row, zero weights") {
+    import spark.implicits._
+    val empty = PrefixSum.runningSum(
+      Seq.empty[(Long, Long, Long)].toDF("id", "key", "w"),
+      Seq(col("key"), col("id")), "w", "cum")
+    assert(empty.count() == 0)
+    check(Seq((1L, 0L, 5L)))
+    check((1L to 50L).map(i => (i, i, 0L)))
+  }
+}
