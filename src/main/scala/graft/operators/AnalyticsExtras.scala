@@ -333,6 +333,27 @@ object AnalyticsExtras {
   val qSkewSaltedSql: String =
     "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
 
+  // ---- q_percent_rank: relative-position window functions --------------
+  /** percent_rank + cume_dist per nation over a TOTAL order (balance,
+    * then custkey) — with no rank peers both definitions are exact
+    * rational arithmetic ((rank-1)/(n-1), rank/n) and bit-identical
+    * cross-engine. Partitioned window, no global sort. */
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+  }
+
+  val qPercentRankSql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   // ---- q_grouping_sets: arbitrary grouping-set combination -------------
   /** GROUPING SETS that neither ROLLUP nor CUBE can express —
     * ((flag, status), (status), ()) — in one Expand-planned pass
@@ -610,7 +631,8 @@ object AnalyticsExtras {
     "q_window_range" -> (qWindowRange _),
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "profile_table" -> (profileTable _))
+    "profile_table" -> (profileTable _),
+    "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
     "q_moving_avg" -> qMovingAvgSql,
@@ -631,5 +653,6 @@ object AnalyticsExtras {
     "q_window_range" -> qWindowRangeSql,
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_grouping_sets" -> qGroupingSetsSql,
-    "profile_table" -> profileTableSql)
+    "profile_table" -> profileTableSql,
+    "q_percent_rank" -> qPercentRankSql)
 }

@@ -84,6 +84,22 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q_percent_rank: bounds, extremes, and monotonicity per nation") {
+    val rows = AnalyticsExtras.qPercentRank(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Int]("c_nationkey")).values.foreach { rs =>
+      val sorted = rs.sortBy(r => (r.getAs[Double]("c_acctbal"), r.getAs[Long]("c_custkey")))
+      val prs = sorted.map(_.getAs[Double]("pct_rank"))
+      val cds = sorted.map(_.getAs[Double]("cume"))
+      assert(prs.head == 0.0)
+      if (rs.length > 1) assert(prs.last == 1.0)
+      assert(cds.last == 1.0)
+      assert(prs.zip(prs.tail).forall { case (a, b) => a <= b })
+      assert(cds.zip(cds.tail).forall { case (a, b) => a <= b })
+      cds.foreach(c => assert(c > 0.0 && c <= 1.0))
+    }
+  }
+
   test("q_grouping_sets: every grouping set reconciles with the base table") {
     val rows = AnalyticsExtras.qGroupingSets(spark, sfDir).collect()
     val total = Tables.lineitem(spark, sfDir).count()
