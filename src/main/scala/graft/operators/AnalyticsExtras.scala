@@ -495,8 +495,9 @@ object AnalyticsExtras {
     val base = Tables.lineitem(s, dir)
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
         lit(1L).as("one"))
-    val n = base.count()
-    val ranked = PrefixSum.runningSum(base,
+    // N comes from the prefix sum's own partition partials — no
+    // separate count() scan (2 jobs, not 3)
+    val (ranked, n) = PrefixSum.runningSumWithTotal(base,
       Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "one", "rk")
     ranked
       .withColumn("bucket",

@@ -29,13 +29,29 @@ private[graft] object PrefixSum {
     * `sortCols` must be a total order (include a tiebreak key).
     * Materializes `df` once (localCheckpoint) so the partition
     * assignment seen by the partial-sum pass and the cumsum pass is
-    * identical. */
+    * identical.
+    *
+    * Null handling: per-partition partials are `coalesce(sum, 0)`, so
+    * an all-null partition contributes 0 to the offsets; within the
+    * cumsum window, null weights are skipped (SQL sum semantics). The
+    * contract is therefore "null weight = weight 0" for offset
+    * purposes — callers wanting strict arithmetic should pre-coalesce
+    * the weight column. */
   def runningSum(df: DataFrame, sortCols: Seq[Column], weightCol: String,
-                 cumName: String): DataFrame = {
+                 cumName: String): DataFrame =
+    runningSumWithTotal(df, sortCols, weightCol, cumName)._1
+
+  /** [[runningSum]] plus the GRAND TOTAL of the weight column, which
+    * the per-partition partials already compute — callers needing N
+    * (equi-depth bucketing, normalized ranks) get it for free instead
+    * of paying a separate full `count()` scan. */
+  def runningSumWithTotal(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                          cumName: String): (DataFrame, Long) = {
     val parts = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val partials = parts.groupBy("__pid").agg(sum(col(weightCol)).as("t"))
+    val partials = parts.groupBy("__pid")
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = partials.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
@@ -44,8 +60,9 @@ private[graft] object PrefixSum {
     val offDf = offsets.toSeq.toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(offDf), "__pid")
+    val out = parts.join(broadcast(offDf), "__pid")
       .withColumn(cumName, sum(col(weightCol)).over(w) + col("__offset"))
       .drop("__pid", "__offset")
+    (out, acc)
   }
 }

@@ -109,6 +109,15 @@ class DedupSpec extends SparkSpec {
       col("comp_bzip2") <= 0).count() == 0)
     // gzip = deflate stream + 18 bytes of framing, always
     assert(comp.filter(col("comp_gzip") <= col("comp_deflate")).count() == 0)
+    // bzip2 is a hash-prefix SAMPLE (1/16 of unique chunks): sampled
+    // rows (chunk_sha starting '0') carry a positive size, every other
+    // row is NULL — deterministic, so re-runs sample identically
+    val sampled = comp.filter(substring(col("chunk_sha"), 1, 1) === "0")
+    assert(sampled.count() > 0)
+    assert(sampled.filter(col("comp_bzip2").isNull || col("comp_bzip2") <= 0)
+      .count() == 0)
+    assert(comp.filter(substring(col("chunk_sha"), 1, 1) =!= "0" &&
+      col("comp_bzip2").isNotNull).count() == 0)
     // every codec's ratio column recomputes from its own size column
     assert(comp.filter(abs(col("ratio_bzip2") -
       col("comp_bzip2").cast("double") / col("orig_len").cast("double")) > 1e-12)
@@ -263,6 +272,19 @@ class DedupSpec extends SparkSpec {
     val strong = Dedup.dedupMinhash(spark, sfDir)
       .filter(col("jaccard") >= 0.9).count()
     rows.foreach(r => assert(r.getAs[Long]("n_dups") > 0 || strong == 0))
+  }
+
+  test("dedup_minhash_sweep: (16,8) cell is differentially equal to dedup_minhash") {
+    // the shared-verify refactor (one exact-Jaccard join over the
+    // distinct pair union instead of one per cell) must not change any
+    // cell's numbers — the production-default cell is provable against
+    // the standalone operator
+    val cell = Dedup.dedupMinhashSweep(spark, sfDir).collect()
+      .find(r => r.getAs[Int]("bands") == 16).get
+    val mh = Dedup.dedupMinhash(spark, sfDir).cache()
+    assert(cell.getAs[Long]("n_candidates") == mh.count())
+    assert(cell.getAs[Long]("n_dups") == mh.filter(col("jaccard") >= 0.7).count())
+    mh.unpersist()
   }
 
   test("dedup_incremental: classifies store-dup, batch-dup, and new docs") {
