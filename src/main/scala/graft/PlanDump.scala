@@ -13,6 +13,10 @@ object PlanDump {
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
+      // same contract session config as Bench/Verify — snapshots must
+      // show the plans shipped runs actually execute (incl. injected
+      // optimizer rules like LevenshteinBound)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
