@@ -43,8 +43,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {VERIFY_OUT} lets an oracle re-read THIS dump's own emitted
+    // parquet (e.g. the LSH pair lists, whose membership is seeded and
+    // not SQL-expressible) and recompute the VALUE columns from the
+    // raw tables — a cross-engine check of the arithmetic even where
+    // the candidate set itself can't be oracled. Substituted with the
+    // absolute dump path at dump time, so DuckDB resolves it wherever
+    // the driver runs the compare.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{VERIFY_OUT}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

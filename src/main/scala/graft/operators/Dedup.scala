@@ -496,10 +496,44 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
-    cand.select(col("doc_a"), col("doc_b"),
+    // sim_a/sim_b ride along so the oracle can recompute hamming and
+    // the threshold from the emitted signatures (cross-engine check of
+    // the XOR/popcount arithmetic — the signatures themselves are
+    // xxhash64-seeded and not SQL-expressible)
+    cand.select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .withColumn("is_dup", col("hamming") <= 3)
   }
+
+  /** Value oracle over the emitted minhash pairs: DuckDB re-reads the
+    * pair list from the verify dump (membership is seeded LSH — not
+    * SQL-expressible) and recomputes jaccard + the 0.7 threshold from
+    * the RAW text token sets, independent of every graft kernel. Same
+    * string-set-vs-hashed-set equivalence the dedup_ngram_jaccard
+    * oracle already relies on (xxhash64 collisions ~2^-64). */
+  val dedupMinhashSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_a, doc_b FROM read_parquet('{VERIFY_OUT}/dedup_minhash/*.parquet')
+      |)
+      |SELECT p.doc_a, p.doc_b,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) AS jaccard,
+      |  (CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE)) >= 0.7 AS is_dup
+      |FROM p JOIN g a ON p.doc_a = a.doc_id JOIN g b ON p.doc_b = b.doc_id""".stripMargin
+
+  /** Value oracle over the emitted simhash pairs: hamming and the
+    * threshold recomputed by DuckDB from the emitted 64-bit
+    * signatures (XOR + popcount — engine-independent arithmetic). */
+  val dedupSimhashSql: String =
+    """SELECT doc_a, doc_b, sim_a, sim_b,
+      |  CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming,
+      |  bit_count(xor(sim_a, sim_b)) <= 3 AS is_dup
+      |FROM read_parquet('{VERIFY_OUT}/dedup_simhash/*.parquet')""".stripMargin
 
   // ---- dedup_ngram_jaccard: exact word-set Jaccard, blocked (oracled) --
   /** Exact Jaccard over distinct-token sets, candidate-pair driven:
@@ -587,5 +621,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }
