@@ -9,12 +9,13 @@ import graft.Tables
   * payloads ride as opaque `binary` columns with typed metadata; the
   * expensive decode/feature step runs batched per partition.
   *
-  * The decode itself is STUBBED deterministically (no image/audio
-  * codecs in this environment — the stub derives "pixels" from the
-  * payload's SHA-256 bytes), but the Spark-side contract is real:
-  * schema, binary column handling, partition-batched iteration, and
-  * the feature-vector output shape are exactly what a production
-  * decode stage would use.
+  * The image COLUMN is synthesized (this environment ships no image
+  * files — pixels derive deterministically from content digests), but
+  * the decode is REAL: payloads are genuine 24-bit BMP files and
+  * [[graft.functions.ImageCodec]] parses the actual format (headers,
+  * BGR order, bottom-up rows, row padding). Schema, binary column
+  * handling, partition-batched iteration and the feature output shape
+  * are exactly what a production decode stage uses.
   */
 object Multimodal {
 
@@ -43,45 +44,51 @@ object Multimodal {
       |  (doc_id * 40503) % 2160 AS fake_height
       |FROM documents""".stripMargin
 
-  // ---- mm_features: partition-batched decode + feature extraction ------
-  /** Array-valued intermediates (frame indices, feature vector) are
-    * reduced to scalar digests in the emitted row: the downstream
-    * verify harness (and any columnar sink) compares scalars, and the
-    * full vectors stay available inside the pipeline stage where a
-    * real consumer (ANN index, classifier) would read them. */
-  case class MMFeature(doc_id: Long, n_bytes: Int, n_frames: Int,
-                       sampled_frames: String, features_sha: String,
-                       feat_sum: Double)
+  // ---- mm_features: partition-batched REAL decode + feature extraction -
+  /** One row of decoded image features: geometry, encoded size, per-
+    * channel sums and a 4-bin intensity histogram over all pixel
+    * bytes — the t_extract shape (decode → segment geometry → channel
+    * features, ferret-pthreads.c:514) reduced to scalars a columnar
+    * sink (and the DuckDB oracle) can compare directly. */
+  case class MMFeature(doc_id: Long, width: Int, height: Int, bmp_bytes: Int,
+                       r_sum: Long, g_sum: Long, b_sum: Long,
+                       hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)
 
-  /** Deterministic stand-in for a real decoder: "frames" are 128-byte
-    * windows of the payload; the 16-dim feature vector comes from the
-    * payload digest (one byte per dim, scaled to [0,1]). A real
-    * deployment swaps `decodeStub` for an image/audio codec — the
-    * partition-batched plumbing is unchanged.
-    *
-    * The emitted digests are over the QUANTIZED feature bytes (the
-    * digest prefix itself), so every output column is independently
-    * recomputable by the DuckDB oracle — this row carries a full
-    * cross-engine check, not a rows-only one. */
-  private def decodeStub(docId: Long, payload: Array[Byte]): MMFeature = {
-    val nFrames = payload.length / 128 + 1
-    // uniform frame sampling, at most 4 frames
-    val step = math.max(1, nFrames / 4)
-    val sampled = (0 until nFrames by step).take(4)
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    val digest = md.digest(payload)
-    val quantized = digest.take(16)
-    // the in-pipeline feature vector a downstream consumer would read
-    val features = quantized.map(b => (b & 0xff) / 255.0f)
-    require(features.length == 16)
-    // fingerprint of the hex form (the oracle's sha256 is VARCHAR-only)
-    val hexPrefix = quantized.map("%02x".format(_)).mkString
-    val featSha = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(hexPrefix.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // exact rational sum (k/255 each) → one final double rounding
-    val featSum = quantized.map(_ & 0xff).map(_.toLong).sum / 255.0
-    MMFeature(docId, payload.length, nFrames, sampled.mkString(","),
-      featSha, featSum)
+  /** The image column is SYNTHESIZED (no image files in this sandbox):
+    * a doc's payload is a genuine 24-bit BMP whose geometry derives
+    * from (doc_id, byte length) and whose pixels cycle the content's
+    * SHA-256 bytes — fully deterministic, so the oracle recomputes
+    * every feature from the documents table alone. The DECODER is not
+    * synthesized: [[graft.functions.ImageCodec.decodeBmp]] parses the
+    * little-endian headers, BGR order, bottom-up rows and 4-byte row
+    * padding of the real format, and every emitted feature is computed
+    * from the decoder's output, never from the synthesis inputs. */
+  private def synthesizeBmp(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val width = (2 + (docId % 6)).toInt
+    val height = (2 + (payload.length % 5)).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val rgb = Array.tabulate(width * height * 3)(i => digest(i % 32))
+    graft.functions.ImageCodec.encodeBmp(
+      graft.functions.ImageCodec.Image(width, height, rgb))
+  }
+
+  private def extractFeatures(docId: Long, bmp: Array[Byte]): MMFeature = {
+    val img = graft.functions.ImageCodec.decodeBmp(bmp)
+    var r = 0L; var g = 0L; var b = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < img.rgb.length) {
+      val v = img.rgb(i) & 0xff
+      (i % 3) match {
+        case 0 => r += v
+        case 1 => g += v
+        case _ => b += v
+      }
+      hist(v >> 6) += 1
+      i += 1
+    }
+    MMFeature(docId, img.width, img.height, bmp.length,
+      r, g, b, hist(0), hist(1), hist(2), hist(3))
   }
 
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -91,7 +98,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       // one iterator per partition: the decoder (re)initializes once
       // per batch, exactly like a mapInPandas/Arrow batch boundary
-      .mapPartitions { it => it.map { case (id, payload) => decodeStub(id, payload) } }
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          extractFeatures(id, synthesizeBmp(id, payload))
+        }
+      }
       .toDF()
   }
 
@@ -100,25 +111,38 @@ object Multimodal {
     "mm_features" -> (mmFeatures _))
 
   /** Every mm_features column recomputed independently by DuckDB:
-    * frame geometry from octet_length, the feature digest as
-    * sha256(first 16 digest bytes), and feat_sum by parsing the hex
-    * digest — a cross-engine proof of the full decode-stub contract. */
+    * geometry from (doc_id, octet_length), the BMP's encoded size from
+    * the format's row-padding rule, and the channel sums / intensity
+    * histogram by re-deriving the pixel bytes from the hex digest — a
+    * cross-engine proof that the real encode→decode round trip
+    * preserves every pixel (any decoder bug in padding, BGR order or
+    * bottom-up rows would shift bytes between channels and break the
+    * sums). */
   val mmFeaturesSql: String =
     """WITH m AS (
-      |  SELECT doc_id,
-      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      |    sha256(text) AS h
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
       |  FROM documents
-      |), f AS (
-      |  SELECT doc_id, n_bytes, CAST(n_bytes // 128 + 1 AS INT) AS n_frames, h FROM m
+      |), g AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS width,
+      |    CAST(2 + nb % 5 AS INT) AS height, h
+      |  FROM m
+      |), px AS (
+      |  SELECT doc_id, width, height,
+      |    list_transform(range(0, width*height*3), i ->
+      |      (strpos('0123456789abcdef', substr(h, 2*(i % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*(i % 32) + 2, 1)) - 1) AS p
+      |  FROM g
       |)
-      |SELECT doc_id, n_bytes, n_frames,
-      |  array_to_string(list_slice(range(0, n_frames, greatest(1, n_frames // 4)), 1, 4), ',') AS sampled_frames,
-      |  sha256(substr(h, 1, 32)) AS features_sha,
-      |  CAST(list_sum(list_transform(range(0, 16), i ->
-      |    (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1) * 16
-      |      + strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) AS DOUBLE) / 255.0 AS feat_sum
-      |FROM f""".stripMargin
+      |SELECT doc_id, width, height,
+      |  CAST(54 + ((3*width + 3) // 4) * 4 * height AS INT) AS bmp_bytes,
+      |  CAST(list_sum(list_transform(range(0, width*height), k -> p[3*k + 1])) AS BIGINT) AS r_sum,
+      |  CAST(list_sum(list_transform(range(0, width*height), k -> p[3*k + 2])) AS BIGINT) AS g_sum,
+      |  CAST(list_sum(list_transform(range(0, width*height), k -> p[3*k + 3])) AS BIGINT) AS b_sum,
+      |  CAST(len(list_filter(p, v -> v // 64 = 0)) AS BIGINT) AS hist_0,
+      |  CAST(len(list_filter(p, v -> v // 64 = 1)) AS BIGINT) AS hist_1,
+      |  CAST(len(list_filter(p, v -> v // 64 = 2)) AS BIGINT) AS hist_2,
+      |  CAST(len(list_filter(p, v -> v // 64 = 3)) AS BIGINT) AS hist_3
+      |FROM px""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,

@@ -118,14 +118,21 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
-  test("mm_features: scalar digests well-formed, frames sampled within bounds") {
+  test("mm_features: real BMP decode — geometry, channel sums, histogram") {
     val res = Multimodal.mmFeatures(spark, sfDir).cache()
     assert(res.count() == Tables.documents(spark, sfDir).count())
-    assert(res.filter(length(col("features_sha")) =!= 64).count() == 0)
-    assert(res.filter(size(split(col("sampled_frames"), ",")) > 4).count() == 0)
-    assert(res.filter(col("n_frames") <= 0).count() == 0)
-    // feat_sum is a mean of 16 values in [0,1] scaled: bounded by [0,16]
-    assert(res.filter(col("feat_sum") < 0 || col("feat_sum") > 16).count() == 0)
+    assert(res.filter(col("width") < 2 || col("width") > 7 ||
+      col("height") < 2 || col("height") > 6).count() == 0)
+    // the 4 intensity bins partition the pixel bytes exactly
+    assert(res.filter(col("hist_0") + col("hist_1") + col("hist_2") + col("hist_3")
+      =!= col("width") * col("height") * 3).count() == 0)
+    // each channel sum is bounded by 255 × pixel count
+    assert(res.filter(col("r_sum") > col("width") * col("height") * 255L ||
+      col("g_sum") > col("width") * col("height") * 255L ||
+      col("b_sum") > col("width") * col("height") * 255L).count() == 0)
+    // encoded size follows the BMP header + row-padding rule
+    assert(res.filter(col("bmp_bytes") =!=
+      lit(54) + floor((col("width") * 3 + 3) / 4) * 4 * col("height")).count() == 0)
     res.unpersist()
   }
 
