@@ -40,6 +40,17 @@ object StreamingOps {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val feed = StreamingPipelines.prepareFeed(s, events, nSlices = 10)
+    // the flagship 5-stage dedup pipeline streams DOCUMENTS (its own
+    // replay feed, ordered by doc_id) against a fresh digest store
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").as("event_id"),
+        timestamp_seconds(col("doc_id")).as("ts"), col("doc_id"), col("text"))
+    // 5 slices → ingest-sized triggers: the pipeline runs ~7 Spark
+    // jobs per batch (probe, store append, frontier, emit), so slice
+    // count prices the per-trigger machinery, not the pipeline
+    val docFeed = StreamingPipelines.prepareFeed(s, docs, nSlices = 5)
+    val storeDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_5stage_${System.nanoTime()}"
     try {
       val results = Seq(
         StreamingPipelines.fileThroughputBench(s, feed, "window_agg",
@@ -51,9 +62,18 @@ object StreamingOps {
         // stream-parallelism characteristic (keyed state + event time)
         StreamingPipelines.fileThroughputBench(s, feed, "sessionize",
           df => StreamingPipelines.sessionize(df.as[Ev]).toDF(),
-          org.apache.spark.sql.streaming.OutputMode.Append()))
+          org.apache.spark.sql.streaming.OutputMode.Append()),
+        // the composed Fragment→Refine→Deduplicate→Compress→Reorder
+        // pipeline — the reference's end-to-end artifact
+        // (encoder_spar_ord.cpp), measured with the same harness
+        StreamingPipelines.foreachBatchThroughputBench(s, docFeed,
+          "five_stage_dedup", StreamingPipelines.fiveStageBatch(s, storeDir)))
       s.createDataFrame(results)
-    } finally StreamingPipelines.deleteRecursively(new java.io.File(feed.path))
+    } finally {
+      StreamingPipelines.deleteRecursively(new java.io.File(feed.path))
+      StreamingPipelines.deleteRecursively(new java.io.File(docFeed.path))
+      StreamingPipelines.deleteRecursively(new java.io.File(storeDir))
+    }
   }
 
   // ---- stream_param_sweep: knob-grid sweep (testbed t1..t9 analog) -----

@@ -159,6 +159,19 @@ object StreamingPipelines {
                |AND purchase_ts >= view_ts
                |AND purchase_ts <= view_ts + interval 30 minutes""".stripMargin))
 
+  /** True iff `path` holds a readable non-empty parquet store. Goes
+    * through the Hadoop FileSystem API so HDFS/S3 URIs resolve (a
+    * java.io.File check silently reports remote stores absent, which
+    * would skip the dedup probe and let duplicates into the store),
+    * and treats an existing-but-empty directory (crashed first batch)
+    * as absent so parquet schema inference never sees a partial dir. */
+  private[graft] def parquetNonEmpty(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.getPath.getName.startsWith("part-") && st.getLen > 0)
+  }
+
   // ---- incremental ingest dedup (foreachBatch vs a digest store) -------
   /** The streaming twin of `Dedup.dedupIncremental`: each micro-batch
     * of documents is deduplicated against a PERSISTENT digest store.
@@ -177,12 +190,128 @@ object StreamingPipelines {
       .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("content_sha"))
       .groupBy("content_sha").agg(min("doc_id").as("doc_id"))
     val fresh =
-      if (new java.io.File(storePath).exists())
+      if (parquetNonEmpty(s, storePath))
         firsts.join(s.read.parquet(storePath).select("content_sha"),
           Seq("content_sha"), "left_anti")
       else firsts
     fresh.select("doc_id", "content_sha")
       .write.mode("append").parquet(storePath)
+  }
+
+  // ---- the 5-stage dedup pipeline, composed end to end -----------------
+  /** The reference's flagship artifact as ONE streaming pipeline:
+    * Fragment→Refine (content-defined chunking, encoder.c:999),
+    * Deduplicate (digest probe against a PERSISTENT store — the
+    * hashtable that lives across the stream's lifetime),
+    * Compress (per-unique-chunk deflate accounting, encoder.c:587),
+    * Reorder (ordered emission, encoder.c:1345 /
+    * encoder_spar_ord.cpp). foreachBatch is the composition point —
+    * Spark correctly refuses arbitrary chains of stateful operators in
+    * one query — and every stage is a plain batch transform, so the
+    * same function is provable in batch (FiveStageSpec: chunk parity,
+    * store convergence, byte-exact restore, dense ordered emit).
+    *
+    * Output: every chunk, tagged `is_first` (first occurrence of its
+    * content across the stream so far); firsts carry their bytes and
+    * deflate length (the archive payload), duplicates only the digest
+    * reference — encoder.c's compressed-data-or-fingerprint framing.
+    * `emit_seq` is a globally contiguous sequence in (doc_id,
+    * chunk_idx) order: the dedup shuffle destroys arrival order, the
+    * per-batch sort restores it, and — exactly like the reference's
+    * single Reorder thread — the final sequencing is inherently
+    * serial, bounded by trigger volume rather than stream length.
+    *
+    * The digest store + emit frontier survive restarts (parquet);
+    * exactly-once emission additionally needs the sink's transaction
+    * + query checkpoint, same as every foreachBatch sink. */
+  def fiveStageBatch(s: SparkSession, storeDir: String)(
+      batch: DataFrame, epoch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digestPath = s"$storeDir/digests"
+    val frontierPath = s"$storeDir/frontier"
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    // Fragment + Refine: chunk boundaries + identities + bytes
+    val chunks = batch
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        graft.functions.NativeChunk.chunks(col("text")))
+      .withColumn("piece", expr("substring(payload, offset + 1, length)"))
+      .drop("payload")
+    // Deduplicate: store probe (anti-join side) + batch-local first
+    // occurrence; eager checkpoint BEFORE the store append so the
+    // probe never observes this batch's own writes
+    val known =
+      if (parquetNonEmpty(s, digestPath))
+        s.read.parquet(digestPath).select(col("chunk_sha"))
+          .withColumn("in_store", lit(true))
+      else chunks.select("chunk_sha").limit(0).withColumn("in_store", lit(true))
+    val firstW = Window.partitionBy("chunk_sha").orderBy("doc_id", "chunk_idx")
+    val tagged = chunks.join(known, Seq("chunk_sha"), "left")
+      .withColumn("rn", row_number().over(firstW))
+      .withColumn("is_first", col("in_store").isNull && col("rn") === 1)
+      .drop("in_store", "rn")
+      .localCheckpoint(true)
+    // one file per batch append: the store is digests-only (tiny per
+    // batch), and un-coalesced appends accumulate #partitions small
+    // files per batch — by batch N the probe re-reads N×32 files
+    tagged.filter(col("is_first")).select("chunk_sha")
+      .coalesce(1).write.mode("append").parquet(digestPath)
+    // Reorder frontier: rows emitted before this batch
+    val frontier =
+      if (parquetNonEmpty(s, frontierPath))
+        s.read.parquet(frontierPath).collect().head.getLong(0)
+      else 0L
+    val n = tagged.count()
+    import s.implicits._
+    Seq(frontier + n).toDF("next_seq")
+      .write.mode("overwrite").parquet(frontierPath)
+    // Compress (firsts only) + Reorder: the global sort is per
+    // MICRO-BATCH (trigger-volume bounded) — the reference's Reorder
+    // is likewise a single serial stage, the price of a total order
+    val ordered = tagged
+      .withColumn("comp_len", when(col("is_first"),
+        graft.functions.NativeChunk.compressedLen(col("piece"), "deflate")))
+      .withColumn("piece", when(col("is_first"), col("piece")))
+      .withColumn("emit_seq",
+        row_number().over(Window.orderBy("doc_id", "chunk_idx")) + lit(frontier - 1))
+    // the returned frame reads only the checkpointed `tagged`, which
+    // stays persisted; free anything else this call pinned
+    val keep = tagged.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!persistedBefore.contains(id) && !keep.contains(id))
+        rdd.unpersist(blocking = false)
+    }
+    ordered
+  }
+
+  /** fileThroughputBench's foreachBatch twin: drives a per-batch
+    * DataFrame transform (e.g. [[fiveStageBatch]]) from the same
+    * distributed file feed and reports the same BenchResult shape;
+    * rows_out counts the transform's emitted rows. */
+  def foreachBatchThroughputBench(s: SparkSession, feed: Feed, name: String,
+                                  stage: (DataFrame, Long) => DataFrame): BenchResult = {
+    val rowsOut = new java.util.concurrent.atomic.AtomicLong
+    val q = s.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed.path)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val out = stage(b.toDF(), id)
+        // noop write forces FULL materialization (a bare count would
+        // let Catalyst prune the compress/emit projections); the count
+        // afterwards is column-pruned and cheap
+        out.write.format("noop").mode("overwrite").save()
+        rowsOut.addAndGet(out.count()): Unit
+      }
+      .start()
+    try {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      benchResultOf(name, feed.rows, rowsOut.get, progress.size.toLong,
+        elapsed, progress)
+    } finally q.stop()
   }
 
   // ---- stream-static enrichment ----------------------------------------
