@@ -51,13 +51,22 @@ object Curation {
     // self-cleaning: every localCheckpoint below persists an RDD that
     // outlives this call unless freed — in a long-running session an
     // iterative operator that leaks its round blocks taxes every later
-    // job (measured 4× on neighbors in a full bench sweep). Snapshot
-    // the persisted set now; free everything new except the final
-    // result before returning.
-    val persistedBefore = sc.getPersistentRDDs.keySet
+    // job (measured 4× on neighbors in a full bench sweep). The freed
+    // set is EXACTLY the checkpoints created through ck() below — a
+    // set-difference against a persisted-set snapshot would also free
+    // a CALLER's lazily-checkpointed input if it first materialized
+    // inside this call, truncating its lineage out from under it.
+    val created = scala.collection.mutable.Set[Int]()
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => created += l.rdd.id
+      }
+      c
+    }
     // directed pair list, materialized ONCE — the pair generator (an
     // LSH verify join) must never re-run per consumer
-    val p = pairs.toDF("doc_a", "doc_b").localCheckpoint(true)
+    val p = ck(pairs.toDF("doc_a", "doc_b"))
     // ---- contraction pass (min-neighbor hooking) ----
     // Near-dup graphs are clique-heavy (every member of a dup block
     // pairs with every other), and an iterative loop pays the full
@@ -70,11 +79,10 @@ object Curation {
     val minN = p.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
       .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
       .groupBy("doc_id").agg(min("nb").as("mn"))
-    val l0 = nodes
+    val l0 = ck(nodes
       .join(minN, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("rep"))
-      .localCheckpoint(true)
+        least(col("doc_id"), coalesce(col("mn"), col("doc_id"))).as("rep")))
     // contract the DIRECTED pairs through l0 (broadcast joins — l0 is
     // node-sized with exact checkpoint stats), then symmetrize only
     // the tiny surviving edge set; distinct's partial aggregation
@@ -85,12 +93,12 @@ object Curation {
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("src"), col("lb").as("dst"))
       .distinct()
-    val edges = e
+    val edges = ck(e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src")))
     // ---- frontier-only hash-min propagation on the contracted graph --
-    var labels = l0.select(col("rep").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint(true)
+    var labels = ck(l0.select(col("rep").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var frontier = labels // round 1: every rep offers its own label
     var active = 1L
     var round = 0
@@ -106,7 +114,7 @@ object Curation {
       // derived label/frontier selects stay depth-1 plans with no
       // checkpoint of their own (each eager checkpoint is a full
       // materialization pass; one per round is enough)
-      val joined = labels.join(offers, Seq("doc_id"), "left").localCheckpoint(true)
+      val joined = ck(labels.join(offers, Seq("doc_id"), "left"))
       val next = joined.select(col("doc_id"),
         least(col("cluster_id"), coalesce(col("cand"), col("cluster_id")))
           .as("cluster_id"))
@@ -122,12 +130,8 @@ object Curation {
     val res = l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true)
-    val keep = res.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.toSet
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!persistedBefore.contains(id) && !keep.contains(id))
-        rdd.unpersist(blocking = false)
+      if (created.contains(id)) rdd.unpersist(blocking = false)
     }
     res
   }

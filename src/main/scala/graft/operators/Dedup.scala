@@ -49,15 +49,22 @@ object Dedup {
     * table per pipeline run and paying the shuffle once at ingest.
     * Output is bit-identical to [[dedupExact]] and shares its oracle. */
   def dedupExactBucketed(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_store"
+    // table name + path are SESSION-scoped: a fixed global name let
+    // two concurrent sessions clobber each other's store mid-read.
+    // Within a session the name is stable, so repeated calls overwrite
+    // (the ingest-once contract). Production points this at a managed
+    // warehouse location instead of tmpdir.
+    val tbl =
+      s"graft_bucketed_store_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/$tbl"
     docs(s, dir)
       .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("content_sha"))
       .write.mode("overwrite")
       .option("path", path)
       .bucketBy(16, "content_sha")
       .format("parquet")
-      .saveAsTable("graft_bucketed_store")
-    s.table("graft_bucketed_store")
+      .saveAsTable(tbl)
+    s.table(tbl)
       .groupBy("content_sha")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }

@@ -299,13 +299,22 @@ object Similarity {
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
-    val idxPath =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${sourceFingerprint(dir)}"
+    val fp = sourceFingerprint(dir)
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_$fp"
     // reuse needs BOTH artifacts complete (index marker written last)
     val complete = new java.io.File(s"$idxPath/_SUCCESS").isFile &&
       new java.io.File(s"$idxPath.centroids/_SUCCESS").isFile
     val centroids: Column =
       if (!complete || sys.env.contains("GRAFT_IVF_REBUILD")) {
+        // evict stale fingerprints first: the cache key moves with the
+        // data, so every sibling graft_ivf_idx_* dir is a dead index
+        // from a previous dataset — without eviction they accumulate
+        // under tmpdir forever
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+        Option(tmp.listFiles).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_ivf_idx_") &&
+            !f.getName.startsWith(s"graft_ivf_idx_$fp"))
+          .foreach(graft.streaming.StreamingPipelines.deleteRecursively)
         // invalidate FIRST: a crash mid-rebuild must leave the cache
         // incomplete, not an old index paired with new centroids
         new java.io.File(s"$idxPath/_SUCCESS").delete(): Unit
