@@ -378,8 +378,30 @@ object Curation {
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "dedup_nd_recall" -> (dedupNdRecall _))
 
+  /** Value oracle for the PRODUCTION cluster path: the edge set is
+    * seeded LSH (not SQL-expressible), but given the emitted minhash
+    * pair list (itself value-oracled), DuckDB re-derives the digest
+    * stitching edges from the documents table and recomputes the full
+    * transitive closure by recursive CTE — the whole contraction +
+    * frontier-propagation machinery is cross-checked end to end. */
+  val dedupClustersLshSql: String =
+    """WITH RECURSIVE sha AS (SELECT doc_id, sha256(text) AS h FROM documents),
+      |stitch AS (
+      |  SELECT MIN(doc_id) OVER (PARTITION BY h) AS a, doc_id AS b FROM sha
+      |  QUALIFY doc_id <> a),
+      |near AS (SELECT doc_a AS a, doc_b AS b
+      |         FROM read_parquet('{VERIFY_OUT}/dedup_minhash/*.parquet') WHERE is_dup),
+      |e AS (SELECT a, b FROM near UNION ALL SELECT a, b FROM stitch),
+      |ud AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |reach(doc_id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.doc_id)
+      |SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_lsh" -> dedupClustersLshSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "text_pipeline" -> textPipelineSql,
     "dedup_embedding_exact" -> dedupEmbeddingExactSql)

@@ -512,6 +512,50 @@ object Dedup {
       .withColumn("is_dup", col("hamming") <= 3)
   }
 
+  /** Value oracle over the emitted chunk table: DuckDB re-reads the
+    * boundaries (content-defined anchors are not SQL-expressible) and
+    * recomputes every chunk's digest from the documents table — the
+    * per-chunk identity check. Byte addressing uses character substr
+    * (DuckDB's sha256 is VARCHAR-only), valid because the corpus is
+    * ASCII; the BYTE-exact proof for arbitrary content is
+    * dedup_restore's round-trip oracle. */
+  val dedupChunkSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, chunk_idx, "offset", "length"
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_chunk/*.parquet')
+      |)
+      |SELECT c.doc_id, c.chunk_idx, c."offset", c."length",
+      |  sha256(substr(d.text, c."offset" + 1, c."length")) AS chunk_sha
+      |FROM c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin
+
+  /** Deduplicate-stage accounting recomputed by DuckDB from the
+    * (value-oracled) emitted chunk table — every count, byte total and
+    * ratio cross-checked. */
+  val dedupChunkStatsSql: String =
+    """WITH ch AS (SELECT * FROM read_parquet('{VERIFY_OUT}/dedup_chunk/*.parquet')),
+      |per AS (SELECT chunk_sha, MIN("length") AS len FROM ch GROUP BY chunk_sha),
+      |u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+      |             CAST(SUM(len) AS BIGINT) AS unique_bytes FROM per),
+      |t AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |             CAST(SUM("length") AS BIGINT) AS total_bytes FROM ch)
+      |SELECT t.n_docs, t.n_chunks, u.n_unique_chunks, t.total_bytes, u.unique_bytes,
+      |  1.0 - CAST(u.unique_bytes AS DOUBLE) / CAST(t.total_bytes AS DOUBLE) AS dedup_ratio,
+      |  CAST(t.total_bytes AS DOUBLE) / CAST(t.n_chunks AS DOUBLE) AS mean_chunk_len
+      |FROM t, u""".stripMargin
+
+  /** Value oracle over the emitted embedding near-dup pairs: cosine +
+    * threshold recomputed by DuckDB's list_cosine_similarity over the
+    * raw vectors (bit-exact vs the CosineSim kernel — the same
+    * equivalence ann_bruteforce's full oracle already proves). */
+  val dedupEmbeddingSql: String =
+    """WITH p AS (SELECT vec_a, vec_b FROM read_parquet('{VERIFY_OUT}/dedup_embedding/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT p.vec_a, p.vec_b,
+      |  list_cosine_similarity(a.v, b.v) AS cos,
+      |  list_cosine_similarity(a.v, b.v) >= 0.4 AS is_dup
+      |FROM p JOIN e a ON p.vec_a = a.vec_id JOIN e b ON p.vec_b = b.vec_id""".stripMargin
+
   /** Value oracle over the emitted minhash pairs: DuckDB re-reads the
     * pair list from the verify dump (membership is seeded LSH — not
     * SQL-expressible) and recomputes jaccard + the 0.7 threshold from
@@ -626,9 +670,12 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_chunk" -> dedupChunkSql,
+    "dedup_chunk_stats" -> dedupChunkStatsSql,
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -638,7 +638,28 @@ object Similarity {
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
       |  FROM scored) WHERE rank <= 10""".stripMargin
 
+  /** Value oracle for any ANN variant emitting (query_id, vec_id,
+    * cos, rank): the CANDIDATE SET is seeded LSH / learned-IVF (not
+    * SQL-expressible), but given the emitted pairs DuckDB recomputes
+    * the exact cosine and the within-query rank — the emitted rows are
+    * by construction the top-k of their pool under (cos desc, vec_id),
+    * so ranking the emitted set reproduces rank 1..k exactly. */
+  private def annValueSql(name: String): String =
+    s"""WITH p AS (SELECT query_id, vec_id FROM read_parquet('{VERIFY_OUT}/$name/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (
+       |  SELECT p.query_id, p.vec_id, list_cosine_similarity(q.v, c.v) AS cos
+       |  FROM p JOIN e q ON p.query_id = q.vec_id JOIN e c ON p.vec_id = c.vec_id)
+       |SELECT query_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |FROM scored""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "vec_centroids" -> vecCentroidsSql,
-    "ann_bruteforce" -> annBruteforceSql)
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annValueSql("ann_lsh"),
+    "ann_ivf" -> annValueSql("ann_ivf"),
+    "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
+    "ann_pq" -> annValueSql("ann_pq"),
+    "ferret_pipeline" -> annValueSql("ferret_pipeline"))
 }
