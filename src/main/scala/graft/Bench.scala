@@ -75,12 +75,19 @@ object Bench {
       // the iterative cluster queries joined the bench). Unpersist
       // every leaked persistent RDD BLOCKING, then GC the object
       // graphs.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
+      def cleanup(): Unit = {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
+      cleanup()
       once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes
-      val runs = (1 to nPasses).map(_ => once(fn, sfDir))
+      // cleanup between PASSES too: a query that checkpoints leaks its
+      // blocks into its own later passes (med > min consistently on
+      // the checkpoint-heavy queries) — freeing happens OUTSIDE the
+      // timed section, so the median measures steady-state work
+      val runs = (1 to nPasses).map { _ => cleanup(); once(fn, sfDir) }
       val oks = runs.collect { case Right(t) => t }
       val errs = runs.collect { case Left(m) => m }
       val median = if (oks.isEmpty) None

@@ -461,7 +461,12 @@ object StreamingPipelines {
       val rowsOut = s.table(sinkName).count()
       val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       benchResultOf(name, feed.rows, rowsOut, progress.size.toLong, elapsed, progress)
-    } finally q.stop() // never leak a live query over its feed dir
+    } finally {
+      q.stop() // never leak a live query over its feed dir
+      // the memory sink holds every output row on the DRIVER — drop
+      // the temp view or each measured leg leaks its result set
+      s.catalog.dropTempView(sinkName): Unit
+    }
   }
 
   def deleteRecursively(f: java.io.File): Unit = {
@@ -514,6 +519,7 @@ object StreamingPipelines {
     val rowsOut = s.table(sinkName).count()
     val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     q.stop()
+    s.catalog.dropTempView(sinkName): Unit // free the driver-held sink rows
     benchResultOf(name, events.size.toLong, rowsOut, batches, elapsed, progress)
   }
 }
