@@ -75,19 +75,20 @@ object Bench {
       // the iterative cluster queries joined the bench). Unpersist
       // every leaked persistent RDD BLOCKING, then GC the object
       // graphs.
-      def cleanup(): Unit = {
+      def freeBlocks(): Unit =
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        System.gc()
-      }
-      cleanup()
+      freeBlocks()
+      System.gc() // between queries only: a full GC per pass on a
+                  // large warm heap costs more than the blocks it
+                  // frees (measured both ways at sf0.1)
       once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes
-      // cleanup between PASSES too: a query that checkpoints leaks its
-      // blocks into its own later passes (med > min consistently on
-      // the checkpoint-heavy queries) — freeing happens OUTSIDE the
-      // timed section, so the median measures steady-state work
-      val runs = (1 to nPasses).map { _ => cleanup(); once(fn, sfDir) }
+      // free leaked blocks between PASSES too: a query that
+      // checkpoints leaks its blocks into its own later passes (med
+      // consistently above min on the checkpoint-heavy queries);
+      // freeing happens OUTSIDE the timed section
+      val runs = (1 to nPasses).map { _ => freeBlocks(); once(fn, sfDir) }
       val oks = runs.collect { case Right(t) => t }
       val errs = runs.collect { case Left(m) => m }
       val median = if (oks.isEmpty) None

@@ -14,6 +14,19 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle keys without a query: $orphans")
   }
 
+  test("every {VERIFY_OUT} oracle reference targets an existing query dump") {
+    // value oracles re-read the verify dump of OTHER (or their own)
+    // queries; a typo'd name would read an empty glob and silently
+    // turn the cross-check into a 0-row compare
+    val ref = "\\{VERIFY_OUT\\}/([A-Za-z0-9_]+)/".r
+    SparkEntry.oracleSql.foreach { case (key, sql) =>
+      ref.findAllMatchIn(sql).map(_.group(1)).foreach { target =>
+        assert(SparkEntry.queries.contains(target),
+          s"oracle '$key' references dump of unknown query '$target'")
+      }
+    }
+  }
+
   test("entry() targets sf0.001 and analyzes") {
     assert(SparkEntry.entry(spark).schema.nonEmpty)
   }
