@@ -95,4 +95,52 @@ class FiveStageSpec extends SparkSpec {
       StreamingPipelines.deleteRecursively(new java.io.File(storeDir))
     }
   }
+
+  test("five-stage pipeline: restart resumes the store and the emit frontier") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storeDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_5stage_restart_${System.nanoTime()}"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val (half1, half2) = docs.splitAt(docs.length / 2)
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    def runQuery(batch: Array[(Long, String)]): Unit = {
+      val source =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val stage = StreamingPipelines.fiveStageBatch(spark, storeDir) _
+      val q = source.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          out.synchronized { out ++= stage(b.toDF(), id).collect() }: Unit
+        }
+        .start()
+      source.addData(batch.toSeq)
+      q.processAllAvailable()
+      q.stop() // simulate a shutdown: only the parquet store survives
+    }
+    try {
+      runQuery(half1)
+      runQuery(half2) // a NEW query against the SAME store + frontier
+      // the union of both queries' outputs is indistinguishable from a
+      // single uninterrupted run: one first per digest, dense global
+      // emit_seq continuing across the restart, full chunk coverage
+      val firstShas = out.filter(_.getAs[Boolean]("is_first"))
+        .map(_.getAs[String]("chunk_sha"))
+      assert(firstShas.distinct.size == firstShas.size,
+        "restart re-compressed an already-stored digest")
+      assert(firstShas.toSet ==
+        out.map(_.getAs[String]("chunk_sha")).toSet, "dictionary incomplete")
+      val seqs = out.map(_.getAs[Long]("emit_seq")).sorted
+      assert(seqs == (0L until out.size.toLong).toSeq,
+        "emit frontier did not resume across restart")
+      val streamed = out.map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk_sha"))).toSet
+      val batchChunks = graft.operators.Dedup.dedupChunk(spark, sfDir)
+        .select("doc_id", "chunk_idx", "chunk_sha").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed == batchChunks)
+    } finally {
+      StreamingPipelines.deleteRecursively(new java.io.File(storeDir))
+    }
+  }
 }

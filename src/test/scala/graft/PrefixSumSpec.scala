@@ -36,4 +36,28 @@ class PrefixSumSpec extends SparkSpec {
     check(Seq((1L, 0L, 5L)))
     check((1L to 50L).map(i => (i, i, 0L)))
   }
+
+  test("null weights follow the documented contract (null = 0 for offsets)") {
+    import spark.implicits._
+    // an ALL-NULL weight run used to NPE the partial-sum collect; the
+    // contract is coalesce(sum,0) per partition, nulls skipped in the
+    // window (SQL sum semantics)
+    val df = Seq((1L, 1L, Some(3L)), (2L, 2L, None), (3L, 3L, None),
+      (4L, 4L, Some(2L))).toDF("id", "key", "w")
+    val (got, total) = PrefixSum.runningSumWithTotal(df,
+      Seq(col("key"), col("id")), "w", "cum")
+    assert(total == 5L)
+    val byId = got.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId(1L).contains(3L))
+    assert(byId(4L).contains(5L))
+    // null-weight rows carry a null cumsum (sum over an all-null
+    // window frame) — they don't break neighbors' offsets
+    val allNull = Seq((1L, 1L, None: Option[Long]), (2L, 2L, None))
+      .toDF("id", "key", "w")
+    val (gotNull, totalNull) = PrefixSum.runningSumWithTotal(allNull,
+      Seq(col("key"), col("id")), "w", "cum")
+    assert(totalNull == 0L)
+    assert(gotNull.count() == 2)
+  }
 }
