@@ -85,16 +85,25 @@ object ImageCodec {
     val pixelOff = getIntLE(bytes, 10)
     val infoSize = getIntLE(bytes, 14)
     require(infoSize >= InfoHeaderSize, s"unsupported header size $infoSize")
+    require(pixelOff >= PixelOffset && pixelOff <= bytes.length,
+      s"bad pixel-data offset $pixelOff")
     val width = getIntLE(bytes, 18)
     val rawHeight = getIntLE(bytes, 22)
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
     require(width > 0 && height > 0, s"bad dimensions ${width}x$rawHeight")
+    // dimension cap guards the size arithmetic below against int
+    // overflow (a crafted header with width ~2^30 would wrap rs*height
+    // negative and defeat the truncation check)
+    require(width <= (1 << 20) && height <= (1 << 20),
+      s"unreasonable dimensions ${width}x$height")
     require(getShortLE(bytes, 28) == 24, "only 24-bit BMP supported")
     require(getIntLE(bytes, 30) == 0, "only uncompressed (BI_RGB) supported")
     val rs = rowSize(width)
-    require(bytes.length >= pixelOff + rs * height,
-      s"truncated pixel data: need ${pixelOff + rs * height}, have ${bytes.length}")
+    require(bytes.length.toLong >= pixelOff.toLong + rs.toLong * height,
+      s"truncated pixel data: need ${pixelOff.toLong + rs.toLong * height}, have ${bytes.length}")
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"pixel buffer too large: ${width}x$height")
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {

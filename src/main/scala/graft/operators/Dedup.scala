@@ -313,7 +313,7 @@ object Dedup {
     * above a size cap before the self-join; the windowed count rides
     * the same hash partitioning the join needs, so no extra shuffle.
     */
-  private[operators] val MaxBucket = 4096
+  private[graft] val MaxBucket = 4096
   private[operators] def capBuckets(df: DataFrame, keys: Seq[String]): DataFrame = {
     // The set of oversized buckets is tiny (usually empty), so a
     // broadcast anti-join removes them without re-partitioning the
@@ -430,6 +430,17 @@ object Dedup {
     // matched-base-band BITMASK per pair — replacing r6's three
     // banding joins + three verify joins (~17 s at sf0.1) with one
     // self-join, one groupBy, one verify and one aggregate.
+    //
+    // Cap semantics: the MaxBucket degenerate-bucket guard applies at
+    // BASE granularity only. A base bucket over the cap drops its
+    // pairs from every derived cell, whereas per-cell banding would
+    // cap on the (finer, always-subset) longer-band buckets — so when
+    // a cap fires, the derived longer-band cells are CONSERVATIVE
+    // (fewer candidates) relative to direct banding. The grid stays a
+    // valid S-curve measurement either way (same capped candidate
+    // universe for all cells); DedupSpec asserts no base bucket
+    // reaches the cap at the tested SFs, making the derivation exact
+    // there.
     val banded = capBuckets(sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))

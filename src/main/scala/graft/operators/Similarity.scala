@@ -300,20 +300,29 @@ object Similarity {
     import s.implicits._
     val e = emb(s, dir)
     val fp = sourceFingerprint(dir)
-    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_$fp"
+    // cache key = (dataset dir, content fingerprint): the dir hash
+    // scopes eviction to THIS dataset's stale indexes — keying on the
+    // fingerprint alone made any two datasets (e.g. the bench's
+    // warm-up SF and its measured SF, or two concurrent processes)
+    // evict each other's live index on every rebuild
+    val dirKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val idxPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${dirKey}_$fp"
     // reuse needs BOTH artifacts complete (index marker written last)
     val complete = new java.io.File(s"$idxPath/_SUCCESS").isFile &&
       new java.io.File(s"$idxPath.centroids/_SUCCESS").isFile
     val centroids: Column =
       if (!complete || sys.env.contains("GRAFT_IVF_REBUILD")) {
-        // evict stale fingerprints first: the cache key moves with the
-        // data, so every sibling graft_ivf_idx_* dir is a dead index
-        // from a previous dataset — without eviction they accumulate
-        // under tmpdir forever
+        // evict stale fingerprints OF THIS DATASET first: its content
+        // changed, so its old index dirs are dead — without eviction
+        // they accumulate under tmpdir forever. Other datasets' caches
+        // (different dirKey) are never touched.
         val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
         Option(tmp.listFiles).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("graft_ivf_idx_") &&
-            !f.getName.startsWith(s"graft_ivf_idx_$fp"))
+          .filter(f => f.getName.startsWith(s"graft_ivf_idx_${dirKey}_") &&
+            !f.getName.startsWith(s"graft_ivf_idx_${dirKey}_$fp"))
           .foreach(graft.streaming.StreamingPipelines.deleteRecursively)
         // invalidate FIRST: a crash mid-rebuild must leave the cache
         // incomplete, not an old index paired with new centroids

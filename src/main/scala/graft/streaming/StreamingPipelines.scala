@@ -224,12 +224,25 @@ object StreamingPipelines {
     * The digest store + emit frontier survive restarts (parquet);
     * exactly-once emission additionally needs the sink's transaction
     * + query checkpoint, same as every foreachBatch sink. */
+  /** Last batch's checkpointed chunk-table RDD per store — freed at
+    * the NEXT call (the caller has consumed the previous batch's
+    * output by then; foreachBatch calls are sequential per query), so
+    * a long-running stream holds at most ONE batch's blocks instead
+    * of accumulating one per trigger. */
+  private val fiveStagePrevCkpt =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   def fiveStageBatch(s: SparkSession, storeDir: String)(
       batch: DataFrame, epoch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val digestPath = s"$storeDir/digests"
     val frontierPath = s"$storeDir/frontier"
-    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    // free the previous trigger's checkpoint (its output frame was
+    // fully consumed before this trigger started)
+    fiveStagePrevCkpt.remove(storeDir).foreach { id =>
+      s.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false))
+    }
     // Fragment + Refine: chunk boundaries + identities + bytes
     val chunks = batch
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
@@ -273,14 +286,12 @@ object StreamingPipelines {
       .withColumn("piece", when(col("is_first"), col("piece")))
       .withColumn("emit_seq",
         row_number().over(Window.orderBy("doc_id", "chunk_idx")) + lit(frontier - 1))
-    // the returned frame reads only the checkpointed `tagged`, which
-    // stays persisted; free anything else this call pinned
-    val keep = tagged.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.toSet
-    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!persistedBefore.contains(id) && !keep.contains(id))
-        rdd.unpersist(blocking = false)
+    // the returned frame reads only the checkpointed `tagged`; record
+    // its RDD id so the NEXT trigger frees it once this batch's output
+    // has been consumed
+    tagged.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        fiveStagePrevCkpt.put(storeDir, l.rdd.id): Unit
     }
     ordered
   }

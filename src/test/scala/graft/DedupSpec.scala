@@ -274,6 +274,25 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_dups") > 0 || strong == 0))
   }
 
+  test("dedup_minhash_sweep: no base band bucket reaches the cap at test SF") {
+    // the sweep derives longer-band cells from base-band collisions;
+    // that derivation is exact as long as no base bucket is dropped by
+    // the MaxBucket guard (see the cap-semantics note in the operator)
+    import graft.functions.NativeHash
+    val hs = Dedup.hashSetsOf(
+      Tables.documents(spark, sfDir),
+      spark.sparkContext.defaultParallelism)
+    val sig = hs.select(col("doc_id"), NativeHash.minhashSig(col("hset"), 128).as("sig"))
+    val maxBucket = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(slice(col("sig"), b * 8 + 1, lit(8))))))
+      .toDF("doc_id", "band", "bh")
+      .groupBy("band", "bh").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket <= Dedup.MaxBucket,
+      s"base bucket of $maxBucket exceeds the cap — derived sweep cells would diverge from direct banding")
+  }
+
   test("dedup_minhash_sweep: (16,8) cell is differentially equal to dedup_minhash") {
     // the shared-verify refactor (one exact-Jaccard join over the
     // distinct pair union instead of one per cell) must not change any
