@@ -50,6 +50,32 @@ class SimilaritySpec extends SparkSpec {
       "index scan is not partition-pruned")
   }
 
+  test("ann_ivf_indexed: cache survives probes against OTHER datasets") {
+    // build-once/probe-many contract: a probe against dataset A must
+    // not evict dataset B's live index (the bench alternates its
+    // warm-up SF and measured SF on every invocation)
+    def indexDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("graft_ivf_idx_")).toSet
+    }
+    Similarity.annIvfIndexed(spark, sfDir).count()
+    val afterA = indexDirs()
+    assert(afterA.nonEmpty)
+    Similarity.annIvfIndexed(spark, "/root/testdata/sf0.001").count()
+    val afterB = indexDirs()
+    assert(afterA.subsetOf(afterB),
+      s"probing another dataset evicted live index dirs: ${afterA.diff(afterB)}")
+    // re-probing A reuses the cached index (marker untouched)
+    val marker = afterA.find(!_.endsWith(".centroids")).get
+    val mtime = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/$marker/_SUCCESS").lastModified
+    Similarity.annIvfIndexed(spark, sfDir).count()
+    val mtime2 = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/$marker/_SUCCESS").lastModified
+    assert(mtime == mtime2, "cached index was rebuilt on re-probe")
+  }
+
   test("lshSearch: shuffle-join path equals broadcast path") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sfDir)
