@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Storage-layout-driven operators (SURVEY.md §2.A): the two ingest-
+  * time layout decisions that dominate repeated-query cost at 100 TB —
+  * bucketing facts on their join key (pay the join shuffle once at
+  * write time) and hive-partitioning facts on their time column (pay a
+  * directory listing instead of a full scan per time-sliced query).
+  *
+  * Both operators perform the ingest themselves (session-scoped
+  * locations, same hygiene as Dedup.dedupExactBucketed) so each is an
+  * honest standalone measurement of write-layout + layout-aware read;
+  * a production deployment writes once and amortizes across every
+  * downstream run. Both are DuckDB-oracled: the layout changes the
+  * PLAN, never the answer.
+  */
+object StorageLayout {
+
+  private def decP(c: Column): Column = c.cast(DecimalType(12, 4))
+  private def decR(c: Column): Column = c.cast(DecimalType(8, 4))
+  private val oneR: Column = lit(1).cast(DecimalType(8, 4))
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  private def sessionSuffix(s: SparkSession): String =
+    s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+
+  // ---- q_colocated_join: bucketed fact-fact join, no join-side shuffle -
+  /** The fact-fact join answer to the repeated-shuffle tax: bucket
+    * BOTH fact tables on the join key at ingest (same bucket count,
+    * one file per bucket via a pre-write repartition on the key), and
+    * every subsequent orders⋈lineitem runs as a sort-merge join whose
+    * children are bucket-aligned scans — zero ShuffleExchange below
+    * the join (StorageLayoutSpec asserts it). The only exchange left
+    * in the plan is the small post-join aggregation on priority.
+    *
+    * At 100 TB this is the difference between re-shuffling both fact
+    * corpora on every pipeline run and paying the layout once: the
+    * digest-store analog (Dedup.dedupExactBucketed) removes the GROUP
+    * shuffle, this removes the JOIN shuffle. The merge hint pins the
+    * sort-merge strategy at test SF where statistics would otherwise
+    * broadcast the small side; at production fact sizes SMJ is what
+    * statistics choose anyway, and AQE has no shuffle stage left to
+    * re-plan. */
+  def qColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suffix = sessionSuffix(s)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val oTbl = s"graft_orders_bkt_$suffix"
+    val lTbl = s"graft_lineitem_bkt_$suffix"
+    val buckets = 16
+    // repartition on the bucket key before the bucketed write: each
+    // writer task then holds exactly the rows of its bucket (Spark's
+    // repartition hash == its bucket hash), so the layout is one file
+    // per bucket instead of #tasks files per bucket
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+      .repartition(buckets, col("o_orderkey"))
+      .write.mode("overwrite").option("path", s"$tmp/$oTbl")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(oTbl)
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(buckets, col("l_orderkey"))
+      .write.mode("overwrite").option("path", s"$tmp/$lTbl")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lTbl)
+    s.table(lTbl)
+      .join(s.table(oTbl).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        dbl(sum(decP(col("l_extendedprice")) * (oneR - decR(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  val qColocatedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---- q_partition_prune: hive-partitioned time slice ------------------
+  /** The time-sliced-scan answer to the full-scan tax: write the event
+    * fact hive-partitioned by UTC event date, and a one-day query
+    * reads exactly one partition directory — the filter is consumed by
+    * partition PRUNING (directory listing), not evaluated per row
+    * (StorageLayoutSpec asserts the scan's selected partition count is
+    * 1 and the pruning filter left the data filters). At 100 TB with
+    * ~daily ingest this is the layout every time-ranged pipeline
+    * query assumes; the data files themselves never carry the
+    * partition column, so the layout also stores less. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val suffix = sessionSuffix(s)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_events_bydate_$suffix"
+    Tables.events(s, dir)
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_date") === "2024-01-15")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(decP(col("value")))).as("sum_value"))
+  }
+
+  /** The oracle reads the SOURCE table with the equivalent time-range
+    * predicate — same answer, no layout required (UTC session zone on
+    * the Spark side matches DuckDB's naive timestamps). */
+  val qPartitionPruneSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(CAST(SUM(CAST("value" AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+      |GROUP BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_colocated_join" -> (qColocatedJoin _),
+    "q_partition_prune" -> (qPartitionPrune _))
+
+  val oracle: Map[String, String] = Map(
+    "q_colocated_join" -> qColocatedJoinSql,
+    "q_partition_prune" -> qPartitionPruneSql)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.StorageLayout
+
+class StorageLayoutSpec extends SparkSpec {
+
+  /** Final physical plan — unwraps AQE (these queries contain a
+    * post-join/post-filter aggregation exchange, so the root is
+    * adaptive; the subtree of interest must come from the FINAL plan
+    * after the result materialized). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // drive AQE to its final plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Every node of the FINAL plan, descending through the stage
+    * wrappers AQE leaves in the finalized tree (QueryStageExec holds
+    * its materialized subtree in `plan`, not in `children`, so plain
+    * collect stops at stage boundaries). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: allNodes(q.plan)
+      case n => Seq(n)
+    }
+
+  test("q_colocated_join: sort-merge join with ZERO shuffle below the join") {
+    val df = StorageLayout.qColocatedJoin(spark, sfDir)
+    val plan = finalPlan(df)
+    val joins = allNodes(plan).collect { case j: SortMergeJoinExec => j }
+    assert(joins.size == 1, s"expected one SortMergeJoin, plan:\n$plan")
+    val shuffles = allNodes(joins.head).filter {
+      case _: ShuffleExchangeLike => true
+      case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => true
+      case _ => false
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed co-located join must not shuffle below the join, found: " +
+        shuffles.map(_.nodeName).mkString(", "))
+    // both children really are bucket-aligned scans, not accidental
+    // single-partition reads
+    val scans = allNodes(joins.head).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 2 && scans.forall(_.bucketedScan),
+      s"both join children must be bucketed scans: ${scans.map(_.metadata.get("SelectedBucketsCount"))}")
+  }
+
+  test("q_colocated_join: equals the plain (shuffled) join") {
+    val bucketed = StorageLayout.qColocatedJoin(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority")
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,4)")
+          * (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+    assert(bucketed.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("q_partition_prune: scan reads exactly one partition via pruning") {
+    val df = StorageLayout.qPartitionPrune(spark, sfDir)
+    val plan = finalPlan(df)
+    val scans = allNodes(plan).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected one scan, plan:\n$plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the event_date predicate must be consumed as a partition filter")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"pruning must select exactly the one date directory, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("q_partition_prune: equals the time-range filter on the source table") {
+    val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
+    val plain = Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-16").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
+    assert(pruned.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+}
