@@ -106,9 +106,179 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- mm_resize: nearest-neighbor thumbnail over the real decode ------
+  /** Fixed-size thumbnailing — the standard pre-embedding image
+    * normalization step. The 4×4 nearest-neighbor map (src = (dst ×
+    * srcDim) / 4, integer division) runs over the DECODER's output,
+    * so the oracle's independent recomputation of the thumbnail
+    * channel sums proves the whole decode→resample path; emitted
+    * `thumb_hex` pins the exact resized bytes, not just their sums. */
+  case class MMThumb(doc_id: Long, src_w: Int, src_h: Int,
+                     thumb_r: Long, thumb_g: Long, thumb_b: Long,
+                     thumb_hex: String)
+
+  private val thumbDim = 4
+
+  private def resizeNearest(img: graft.functions.ImageCodec.Image): Array[Byte] = {
+    val out = new Array[Byte](thumbDim * thumbDim * 3)
+    var y = 0
+    while (y < thumbDim) {
+      val sy = y * img.height / thumbDim
+      var x = 0
+      while (x < thumbDim) {
+        val sx = x * img.width / thumbDim
+        var c = 0
+        while (c < 3) {
+          out((y * thumbDim + x) * 3 + c) = img.rgb((sy * img.width + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = graft.functions.ImageCodec.decodeBmp(synthesizeBmp(id, payload))
+          val t = resizeNearest(img)
+          var r = 0L; var g = 0L; var b = 0L
+          var i = 0
+          while (i < t.length) {
+            val v = t(i) & 0xff
+            (i % 3) match {
+              case 0 => r += v
+              case 1 => g += v
+              case _ => b += v
+            }
+            i += 1
+          }
+          MMThumb(id, img.width, img.height, r, g, b,
+            t.map(x => f"${x & 0xff}%02x").mkString)
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB rebuilds the 4×4 thumbnail from the digest-derived pixel
+    * list with the same integer nearest-neighbor map and recomputes
+    * channel sums AND the hex dump of the exact resized bytes. */
+  val mmResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS width,
+      |    CAST(2 + nb % 5 AS INT) AS height, h
+      |  FROM m
+      |), t AS (
+      |  SELECT doc_id, width, height,
+      |    list_transform(range(0, 48), i ->
+      |      (strpos('0123456789abcdef', substr(h,
+      |         2*(((((i // 3) // 4) * height // 4) * width
+      |            + (((i // 3) % 4) * width // 4)) * 3 + (i % 3)) % 64 + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h,
+      |         2*(((((i // 3) // 4) * height // 4) * width
+      |            + (((i // 3) % 4) * width // 4)) * 3 + (i % 3)) % 64 + 2, 1)) - 1) AS tp
+      |  FROM g
+      |)
+      |SELECT doc_id, width AS src_w, height AS src_h,
+      |  CAST(list_sum(list_transform(range(0, 16), k -> tp[3*k + 1])) AS BIGINT) AS thumb_r,
+      |  CAST(list_sum(list_transform(range(0, 16), k -> tp[3*k + 2])) AS BIGINT) AS thumb_g,
+      |  CAST(list_sum(list_transform(range(0, 16), k -> tp[3*k + 3])) AS BIGINT) AS thumb_b,
+      |  list_aggregate(list_transform(tp, v -> printf('%02x', v)), 'string_agg', '')
+      |    AS thumb_hex
+      |FROM t""".stripMargin
+
+  // ---- mm_frame_sample: strided frame sampling over a video column -----
+  /** Video-column plumbing: each payload synthesizes `4 + doc_id % 5`
+    * frames (frame f's pixels cycle the digest with a 7f byte offset),
+    * and the sampler keeps every SECOND frame — the fixed-stride
+    * frame-sampling a video ingest pipeline runs before per-frame
+    * feature extraction. One input row fans out to one output row per
+    * SAMPLED frame inside the partition iterator (the batch-friendly
+    * explode); every kept frame pays the real encode→decode round
+    * trip, and the oracle recomputes each frame's channel sums
+    * independently. */
+  case class MMFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+                     r_sum: Long, g_sum: Long, b_sum: Long)
+
+  private def synthesizeFrame(docId: Long, payload: Array[Byte], frame: Int): Array[Byte] = {
+    val width = (2 + (docId % 6)).toInt
+    val height = (2 + (payload.length % 5)).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val rgb = Array.tabulate(width * height * 3)(i => digest((i + 7 * frame) % 32))
+    graft.functions.ImageCodec.encodeBmp(
+      graft.functions.ImageCodec.Image(width, height, rgb))
+  }
+
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val nFrames = (4 + id % 5).toInt
+          (0 until nFrames by 2).iterator.map { f =>
+            val img = graft.functions.ImageCodec.decodeBmp(
+              synthesizeFrame(id, payload, f))
+            var r = 0L; var g = 0L; var b = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              val v = img.rgb(i) & 0xff
+              (i % 3) match {
+                case 0 => r += v
+                case 1 => g += v
+                case _ => b += v
+              }
+              i += 1
+            }
+            MMFrame(id, f, nFrames, r, g, b)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS width,
+      |    CAST(2 + nb % 5 AS INT) AS height, h,
+      |    CAST(4 + doc_id % 5 AS INT) AS n_frames
+      |  FROM m
+      |), fr AS (
+      |  SELECT doc_id, width, height, h, n_frames,
+      |    unnest(range(0, n_frames)) AS frame_idx
+      |  FROM g
+      |), px AS (
+      |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, n_frames,
+      |    list_transform(range(0, width*height*3), i ->
+      |      (strpos('0123456789abcdef', substr(h, 2*((i + 7*frame_idx) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*((i + 7*frame_idx) % 32) + 2, 1)) - 1) AS p,
+      |    width*height AS npx
+      |  FROM fr WHERE frame_idx % 2 = 0
+      |)
+      |SELECT doc_id, frame_idx, n_frames,
+      |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 1])) AS BIGINT) AS r_sum,
+      |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 2])) AS BIGINT) AS g_sum,
+      |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 3])) AS BIGINT) AS b_sum
+      |FROM px""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_resize" -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   /** Every mm_features column recomputed independently by DuckDB:
     * geometry from (doc_id, octet_length), the BMP's encoded size from
@@ -146,5 +316,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_meta" -> mmMetaSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }

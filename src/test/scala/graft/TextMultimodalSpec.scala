@@ -136,6 +136,57 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("mm_resize: 4x4 nearest-neighbor thumbnail — bytes from the decoded source") {
+    val res = Multimodal.mmResize(spark, sfDir).cache()
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+    // 16 pixels x 3 channels as hex = 96 chars, and sums recompute
+    // from the pinned bytes exactly
+    assert(res.filter(length(col("thumb_hex")) =!= 96).count() == 0)
+    res.collect().foreach { r =>
+      val bytes = r.getAs[String]("thumb_hex").grouped(2)
+        .map(Integer.parseInt(_, 16)).toArray
+      val sums = Array(0L, 0L, 0L)
+      bytes.zipWithIndex.foreach { case (v, i) => sums(i % 3) += v }
+      assert(sums(0) == r.getAs[Long]("thumb_r") &&
+        sums(1) == r.getAs[Long]("thumb_g") && sums(2) == r.getAs[Long]("thumb_b"))
+    }
+    // a source whose dims already are 4x4 must thumbnail to ITSELF
+    // (nearest-neighbor with identical dims is the identity) — proves
+    // the sampler indexes the decoder's real pixel layout, not a copy
+    import spark.implicits._
+    val sq = Multimodal.mmFeatures(spark, sfDir)
+      .filter(col("width") === 4 && col("height") === 4)
+      .join(res, "doc_id")
+    assert(sq.count() > 0, "need at least one 4x4 source at test SF")
+    assert(sq.filter(col("thumb_r") =!= col("r_sum") ||
+      col("thumb_g") =!= col("g_sum") ||
+      col("thumb_b") =!= col("b_sum")).count() == 0)
+    res.unpersist()
+  }
+
+  test("mm_frame_sample: strided sampling — even frames only, half kept") {
+    val res = Multimodal.mmFrameSample(spark, sfDir).cache()
+    // only even frame indices survive the stride-2 sampler
+    assert(res.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(res.filter(col("frame_idx") >= col("n_frames")).count() == 0)
+    // per doc: exactly ceil(n_frames / 2) sampled rows
+    val bad = res.groupBy("doc_id", "n_frames")
+      .agg(count(lit(1)).as("n_sampled"))
+      .filter(col("n_sampled") =!= ceil(col("n_frames") / lit(2.0)).cast("long"))
+    assert(bad.count() == 0)
+    // frame 0's pixels coincide with the still image's (offset 0), so
+    // its channel sums must equal mm_features' — the frame synthesizer
+    // and the still-image path share the decoder end to end
+    val mism = res.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("r_sum").as("fr"), col("g_sum").as("fg"),
+        col("b_sum").as("fb"))
+      .join(Multimodal.mmFeatures(spark, sfDir), "doc_id")
+      .filter(col("fr") =!= col("r_sum") || col("fg") =!= col("g_sum") ||
+        col("fb") =!= col("b_sum"))
+    assert(mism.count() == 0)
+    res.unpersist()
+  }
+
   test("text_crossdup: shared spans are covered exactly, unique text is not") {
     import spark.implicits._
     // a 10-token span shared by docs 1 and 2 at different offsets;
