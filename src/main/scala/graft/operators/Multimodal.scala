@@ -274,11 +274,91 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 3])) AS BIGINT) AS b_sum
       |FROM px""".stripMargin
 
+  // ---- mm_audio: real WAV decode + waveform features -------------------
+  /** Audio-column plumbing, completing the modality triple: each
+    * payload synthesizes a genuine PCM16LE mono WAV (samples derive
+    * from digest byte pairs, rate from doc_id), and every feature is
+    * computed from [[graft.functions.WavCodec.decodeWav]]'s REAL RIFF
+    * parse — chunk walk, fmt validation, little-endian sample reads.
+    * Features are integer-exact (sum of squares instead of a float
+    * RMS; signed zero crossings; peak magnitude) so DuckDB recomputes
+    * them bit-identically from the digest alone. */
+  case class MMAudio(doc_id: Long, n_samples: Int, sample_rate: Int,
+                     sumsq: Long, zero_crossings: Long, peak_abs: Int)
+
+  private def synthesizeWav(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val n = (64 + payload.length % 192).toInt
+    val rate = (8000 + (docId % 8) * 1000).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val samples = Array.tabulate(n) { i =>
+      (((digest((2 * i) % 32) & 0xff) << 8 |
+        (digest((2 * i + 1) % 32) & 0xff)) - 32768).toShort
+    }
+    graft.functions.WavCodec.encodeWav(
+      graft.functions.WavCodec.Wav(rate, samples))
+  }
+
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val wav = graft.functions.WavCodec.decodeWav(synthesizeWav(id, payload))
+          var sumsq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toInt
+            sumsq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (v >= 0) != (wav.samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          MMAudio(id, wav.samples.length, wav.sampleRate, sumsq, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB re-derives the 16-bit samples from the digest byte pairs
+    * and recomputes every waveform feature with the same integer
+    * arithmetic — a cross-engine proof of the encode→RIFF-parse→
+    * sample-read round trip (any endianness or offset bug in the
+    * codec would scramble sample values and break all three). */
+  val mmAudioSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(64 + nb % 192 AS INT) AS n,
+      |    CAST(8000 + (doc_id % 8) * 1000 AS INT) AS rate, h
+      |  FROM m
+      |), sm AS (
+      |  SELECT doc_id, n, rate,
+      |    list_transform(range(0, n), i ->
+      |      ((strpos('0123456789abcdef', substr(h, 2*((2*i) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*((2*i) % 32) + 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(h, 2*((2*i + 1) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*((2*i + 1) % 32) + 2, 1)) - 1
+      |      - 32768) AS s
+      |  FROM g
+      |)
+      |SELECT doc_id, n AS n_samples, rate AS sample_rate,
+      |  CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS sumsq,
+      |  CAST(len(list_filter(range(1, n), i -> (s[i+1] >= 0) <> (s[i] >= 0))) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(list_max(list_transform(s, v -> abs(v))) AS INT) AS peak_abs
+      |FROM sm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio" -> (mmAudio _))
 
   /** Every mm_features column recomputed independently by DuckDB:
     * geometry from (doc_id, octet_length), the BMP's encoded size from
@@ -318,5 +398,6 @@ object Multimodal {
     "mm_meta" -> mmMetaSql,
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio" -> mmAudioSql)
 }

@@ -187,6 +187,24 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("mm_audio: real RIFF decode — integer-exact waveform features") {
+    val res = Multimodal.mmAudio(spark, sfDir).cache()
+    assert(res.count() == Tables.documents(spark, sfDir).count())
+    assert(res.filter(col("n_samples") < 64 || col("n_samples") >= 256).count() == 0)
+    assert(res.filter(col("sample_rate") < 8000 ||
+      col("sample_rate") > 15000).count() == 0)
+    // peak bounds 16-bit magnitudes; zero crossings bound by n-1
+    assert(res.filter(col("peak_abs") > 32768).count() == 0)
+    assert(res.filter(col("zero_crossings") >= col("n_samples")).count() == 0)
+    // sum of squares is bounded by n * peak^2 and consistent with it
+    assert(res.filter(col("sumsq") >
+      col("n_samples").cast("long") * col("peak_abs").cast("long")
+        * col("peak_abs").cast("long")).count() == 0)
+    assert(res.filter(col("sumsq") <
+      col("peak_abs").cast("long") * col("peak_abs").cast("long")).count() == 0)
+    res.unpersist()
+  }
+
   test("text_crossdup: shared spans are covered exactly, unique text is not") {
     import spark.implicits._
     // a 10-token span shared by docs 1 and 2 at different offsets;
