@@ -252,6 +252,18 @@ class DedupSpec extends SparkSpec {
     val byBits = rows.map(r => r.getAs[Long]("n_chunks"))
     assert(byBits(0) >= byBits(1) && byBits(1) >= byBits(2),
       s"chunk counts not monotone in granularity: ${byBits.toSeq}")
+    // the (32,256,6) cell is the DEFAULT granularity — it must agree
+    // column-for-column with dedup_chunk_stats, whose every value is
+    // DuckDB-oracled (recomputed from the value-oracled chunk dump):
+    // the sweep's middle row is thereby cross-engine-verified too
+    val mid = rows.find(r => r.getAs[Int]("min_size") == 32 &&
+      r.getAs[Int]("max_size") == 256 && r.getAs[Int]("mask_bits") == 6)
+      .getOrElse(fail("sweep grid lost the default-granularity cell"))
+    val stats = Dedup.dedupChunkStats(spark, sfDir).collect().head
+    stats.schema.fieldNames.foreach { f =>
+      assert(mid.getAs[Any](f) == stats.getAs[Any](f),
+        s"sweep default cell disagrees with oracled stats on $f")
+    }
   }
 
   test("dedup_minhash_sweep: recall/candidate counts follow the S-curve") {
