@@ -26,8 +26,16 @@ object StorageLayout {
   private val oneR: Column = lit(1).cast(DecimalType(8, 4))
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
-  private def sessionSuffix(s: SparkSession): String =
-    s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+  /** Session- AND dataset-scoped suffix: the session part keeps
+    * concurrent processes apart (dedupExactBucketed's hygiene), the
+    * dataset hash keeps different SF dirs apart WITHIN a session —
+    * the bench's sf0.001 warm-up must never overwrite the sf0.1
+    * tables a concurrently-analyzing caller is reading. */
+  private def sessionSuffix(s: SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+    val dh = Integer.toHexString(new java.io.File(dir).getAbsolutePath.hashCode)
+    s"${app}_$dh"
+  }
 
   // ---- q_colocated_join: bucketed fact-fact join, no join-side shuffle -
   /** The fact-fact join answer to the repeated-shuffle tax: bucket
@@ -47,27 +55,33 @@ object StorageLayout {
     * statistics choose anyway, and AQE has no shuffle stage left to
     * re-plan. */
   def qColocatedJoin(s: SparkSession, dir: String): DataFrame = {
-    val suffix = sessionSuffix(s)
+    val suffix = sessionSuffix(s, dir)
     val tmp = System.getProperty("java.io.tmpdir")
     val oTbl = s"graft_orders_bkt_$suffix"
     val lTbl = s"graft_lineitem_bkt_$suffix"
     val buckets = 16
-    // repartition on the bucket key before the bucketed write: each
-    // writer task then holds exactly the rows of its bucket (Spark's
-    // repartition hash == its bucket hash), so the layout is one file
-    // per bucket instead of #tasks files per bucket
-    Tables.orders(s, dir)
-      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
-      .repartition(buckets, col("o_orderkey"))
-      .write.mode("overwrite").option("path", s"$tmp/$oTbl")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable(oTbl)
-    Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-      .repartition(buckets, col("l_orderkey"))
-      .write.mode("overwrite").option("path", s"$tmp/$lTbl")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable(lTbl)
+    // the ingest is serialized JVM-wide: concurrent same-session
+    // callers (parallel test suites) would otherwise overwrite the
+    // tables mid-write; repeat writes are idempotent (same content),
+    // so lazy readers of a PREVIOUS call's frame stay correct
+    StorageLayout.synchronized {
+      // repartition on the bucket key before the bucketed write: each
+      // writer task then holds exactly the rows of its bucket (Spark's
+      // repartition hash == its bucket hash), so the layout is one file
+      // per bucket instead of #tasks files per bucket
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+        .repartition(buckets, col("o_orderkey"))
+        .write.mode("overwrite").option("path", s"$tmp/$oTbl")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(oTbl)
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(buckets, col("l_orderkey"))
+        .write.mode("overwrite").option("path", s"$tmp/$lTbl")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(lTbl)
+    }
     s.table(lTbl)
       .join(s.table(oTbl).hint("merge"),
         col("l_orderkey") === col("o_orderkey"))
@@ -98,12 +112,14 @@ object StorageLayout {
     * query assumes; the data files themselves never carry the
     * partition column, so the layout also stores less. */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
-    val suffix = sessionSuffix(s)
+    val suffix = sessionSuffix(s, dir)
     val tmp = System.getProperty("java.io.tmpdir")
     val path = s"$tmp/graft_events_bydate_$suffix"
-    Tables.events(s, dir)
-      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    StorageLayout.synchronized {
+      Tables.events(s, dir)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+    }
     s.read.parquet(path)
       .filter(col("event_date") === "2024-01-15")
       .groupBy("event_type")
