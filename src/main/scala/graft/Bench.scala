@@ -18,26 +18,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // contract session config: inject the graft optimizer rules
-      // (plans/LevenshteinBound) so q_fuzzy_join & co. run with the
-      // same rewrites in shipped benches as in PlanRulesSpec
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // the ContextCleaner only reclaims broadcast/shuffle/checkpoint
-      // blocks after a DRIVER GC notices the references are dead; a
-      // bench driver with a large idle heap may never GC on its own,
-      // so executor-side blocks accumulate across hundreds of passes
-      // (default periodicGC is 30 min — longer than the whole bench)
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.contractLocal("graft-bench")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
 
@@ -108,17 +89,39 @@ object Bench {
     val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     // per-pass spread, so round-over-round variance is self-documenting
     // (a regressed median with a tight spread is code; with a wide
-    // spread it's the environment). Printed on its OWN line BEFORE the
-    // contract line: the driver tail-captures stdout, and r6 showed
-    // that folding the spread into the main line pushes the totals map
-    // past the capture window — the contract line must come last and
-    // stay compact.
+    // spread it's the environment)
     val spread = results.collect { case (n, Some(t), _, oks) =>
       jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max}}"""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"pass_stats","pass_stats":$spread,"passes":$passes}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"sf":"$sfDir"}""")
+
+    // The driver tail-captures stdout (~2000 chars): at ~100 queries
+    // the full per-query map alone exceeds the window, which
+    // decapitated SEVEN consecutive rounds of BENCH_rN.json
+    // (parsed: null, dedup_*/ann_* numbers lost). Ship the COMPLETE
+    // result — full per-query medians, per-pass spread, failures — to
+    // a file, and keep the final stdout line SHORT: totals, counts,
+    // the slowest 10 (the only medians a tail-reader needs), and the
+    // path to the full artifact.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,
+         |"failed":$fs,"pass_stats":$spread,"passes":$passes,
+         |"sf":${jstr(sfDir)},"n_queries":${ok.size}}""".stripMargin.replace("\n", "")
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json").toAbsolutePath
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.writeString(fullPath, fullJson + "\n")
+
+    val slowest = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => jstr(k) + ":" + (math.round(v * 100) / 100.0) }
+      .mkString("{", ",", "}")
+    // failed entries rarely exist; cap at 3 with messages clipped so a
+    // mass failure can't blow the line past the capture window either
+    val fsShort = failed.take(3)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m.take(80)) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
+      s""""n_queries":${ok.size},"n_failed":${failed.size},"failed":$fsShort,""" +
+      s""""queries":$slowest,"queries_note":"slowest 10 of ${ok.size}; full per-query medians + pass spread in full_json","full_json":${jstr(fullPath.toString)},"passes":$passes}""")
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Dev tool behind PLANS.md: prints the formatted physical plan of
@@ -11,16 +10,10 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      // same contract session config as Bench/Verify — snapshots must
-      // show the plans shipped runs actually execute (incl. injected
-      // optimizer rules like LevenshteinBound)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same contract session builder as Bench/Verify — snapshots must
+    // show the plans shipped runs actually execute (incl. injected
+    // optimizer rules like LevenshteinBound)
+    val spark = Sessions.contract("local[4]", "4", "graft-plandump")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE contract-session builder shared by every main
+  * (Bench / Verify / PlanDump / TimeQuery).
+  *
+  * Round 7 showed why this must be a single definition: TimeQuery
+  * omitted `spark.sql.extensions`, so "isolated" timings ran
+  * DIFFERENT plans than shipped bench runs for every query the
+  * injected optimizer rules touch (q_fuzzy_join's LevenshteinBound
+  * length-gap conjunct), and omitted the periodicGC interval, so it
+  * skewed differently under checkpoint pressure. Any main that
+  * builds its own session will drift again — all four now call here.
+  */
+object Sessions {
+
+  /** Contract config, identical across mains:
+    *   - graft.GraftExtensions: the injected optimizer rules
+    *     (plans/LevenshteinBound et al.) that shipped plans rely on;
+    *   - shuffle.partitions = cores (never the 200 default — local
+    *     mode, and the driver contract pins it);
+    *   - AQE + partition coalescing on (runtime re-plan, skew);
+    *   - periodicGC 30s: the ContextCleaner only reclaims broadcast/
+    *     shuffle/checkpoint blocks after a DRIVER GC notices dead
+    *     references; an idle large heap may never GC on its own, so
+    *     executor-side blocks otherwise accumulate across hundreds of
+    *     passes (default periodicGC is 30 min — longer than a bench);
+    *   - UTC session timezone (oracle parity), UI off.
+    */
+  def contract(master: String, cpus: String, appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Common case: local[cpus] with cpus from the env contract. */
+  def contractLocal(appName: String, defaultCpus: String = "4"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    contract(s"local[$cpus]", cpus, appName)
+  }
+}

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc single-query timer: `runMain graft.TimeQuery <sfDir> <name> [reps]`
   * runs one SparkEntry query `reps` times in a warm JVM and prints
@@ -12,15 +11,10 @@ object TimeQuery {
     val dir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-timequery")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // contract session (Sessions.contract): isolated timings must run
+    // the SAME plans as shipped bench runs — incl. injected optimizer
+    // rules and the periodicGC cleaner cadence (r7 verdict item)
+    val spark = Sessions.contractLocal("graft-timequery", defaultCpus = "32")
     val q = SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()

@@ -1,27 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // contract session config (same as Bench): graft optimizer rules
-      // installed so correctness runs through the shipped plans
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // contract session (same builder as Bench/PlanDump/TimeQuery):
+    // correctness runs through the shipped plans
+    val spark = Sessions.contractLocal("graft-verify")
     new java.io.File(outDir).mkdirs()
     // optional key filter for local iteration (comma-separated names);
-    // unset → the full driver-contract dump
+    // unset → the full driver-contract dump. The requested set is
+    // auto-EXPANDED (to fixpoint) with every query referenced through
+    // a {VERIFY_OUT} value oracle: a filtered run into a reused outDir
+    // would otherwise leave the referenced dumps stale, silently
+    // comparing an included query against a PREVIOUS run's data
+    // (e.g. file_dedup's oracle reads file_chunks/*.parquet).
+    val verifyRef = """\{VERIFY_OUT\}/([A-Za-z0-9_]+)/""".r
+    def expandRefs(names: Set[String]): Set[String] = {
+      val refs = names.flatMap(n => SparkEntry.oracleSql.get(n).toSeq.flatMap(
+        sql => verifyRef.findAllMatchIn(sql).map(_.group(1))))
+      if (refs.subsetOf(names)) names else expandRefs(names ++ refs)
+    }
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+      .map { requested =>
+        val full = expandRefs(requested)
+        val added = full -- requested
+        if (added.nonEmpty) System.err.println(
+          s"[verify] also regenerating {VERIFY_OUT} dependencies: ${added.toSeq.sorted.mkString(", ")}")
+        full
+      }
     def deleteRec(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(): Unit

@@ -142,23 +142,27 @@ object Dedup {
     chunkStatsOf(chunkTable(s, dir))
 
   private def chunkStatsOf(ch: DataFrame): DataFrame = {
-    // bytes of each distinct chunk counted once (first-writer-wins)
-    val perSha = ch.groupBy("chunk_sha")
-      .agg(first(col("length")).as("length"), count(lit(1)).as("refs"))
-    val uniq = perSha.agg(
-      count(lit(1)).as("n_unique_chunks"),
-      sum(col("length")).as("unique_bytes"))
-    val tot = ch.agg(
-      count(lit(1)).as("n_chunks"),
-      sum(col("length")).as("total_bytes"),
-      countDistinct(col("doc_id")).as("n_docs"))
-    tot.crossJoin(uniq).select(
-      col("n_docs"), col("n_chunks"), col("n_unique_chunks"),
-      col("total_bytes"), col("unique_bytes"),
-      (lit(1.0) - col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
-        .as("dedup_ratio"),
-      (col("total_bytes").cast("double") / col("n_chunks").cast("double"))
-        .as("mean_chunk_len"))
+    // ONE chunking pass: r7 forked `ch` into a per-sha branch and a
+    // totals branch, re-running the chunk Generator for each (2× the
+    // dominant map stage). A first-occurrence marker over the digest
+    // partitioning lets a single aggregate produce the per-occurrence
+    // totals AND the distinct-chunk totals (bytes of each distinct
+    // chunk counted once, first-writer-wins) in the same pass.
+    val w = Window.partitionBy("chunk_sha").orderBy("doc_id", "chunk_idx")
+    ch.withColumn("rn", row_number().over(w))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_unique_chunks"),
+        sum(col("length")).as("total_bytes"),
+        sum(when(col("rn") === 1, col("length"))).as("unique_bytes"))
+      .select(
+        col("n_docs"), col("n_chunks"), col("n_unique_chunks"),
+        col("total_bytes"), col("unique_bytes"),
+        (lit(1.0) - col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("dedup_ratio"),
+        (col("total_bytes").cast("double") / col("n_chunks").cast("double"))
+          .as("mean_chunk_len"))
   }
 
   // ---- dedup_chunk_sweep: chunk-granularity knob sweep -----------------
@@ -536,7 +540,9 @@ object Dedup {
       |  FROM read_parquet('{VERIFY_OUT}/dedup_chunk/*.parquet')
       |)
       |SELECT c.doc_id, c.chunk_idx, c."offset", c."length",
-      |  sha256(substr(d.text, c."offset" + 1, c."length")) AS chunk_sha
+      |  CASE WHEN octet_length(encode(d.text)) = length(d.text)
+      |       THEN sha256(substr(d.text, c."offset" + 1, c."length"))
+      |       ELSE 'ERROR_NON_ASCII_DOC_BYTE_OFFSETS_NEED_BINARY_SUBSTR' END AS chunk_sha
       |FROM c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin
 
   /** Deduplicate-stage accounting recomputed by DuckDB from the

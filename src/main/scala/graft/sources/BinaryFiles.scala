@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NativeChunk
@@ -22,24 +23,38 @@ object BinaryFiles {
       .option("pathGlobFilter", glob)
       .load(path)
 
-  /** Per-file chunk-level dedup accounting over every file in `dir` —
-    * the reference Dedup pipeline applied to a directory of binaries.
-    * Cross-file duplicate chunks are found with a hash groupBy (only
-    * 32-byte digests shuffle, never chunk payloads). */
-  def fileDedup(s: SparkSession, dir: String): DataFrame = {
-    val files = readDir(s, dir, "*.parquet")
+  /** The per-file CDC chunk table every accounting below derives from:
+    * one Buzhash+SHA-256 pass over every file's bytes. Emitted as its
+    * own driver-contract dump (`file_chunks`) so the file_dedup
+    * aggregates can be recomputed cross-engine from it — the chunk
+    * DIGESTS themselves are the kernel's (DuckDB cannot re-run Buzhash
+    * over binary file payloads), so this table is rows-only, but the
+    * arithmetic built on top of it is value-oracled. */
+  def fileChunks(s: SparkSession, dir: String): DataFrame =
+    readDir(s, dir, "*.parquet")
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
         col("length").as("n_bytes"), col("content"))
-    val chunks = files
       .repartition(s.sparkContext.defaultParallelism, col("file"))
       .select(col("file"), col("n_bytes"),
         NativeChunk.chunks(col("content"), minSize = 2048,
           maxSize = 65536, maskBits = 13))
       .select(col("file"), col("n_bytes"), col("chunk_sha"),
         col("length").as("chunk_len"))
-    val refCounts = chunks.groupBy("chunk_sha")
-      .agg(count(lit(1)).as("refs"))
-    chunks.join(refCounts, "chunk_sha")
+
+  /** Per-file chunk-level dedup accounting over every file in `dir` —
+    * the reference Dedup pipeline applied to a directory of binaries
+    * (TAR-input mode; Fragment over binary input, encoder.c).
+    *
+    * ONE chunking pass: r7 forked the chunk table into a groupBy
+    * refCounts side and a join-back side, so every file was
+    * Buzhash-chunked + SHA-256'd TWICE — 2× the dominant map stage at
+    * any scale. The cross-file reference count now rides a count-over
+    * window on the digest partitioning instead: chunk once, shuffle
+    * 32-byte digests once, aggregate per file. */
+  def fileDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("chunk_sha")
+    fileChunks(s, dir)
+      .withColumn("refs", count(lit(1)).over(w))
       .groupBy("file")
       .agg(first(col("n_bytes")).as("n_bytes"),
         count(lit(1)).as("n_chunks"),
@@ -47,8 +62,23 @@ object BinaryFiles {
         sum(when(col("refs") > 1, 1).otherwise(0)).as("n_shared_chunks"))
   }
 
+  /** Value oracle: DuckDB recomputes every file_dedup aggregate —
+    * including the windowed cross-file reference counts — from the
+    * emitted chunk table (the dedup_chunk_stats pattern applied to the
+    * binary-input mode). */
+  val fileDedupSql: String =
+    """WITH ch AS (SELECT * FROM read_parquet('{VERIFY_OUT}/file_chunks/*.parquet')),
+      |r AS (SELECT *, COUNT(*) OVER (PARTITION BY chunk_sha) AS refs FROM ch)
+      |SELECT file, MIN(n_bytes) AS n_bytes,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(DISTINCT chunk_sha) AS BIGINT) AS n_unique_chunks,
+      |  CAST(SUM(CASE WHEN refs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+      |FROM r GROUP BY file""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "file_chunks" -> (fileChunks _),
     "file_dedup" -> (fileDedup _))
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "file_dedup" -> fileDedupSql)
 }

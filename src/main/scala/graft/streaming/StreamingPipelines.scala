@@ -168,8 +168,14 @@ object StreamingPipelines {
   private[graft] def parquetNonEmpty(s: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    def hasPart(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { st =>
+        // one level of hive-partition subdirs (the epoch-keyed digest
+        // store) or flat part- files (every other store)
+        (st.isDirectory && st.getPath.getName.contains("=") && hasPart(st.getPath)) ||
+          (st.getPath.getName.startsWith("part-") && st.getLen > 0)
+      }
+    fs.exists(p) && hasPart(p)
   }
 
   // ---- incremental ingest dedup (foreachBatch vs a digest store) -------
@@ -221,40 +227,84 @@ object StreamingPipelines {
     * single Reorder thread — the final sequencing is inherently
     * serial, bounded by trigger volume rather than stream length.
     *
-    * The digest store + emit frontier survive restarts (parquet);
-    * exactly-once emission additionally needs the sink's transaction
-    * + query checkpoint, same as every foreachBatch sink. */
+    * The digest store + emit frontier survive restarts (parquet), and
+    * both advances are keyed by (epoch, batch fingerprint) so an
+    * at-least-once redelivery of the same epoch is idempotent: each
+    * attempt's digests live in their own txn partition (a redelivery
+    * overwrites the failed attempt's partial write and the probe
+    * excludes exactly that partition, so firsts re-classify
+    * identically), and the frontier row records (base, epoch, fp) so
+    * a redelivery re-bases emit_seq at the SAME sequence range
+    * instead of skipping one — the dense-sequence invariant holds
+    * across retries (FiveStageSpec redelivers an epoch to prove it).
+    * A NEW query over the same store (epoch numbering restarting at
+    * 0) is distinguished by the fingerprint and gets a fresh txn.
+    * Exactly-once emission to the outside world additionally needs
+    * the sink's transaction + query checkpoint, same as every
+    * foreachBatch sink. */
   /** Last batch's checkpointed chunk-table RDD per store — freed at
     * the NEXT call (the caller has consumed the previous batch's
     * output by then; foreachBatch calls are sequential per query), so
     * a long-running stream holds at most ONE batch's blocks instead
     * of accumulating one per trigger. */
   private val fiveStagePrevCkpt =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Int]]
 
   def fiveStageBatch(s: SparkSession, storeDir: String)(
       batch: DataFrame, epoch: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val digestPath = s"$storeDir/digests"
     val frontierPath = s"$storeDir/frontier"
-    // free the previous trigger's checkpoint (its output frame was
+    // free the previous trigger's checkpoints (their output frame was
     // fully consumed before this trigger started)
-    fiveStagePrevCkpt.remove(storeDir).foreach { id =>
+    fiveStagePrevCkpt.remove(storeDir).foreach(_.foreach { id =>
       s.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false))
-    }
-    // Fragment + Refine: chunk boundaries + identities + bytes
+    })
+    // Fragment + Refine: chunk boundaries + identities + bytes. Eager
+    // checkpoint: the CDC+SHA pass is the dominant map stage, and both
+    // the batch fingerprint and the tagged table read it.
     val chunks = batch
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         graft.functions.NativeChunk.chunks(col("text")))
       .withColumn("piece", expr("substring(payload, offset + 1, length)"))
       .drop("payload")
+      .localCheckpoint(true)
+    // Replay detection for the at-least-once contract: foreachBatch
+    // may redeliver an epoch after a crash that already advanced the
+    // store/frontier, and a NEW query over the same store restarts
+    // epoch numbering at 0 — epoch id alone distinguishes neither.
+    // The frontier row therefore records (epoch, fingerprint): a
+    // matching pair marks a true redelivery (same batch, same data),
+    // which must re-emit the SAME sequence range against the SAME
+    // store view; anything else is new work. Each attempt writes its
+    // digests into its own txn partition, so a redelivery OVERWRITES
+    // the failed attempt's partial write (never double-appends) and
+    // the probe can exclude exactly that partition.
+    val fpRow = chunks.agg(
+      bit_xor(xxhash64(col("doc_id"), col("chunk_idx"), col("chunk_sha"))).as("fp"),
+      count(lit(1)).as("n")).collect().head
+    val (fp, n) = (if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0), fpRow.getLong(1))
+    val stored =
+      if (parquetNonEmpty(s, frontierPath))
+        Some(s.read.parquet(frontierPath).collect().head)
+      else None
+    val isReplay = stored.exists(r =>
+      r.getAs[Long]("epoch") == epoch && r.getAs[Long]("fp") == fp)
+    val txn = stored.map(r =>
+      if (isReplay) r.getAs[Long]("txn") else r.getAs[Long]("txn") + 1).getOrElse(0L)
+    val frontier = stored.map(r =>
+      if (isReplay) r.getAs[Long]("base") else r.getAs[Long]("next_seq")).getOrElse(0L)
     // Deduplicate: store probe (anti-join side) + batch-local first
-    // occurrence; eager checkpoint BEFORE the store append so the
-    // probe never observes this batch's own writes
+    // occurrence; the probe excludes THIS txn's partition — on a
+    // redelivery the failed attempt's own digests are already on
+    // disk, and without the exclusion the whole batch would
+    // re-classify as all-duplicate (firsts lost forever)
     val known =
       if (parquetNonEmpty(s, digestPath))
-        s.read.parquet(digestPath).select(col("chunk_sha"))
+        s.read.parquet(digestPath)
+          .filter(col("txn") =!= txn)
+          .select(col("chunk_sha"))
           .withColumn("in_store", lit(true))
       else chunks.select("chunk_sha").limit(0).withColumn("in_store", lit(true))
     val firstW = Window.partitionBy("chunk_sha").orderBy("doc_id", "chunk_idx")
@@ -262,20 +312,15 @@ object StreamingPipelines {
       .withColumn("rn", row_number().over(firstW))
       .withColumn("is_first", col("in_store").isNull && col("rn") === 1)
       .drop("in_store", "rn")
-      .localCheckpoint(true)
-    // one file per batch append: the store is digests-only (tiny per
-    // batch), and un-coalesced appends accumulate #partitions small
-    // files per batch — by batch N the probe re-reads N×32 files
+      .localCheckpoint(true) // consumed 3× (append, count, caller)
+    // one file per batch (the store is digests-only, tiny per batch;
+    // un-coalesced appends would accumulate #partitions small files
+    // per batch), in the batch attempt's own txn partition
     tagged.filter(col("is_first")).select("chunk_sha")
-      .coalesce(1).write.mode("append").parquet(digestPath)
-    // Reorder frontier: rows emitted before this batch
-    val frontier =
-      if (parquetNonEmpty(s, frontierPath))
-        s.read.parquet(frontierPath).collect().head.getLong(0)
-      else 0L
-    val n = tagged.count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$digestPath/txn=$txn")
     import s.implicits._
-    Seq(frontier + n).toDF("next_seq")
+    Seq((frontier + n, frontier, epoch, fp, txn))
+      .toDF("next_seq", "base", "epoch", "fp", "txn")
       .write.mode("overwrite").parquet(frontierPath)
     // Compress (firsts only) + Reorder: the global sort is per
     // MICRO-BATCH (trigger-volume bounded) — the reference's Reorder
@@ -286,13 +331,14 @@ object StreamingPipelines {
       .withColumn("piece", when(col("is_first"), col("piece")))
       .withColumn("emit_seq",
         row_number().over(Window.orderBy("doc_id", "chunk_idx")) + lit(frontier - 1))
-    // the returned frame reads only the checkpointed `tagged`; record
-    // its RDD id so the NEXT trigger frees it once this batch's output
-    // has been consumed
-    tagged.queryExecution.logical.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        fiveStagePrevCkpt.put(storeDir, l.rdd.id): Unit
-    }
+    // the returned frame reads only the checkpointed `tagged` (itself
+    // derived from the checkpointed `chunks`); record both RDD ids so
+    // the NEXT trigger frees them once this batch's output has been
+    // consumed
+    val ckptIds = Seq(tagged, chunks).flatMap(_.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    })
+    fiveStagePrevCkpt.put(storeDir, ckptIds): Unit
     ordered
   }
 

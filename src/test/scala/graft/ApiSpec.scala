@@ -51,6 +51,30 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("file_dedup chunks ONCE (single graft_chunk Generate in the plan)") {
+    // r7 forked the chunk table into a refCounts groupBy + join-back,
+    // so every file was Buzhash-chunked + SHA-256'd twice — 2× the
+    // dominant map stage at any scale. The window formulation must
+    // keep exactly one chunk Generator in the physical plan.
+    val plan = BinaryFiles.fileDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("graft_chunk\\(".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("file_dedup window formulation ≡ the groupBy+join-back fork (differential)") {
+    import org.apache.spark.sql.functions._
+    val chunks = BinaryFiles.fileChunks(spark, sfDir)
+    val refCounts = chunks.groupBy("chunk_sha").agg(count(lit(1)).as("refs"))
+    val forked = chunks.join(refCounts, "chunk_sha")
+      .groupBy("file")
+      .agg(first(col("n_bytes")).as("n_bytes"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_sha")).as("n_unique_chunks"),
+        sum(when(col("refs") > 1, 1).otherwise(0)).as("n_shared_chunks"))
+    val got = BinaryFiles.fileDedup(spark, sfDir)
+    assert(got.exceptAll(forked).isEmpty && forked.exceptAll(got).isEmpty)
+  }
+
   test("ferret_pipeline: top-k per query over the 10% query batch") {
     val res = Similarity.ferretPipeline(spark, sfDir).cache()
     val nq = Tables.embeddings(spark, sfDir)

@@ -99,6 +99,28 @@ class DedupSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("dedup_chunk_stats chunks ONCE (single graft_chunk Generate in the plan)") {
+    // r7 forked the chunk table into per-sha and totals branches,
+    // re-running the chunk Generator for each; the single-aggregate
+    // formulation must keep exactly one Generator in the plan
+    val plan = Dedup.dedupChunkStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("graft_chunk\\(".r.findAllIn(plan).size == 1, plan.take(2000))
+  }
+
+  test("chunk value-oracle precondition: the test corpus is ASCII") {
+    // dedup_chunk's DuckDB oracle addresses chunk bytes with
+    // CHARACTER-based substr over byte offsets — valid only while
+    // every document is single-byte. The oracle itself now emits a
+    // loud sentinel on non-ASCII docs; this pins the precondition so
+    // a future multi-byte corpus fails here first, with the reason.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(octet_length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII documents: dedup_chunk's character-substr oracle would misaddress chunk bytes")
+  }
+
   test("chunk stats and compress are consistent") {
     val stats = Dedup.dedupChunkStats(spark, sfDir).collect().head
     assert(stats.getAs[Long]("n_chunks") >= stats.getAs[Long]("n_unique_chunks"))

@@ -88,9 +88,29 @@ class FiveStageSpec extends SparkSpec {
 
       // 5. cross-query convergence: replaying the same docs against the
       // SAME store finds zero new content (every chunk is a duplicate)
+      // (collect eagerly: the NEXT stage() call frees this batch's
+      // checkpoint blocks, after which the frame cannot re-evaluate)
       val replay = stage(spark.createDataFrame(docs.toSeq).toDF("doc_id", "text"), 99L)
-      assert(replay.filter(col("is_first")).count() == 0,
+        .collect()
+      assert(replay.count(_.getAs[Boolean]("is_first")) == 0,
         "store did not converge: replay found new digests")
+
+      // 6. at-least-once REDELIVERY of the last epoch (same epoch id,
+      // same data — the crash-after-store-advance case): the output
+      // must be row-identical to the first delivery — same is_first
+      // classification (store advanced by the failed attempt must not
+      // reclassify the batch all-duplicate) and the SAME emit_seq
+      // range (no hole in the dense sequence) — and the digest store
+      // must not grow
+      val digests = spark.read.parquet(s"$storeDir/digests")
+        .select("chunk_sha").distinct().count()
+      val redelivered = stage(
+        spark.createDataFrame(docs.toSeq).toDF("doc_id", "text"), 99L).collect()
+      assert(redelivered.map(_.toSeq).toSet == replay.map(_.toSeq).toSet,
+        "redelivered epoch did not reproduce the original delivery")
+      assert(spark.read.parquet(s"$storeDir/digests")
+        .select("chunk_sha").distinct().count() == digests,
+        "redelivery grew the digest store")
     } finally {
       StreamingPipelines.deleteRecursively(new java.io.File(storeDir))
     }
