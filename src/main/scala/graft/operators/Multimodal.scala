@@ -274,6 +274,113 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 3])) AS BIGINT) AS b_sum
       |FROM px""".stripMargin
 
+  // ---- mm_segment: SRM segmentation + per-region descriptors ----------
+  /** The ferret front-end's t_seg + t_extract stages
+    * (ferret-pthreads.c:468,514) as a Spark operator: decode → SRM
+    * segmentation ([[graft.functions.Srm.segment]], srm.c:251) →
+    * per-region 14-dim descriptors (extract.c:261). One output row
+    * per region, carrying the float descriptor (feeds ferret_emd's
+    * vecsets), the √size-normalized EMD weight, and integer-exact
+    * per-region pixel counts + RGB channel sums — the partition
+    * invariants mm_segment_check proves cross-engine.
+    *
+    * Segmentation-bearing payloads are larger than mm_features' (12-16
+    * × 9-12 px) and carry STRUCTURE: 1-4 vertical bands whose base
+    * colors come from digest bytes, plus a ±2 deterministic noise
+    * texture — so SRM has real work to do (merge the noise, keep the
+    * band boundaries) and DuckDB can still re-derive every pixel from
+    * the digest alone. */
+  case class MMRegion(doc_id: Long, region_idx: Int, n_regions: Int,
+                      n_pixels: Int, r_sum: Long, g_sum: Long, b_sum: Long,
+                      weight: Double, descriptor: Array[Double])
+
+  private[graft] def synthesizeSegBmp(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val width = (12 + docId % 5).toInt
+    val height = (9 + payload.length % 4).toInt
+    val nBands = (1 + docId % 4).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < rgb.length) {
+      val k = i / 3
+      val c = i % 3
+      val x = k % width
+      val y = k / width
+      val band = x * nBands / width
+      val base = digest((3 * band + c) % 32) & 0xff
+      val noise = (x * 7 + y * 13) % 5 - 2
+      rgb(i) = math.max(0, math.min(255, base + noise)).toByte
+      i += 1
+    }
+    graft.functions.ImageCodec.encodeBmp(
+      graft.functions.ImageCodec.Image(width, height, rgb))
+  }
+
+  def mmSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val img = graft.functions.ImageCodec.decodeBmp(synthesizeSegBmp(id, payload))
+          val regions = graft.functions.Srm.segmentAndDescribe(img)
+          regions.iterator.zipWithIndex.map { case (r, ri) =>
+            MMRegion(id, ri, regions.length, r.nPixels,
+              r.rSum, r.gSum, r.bSum, r.weight, r.descriptor)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Per-image segmentation invariants, value-oracled: regions must
+    * PARTITION the image, so their pixel counts and integer channel
+    * sums aggregate to the whole-image totals — which DuckDB
+    * recomputes independently from the digest-derived pixel formula,
+    * while n_regions comes from the emitted mm_segment dump. A
+    * segmenter that drops/duplicates pixels, mislabels a region or
+    * miscounts sums breaks the hash compare. */
+  def mmSegmentCheck(s: SparkSession, dir: String): DataFrame =
+    mmSegment(s, dir)
+      .groupBy("doc_id")
+      .agg(max(col("n_regions")).as("n_regions"),
+        sum(col("n_pixels")).cast("long").as("n_pixels"),
+        sum(col("r_sum")).as("r_sum"),
+        sum(col("g_sum")).as("g_sum"),
+        sum(col("b_sum")).as("b_sum"))
+
+  val mmSegmentCheckSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(12 + doc_id % 5 AS INT) AS width,
+      |    CAST(9 + nb % 4 AS INT) AS height,
+      |    CAST(1 + doc_id % 4 AS INT) AS nbands, h
+      |  FROM m
+      |), px AS (
+      |  SELECT doc_id, width, height,
+      |    list_transform(range(0, width*height*3), i ->
+      |      greatest(0, least(255,
+      |        (strpos('0123456789abcdef', substr(h,
+      |           2*((3*(((i // 3) % width) * nbands // width) + (i % 3)) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h,
+      |           2*((3*(((i // 3) % width) * nbands // width) + (i % 3)) % 32) + 2, 1)) - 1
+      |        + (((i // 3) % width) * 7 + ((i // 3) // width) * 13) % 5 - 2))) AS p
+      |  FROM g
+      |), seg AS (
+      |  SELECT doc_id, CAST(MAX(n_regions) AS INT) AS n_regions
+      |  FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')
+      |  GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, s.n_regions,
+      |  CAST(t.width * t.height AS BIGINT) AS n_pixels,
+      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 1])) AS BIGINT) AS r_sum,
+      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 2])) AS BIGINT) AS g_sum,
+      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 3])) AS BIGINT) AS b_sum
+      |FROM px t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
+
   // ---- mm_audio: real WAV decode + waveform features -------------------
   /** Audio-column plumbing, completing the modality triple: each
     * payload synthesizes a genuine PCM16LE mono WAV (samples derive
@@ -358,7 +465,9 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_audio" -> (mmAudio _))
+    "mm_audio" -> (mmAudio _),
+    "mm_segment" -> (mmSegment _),
+    "mm_segment_check" -> (mmSegmentCheck _))
 
   /** Every mm_features column recomputed independently by DuckDB:
     * geometry from (doc_id, octet_length), the BMP's encoded size from
@@ -399,5 +508,6 @@ object Multimodal {
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_audio" -> mmAudioSql)
+    "mm_audio" -> mmAudioSql,
+    "mm_segment_check" -> mmSegmentCheckSql)
 }

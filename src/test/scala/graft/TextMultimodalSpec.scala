@@ -205,6 +205,48 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("mm_segment: regions partition each image, descriptors well-formed") {
+    val res = Multimodal.mmSegment(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    // every doc segmented; region indexes dense 0..n_regions-1
+    assert(res.select("doc_id").distinct().count() == docs)
+    val badIdx = res.groupBy("doc_id")
+      .agg(max(col("n_regions")).as("nr"), count(lit(1)).as("cnt"),
+        max(col("region_idx")).as("mx"), min(col("region_idx")).as("mn"))
+      .filter(col("cnt") =!= col("nr") || col("mx") =!= col("nr") - 1 ||
+        col("mn") =!= 0)
+    assert(badIdx.count() == 0)
+    // sizes partition the synthesized geometry: width*height =
+    // (12 + doc_id%5) * (9 + octet_length%4)
+    val expected = Tables.documents(spark, sfDir).select(col("doc_id"),
+      ((lit(12) + col("doc_id") % 5) *
+        (lit(9) + octet_length(encode(col("text"), "UTF-8")) % 4)).as("npx"))
+    val sized = res.groupBy("doc_id").agg(sum(col("n_pixels")).as("got"))
+      .join(expected, "doc_id").filter(col("got") =!= col("npx"))
+    assert(sized.count() == 0)
+    // weights sum to 1 per image; descriptors are 14-dim
+    val badW = res.groupBy("doc_id").agg(sum(col("weight")).as("w"))
+      .filter(abs(col("w") - 1.0) > 1e-9)
+    assert(badW.count() == 0)
+    assert(res.filter(size(col("descriptor")) =!= 14).count() == 0)
+    // the band structure produces real multi-region segmentations:
+    // images with several contrasting bands usually keep boundaries
+    assert(res.filter(col("n_regions") > 1).count() > 0)
+    res.unpersist()
+  }
+
+  test("mm_segment_check: per-image invariants match the region rollup") {
+    val check = Multimodal.mmSegmentCheck(spark, sfDir).cache()
+    val seg = Multimodal.mmSegment(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(max(col("n_regions")).as("n_regions"),
+        sum(col("n_pixels")).cast("long").as("n_pixels"),
+        sum(col("r_sum")).as("r_sum"), sum(col("g_sum")).as("g_sum"),
+        sum(col("b_sum")).as("b_sum"))
+    assert(check.exceptAll(seg).isEmpty && seg.exceptAll(check).isEmpty)
+    check.unpersist()
+  }
+
   test("text_crossdup: shared spans are covered exactly, unique text is not") {
     import spark.implicits._
     // a 10-token span shared by docs 1 and 2 at different offsets;
