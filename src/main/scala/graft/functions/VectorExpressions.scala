@@ -237,7 +237,7 @@ object EmdKernel {
       val av = a.getArray(i)
       var j = 0
       while (j < n) {
-        cost(i)(j) = l2(av, b.getArray(j), aFloat, bFloat)
+        cost(i)(j) = l2Dist(av, b.getArray(j), aFloat, bFloat)
         j += 1
       }
       i += 1
@@ -245,7 +245,8 @@ object EmdKernel {
     solveAssignment(cost) / n
   }
 
-  private def l2(x: ArrayData, y: ArrayData, xF: Boolean, yF: Boolean): Double = {
+  /** Euclidean ground distance, shared with [[EmdWeightedKernel]]. */
+  def l2Dist(x: ArrayData, y: ArrayData, xF: Boolean, yF: Boolean): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -280,6 +281,144 @@ object EmdKernel {
     }
     rec(0, 0.0)
     best
+  }
+}
+
+/** General-weight EMD — the reference's actual `emd` contract
+  * (emd.c:104): signatures are (feature, weight) lists with arbitrary
+  * positive weights and arbitrary (possibly different) cardinalities;
+  * the distance is the minimum-cost transportation of
+  * min(Σw₁, Σw₂) mass, normalized by that total flow (emd.c:192
+  * `totalCost / w`). The uniform equal-size kernel above is the
+  * degenerate case (spec-pinned equal).
+  *
+  * Solved EXACTLY by successive shortest paths on the bipartite
+  * flow network (Bellman-Ford each round — edge costs are plain
+  * Euclidean distances, and region sets are ≤ ~8 a side, so each
+  * solve is microseconds). Real-valued supplies terminate: every
+  * augmentation exhausts a source, a sink, or a residual arc, and
+  * an optimal transportation solution uses at most n₁+n₂-1 arcs. */
+object EmdWeightedKernel {
+
+  def emd(a: ArrayData, aw: ArrayData, b: ArrayData, bw: ArrayData,
+          aFloat: Boolean, bFloat: Boolean,
+          awFloat: Boolean, bwFloat: Boolean): Double = {
+    val n1 = a.numElements()
+    val n2 = b.numElements()
+    require(n1 > 0 && n2 > 0 && n1 <= 16 && n2 <= 16,
+      s"graft_emd_w expects non-empty vector sets of <= 16 (got $n1 vs $n2)")
+    require(aw.numElements() == n1 && bw.numElements() == n2,
+      s"graft_emd_w weight/vector cardinality mismatch ($n1/${aw.numElements()}, $n2/${bw.numElements()})")
+    def wAt(w: ArrayData, i: Int, f: Boolean): Double =
+      if (f) w.getFloat(i).toDouble else w.getDouble(i)
+
+    val supply = Array.tabulate(n1)(i => wAt(aw, i, awFloat))
+    val demand = Array.tabulate(n2)(j => wAt(bw, j, bwFloat))
+    require(supply.forall(_ >= 0) && demand.forall(_ >= 0),
+      "graft_emd_w weights must be non-negative")
+    // transport min(Σw1, Σw2) mass (emd.c:150): scale the HEAVIER
+    // side down is wrong (it changes per-region weights) — instead
+    // cap total moved mass by tracking remaining supply/demand and
+    // stopping when the smaller side exhausts
+    val totalFlow = math.min(supply.sum, demand.sum)
+    if (totalFlow <= 0) return 0.0
+
+    val cost = Array.ofDim[Double](n1, n2)
+    var i = 0
+    while (i < n1) {
+      val av = a.getArray(i)
+      var j = 0
+      while (j < n2) {
+        cost(i)(j) = EmdKernel.l2Dist(av, b.getArray(j), aFloat, bFloat)
+        j += 1
+      }
+      i += 1
+    }
+
+    // successive shortest paths over the residual network:
+    // nodes 0..n1-1 sources, n1..n1+n2-1 sinks
+    val flow = Array.ofDim[Double](n1, n2)
+    var moved = 0.0
+    var totalCost = 0.0
+    val eps = 1e-12
+    var guard = 0
+    while (totalFlow - moved > eps && guard < 4 * (n1 + n2) * (n1 + n2)) {
+      guard += 1
+      // Bellman-Ford from all sources with remaining supply
+      val n = n1 + n2
+      val dist = Array.fill(n)(Double.MaxValue)
+      val prev = Array.fill(n)(-1)
+      i = 0
+      while (i < n1) { if (supply(i) > eps) dist(i) = 0.0; i += 1 }
+      var changed = true
+      var rounds = 0
+      while (changed && rounds <= n) {
+        changed = false
+        i = 0
+        while (i < n1) {
+          if (dist(i) < Double.MaxValue) {
+            var j = 0
+            while (j < n2) {
+              if (dist(i) + cost(i)(j) < dist(n1 + j) - eps) {
+                dist(n1 + j) = dist(i) + cost(i)(j); prev(n1 + j) = i; changed = true
+              }
+              j += 1
+            }
+          }
+          // residual backward arcs sink j -> source i where flow > 0
+          var j = 0
+          while (j < n2) {
+            if (flow(i)(j) > eps && dist(n1 + j) < Double.MaxValue &&
+                dist(n1 + j) - cost(i)(j) < dist(i) - eps) {
+              dist(i) = dist(n1 + j) - cost(i)(j); prev(i) = n1 + j; changed = true
+            }
+            j += 1
+          }
+          i += 1
+        }
+        rounds += 1
+      }
+      // cheapest reachable sink with remaining demand
+      var best = -1
+      var j = 0
+      while (j < n2) {
+        if (demand(j) > eps && dist(n1 + j) < Double.MaxValue &&
+            (best < 0 || dist(n1 + j) < dist(n1 + best))) best = j
+        j += 1
+      }
+      if (best < 0) return totalCost / math.max(moved, eps) // disconnected (cannot happen: complete bipartite)
+      // walk the path back, find bottleneck
+      var amt = math.min(totalFlow - moved, demand(best))
+      var node = n1 + best
+      while (prev(node) >= 0) {
+        val p = prev(node)
+        if (node >= n1) { // p -> node is a forward arc from source p
+          if (prev(p) < 0) amt = math.min(amt, supply(p))
+        } else { // p(=sink) -> node(=source) is a residual arc: capacity = flow(node)(p-n1)
+          amt = math.min(amt, flow(node)(p - n1))
+        }
+        node = p
+      }
+      // apply augmentation
+      node = n1 + best
+      while (prev(node) >= 0) {
+        val p = prev(node)
+        if (node >= n1) flow(p)(node - n1) += amt
+        else flow(node)(p - n1) -= amt
+        node = p
+      }
+      supply(node) -= amt
+      demand(best) -= amt
+      moved += amt
+      totalCost = 0.0
+      i = 0
+      while (i < n1) {
+        var jj = 0
+        while (jj < n2) { totalCost += flow(i)(jj) * cost(i)(jj); jj += 1 }
+        i += 1
+      }
+    }
+    totalCost / totalFlow
   }
 }
 
@@ -320,6 +459,61 @@ case class EmdDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** emd((vecs_a, weights_a), (vecs_b, weights_b)) with general
+  * positive weights and unequal cardinalities — the full emd.c
+  * contract. Children: array<array<float|double>> vec sets,
+  * array<float|double> weight lists. */
+case class EmdWeightedDistance(first: Expression, second: Expression,
+                               third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_emd_w"
+
+  private def innerFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _ => false
+  }
+  private def weightFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def vecs(dt: DataType) = dt match {
+      case ArrayType(ArrayType(FloatType, _), _) | ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    def ws(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (vecs(first.dataType) && ws(second.dataType) &&
+        vecs(third.dataType) && ws(fourth.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<array<num>>, array<num>) pairs, got " +
+          s"${children.map(_.dataType.sql).mkString(", ")}")
+  }
+
+  override protected def nullSafeEval(a: Any, aw: Any, b: Any, bw: Any): Any =
+    EmdWeightedKernel.emd(a.asInstanceOf[ArrayData], aw.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], bw.asInstanceOf[ArrayData],
+      innerFloat(first.dataType), innerFloat(third.dataType),
+      weightFloat(second.dataType), weightFloat(fourth.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, aw, b, bw) =>
+      s"graft.functions.EmdWeightedKernel.emd($a, $aw, $b, $bw, " +
+        s"${innerFloat(first.dataType)}, ${innerFloat(third.dataType)}, " +
+        s"${weightFloat(second.dataType)}, ${weightFloat(fourth.dataType)})")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Column constructors for the native expressions. */
 object NativeVector {
   def dot(a: Column, b: Column): Column =
@@ -328,6 +522,10 @@ object NativeVector {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def emd(a: Column, b: Column): Column =
     ColumnBridge.column(EmdDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def emdWeighted(a: Column, aw: Column, b: Column, bw: Column): Column =
+    ColumnBridge.column(EmdWeightedDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(aw),
+      ColumnBridge.expression(b), ColumnBridge.expression(bw)))
   def lshBuckets(v: Column, seed: Long, nTables: Int, bits: Int, dim: Int): Column =
     ColumnBridge.column(LshBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim))
 }

@@ -113,6 +113,78 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_emd_w degenerates to the uniform equal-size kernel") {
+    import spark.implicits._
+    val r = new scala.util.Random(29)
+    val cases = Seq.fill(20)(
+      (Array.fill(4)(Array.fill(8)(r.nextGaussian())),
+        Array.fill(4)(0.25),
+        Array.fill(4)(Array.fill(8)(r.nextGaussian())),
+        Array.fill(4)(0.25)))
+    val rows = cases.toDF("a", "aw", "b", "bw").select(
+      graft.functions.NativeVector.emdWeighted(
+        col("a"), col("aw"), col("b"), col("bw")).as("w"),
+      graft.functions.NativeVector.emd(col("a"), col("b")).as("u"))
+      .collect()
+    rows.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-9,
+        s"weighted ${row.getDouble(0)} vs uniform ${row.getDouble(1)}")
+    }
+  }
+
+  test("graft_emd_w matches the 2x2 transportation polytope endpoints") {
+    import spark.implicits._
+    // a balanced 2x2 transportation LP attains its optimum at an
+    // endpoint of the single free variable f11 ∈ [max(0,w1+v1-1),
+    // min(w1,v1)] — brute-force both endpoints
+    val r = new scala.util.Random(31)
+    val cases = Seq.fill(30) {
+      val w1 = 0.1 + 0.8 * r.nextDouble()
+      val v1 = 0.1 + 0.8 * r.nextDouble()
+      (Array.fill(2)(Array.fill(6)(r.nextGaussian())), Array(w1, 1 - w1),
+        Array.fill(2)(Array.fill(6)(r.nextGaussian())), Array(v1, 1 - v1))
+    }
+    val got = cases.toDF("a", "aw", "b", "bw").select(
+      graft.functions.NativeVector.emdWeighted(
+        col("a"), col("aw"), col("b"), col("bw"))).collect().map(_.getDouble(0))
+    def l2(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    cases.zip(got).foreach { case ((a, aw, b, bw), g) =>
+      val d = Array.tabulate(2, 2)((i, j) => l2(a(i), b(j)))
+      def costAt(f11: Double) =
+        f11 * d(0)(0) + (aw(0) - f11) * d(0)(1) +
+          (bw(0) - f11) * d(1)(0) + (1 - aw(0) - bw(0) + f11) * d(1)(1)
+      val lo = math.max(0.0, aw(0) + bw(0) - 1.0)
+      val hi = math.min(aw(0), bw(0))
+      val want = math.min(costAt(lo), costAt(hi))
+      assert(math.abs(g - want) < 1e-9, s"emd_w $g vs LP endpoint $want")
+    }
+  }
+
+  test("graft_emd_w: unequal cardinalities and unequal totals") {
+    import spark.implicits._
+    // 1 source vs 3 sinks, balanced: closed form Σ wⱼ·dⱼ
+    val a = Array(Array(0.0, 0.0))
+    val b = Array(Array(3.0, 4.0), Array(0.0, 1.0), Array(6.0, 8.0))
+    val bw = Array(0.5, 0.3, 0.2)
+    val df1 = Seq((a, Array(1.0), b, bw)).toDF("a", "aw", "b", "bw")
+    val g1 = df1.select(graft.functions.NativeVector.emdWeighted(
+      col("a"), col("aw"), col("b"), col("bw"))).collect().head.getDouble(0)
+    assert(math.abs(g1 - (0.5 * 5 + 0.3 * 1 + 0.2 * 10)) < 1e-9)
+    // unequal totals: only min(Σw1, Σw2) mass moves, normalized by it
+    // (emd.c:150,192) — 0.5 total demand against the nearest sink mix
+    val df2 = Seq((a, Array(1.0), b, Array(0.25, 0.25, 0.0)))
+      .toDF("a", "aw", "b", "bw")
+    val g2 = df2.select(graft.functions.NativeVector.emdWeighted(
+      col("a"), col("aw"), col("b"), col("bw"))).collect().head.getDouble(0)
+    assert(math.abs(g2 - (0.25 * 5 + 0.25 * 1) / 0.5) < 1e-9)
+    // self-distance zero with ragged weights
+    val df3 = Seq((b, bw, b, bw)).toDF("a", "aw", "b", "bw")
+    val g3 = df3.select(graft.functions.NativeVector.emdWeighted(
+      col("a"), col("aw"), col("b"), col("bw"))).collect().head.getDouble(0)
+    assert(g3 == 0.0)
+  }
+
   test("graft_emd rejects flat (non-nested) arrays") {
     import spark.implicits._
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
