@@ -60,10 +60,10 @@ object Similarity {
   private val BucketSeed = 7L
   private val SketchSeed = 11L
 
-  private def withBuckets(e: DataFrame): DataFrame =
+  private def withBuckets(e: DataFrame, dim: Int = EmbDim): DataFrame =
     e.select(col("vec_id"), col("v"),
       posexplode(graft.functions.NativeVector.lshBuckets(
-        col("v"), BucketSeed, LshTables, LshBits, EmbDim)))
+        col("v"), BucketSeed, LshTables, LshBits, dim)))
       .toDF("vec_id", "v", "tbl", "bucket")
 
   private def withSketch(e: DataFrame): DataFrame =
@@ -466,39 +466,65 @@ object Similarity {
   }
 
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
-  private val RegionsPerImage = 4
-
-  /** The reference's t_rank re-ranks with the `emd` VECSET distance
-    * (ferret-pthreads.c:870), after merging the per-region candidate
-    * lists the index probe returned (`cass_result_merge_lists`,
-    * ferret-pthreads.c:646-660). Here: images are modeled as sets of
-    * [[RegionsPerImage]] consecutive embedding vectors (the reference
-    * segments each image into regions — t_seg); every query REGION
-    * probes the LSH bucket index independently; per-region lists merge
-    * by (query, candidate) union with collision count as the phase-1
-    * score; the over-fetched merged list re-ranks by exact EMD.
+  /** The reference's 6-stage ferret pipeline made real end to end:
+    * t_seg SEGMENTS each decoded image with SRM
+    * ([[graft.functions.Srm.segment]], ferret-pthreads.c:468 →
+    * srm.c:251), t_extract derives a weighted 14-dim descriptor per
+    * region (ferret-pthreads.c:514 → extract.c:261), every query
+    * REGION probes the LSH bucket index independently (t_vec), the
+    * per-region candidate lists merge by (query, candidate) union
+    * with collision count as the phase-1 score
+    * (`cass_result_merge_lists`, ferret-pthreads.c:646-660), and
+    * t_rank re-ranks the over-fetched merged list with the
+    * general-weight `emd` vecset distance (ferret-pthreads.c:870 →
+    * emd.c:104) over the segmenter's √size-normalized region weights.
+    * Images are the digest-synthesized band BMPs the multimodal
+    * family decodes (Multimodal.synthesizeSegBmp) — real format, real
+    * decode, real segmentation; region cardinality VARIES per image
+    * (1-4 bands ± specks), which is exactly what the general
+    * transportation EMD exists to rank.
     *
-    * Scale posture: candidate gen stays a bucket equi-join; EMD (a
-    * branch-and-bound assignment per pair) runs only on the 2k
-    * over-fetched pairs per query, never the corpus. */
+    * Scale posture: the segment+extract map stage is embarrassingly
+    * parallel (partition-batched, no shuffle); candidate gen stays a
+    * bucket equi-join; the exact EMD (a min-cost-flow solve per pair
+    * over ≤16×16 regions) runs only on the over-fetched pairs per
+    * query, never the corpus. */
   def ferretEmd(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val regions = e.select(
-      (col("vec_id") / RegionsPerImage).cast("long").as("image_id"),
-      (col("vec_id") % RegionsPerImage).as("region_idx"), col("v"))
-    // uniform-weight equal-size sets → the transportation problem is an
-    // exact assignment; incomplete trailing images are dropped
-    val complete = regions.groupBy("image_id")
-      .agg(count(lit(1)).as("nr"),
-        transform(array_sort(collect_list(struct(col("region_idx"), col("v")))),
-          x => x.getField("v")).as("vset"))
-      .filter(col("nr") === RegionsPerImage).drop("nr")
-    val queries = complete.filter(col("image_id") < NQueries)
-      .select(col("image_id").as("query_img"), col("vset").as("qset"))
-    val corpB = withBuckets(regions.select(col("image_id").as("vec_id"), col("v")))
+    import s.implicits._
+    val regions = Tables.parallel(s, Tables.documents(s, dir))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val img = graft.functions.ImageCodec.decodeBmp(
+            Multimodal.synthesizeSegBmp(id, payload))
+          graft.functions.Srm.segmentAndDescribe(img)
+            .iterator.zipWithIndex.map { case (r, ri) =>
+              (id, ri, r.descriptor, r.weight)
+            }
+        }
+      }
+      .toDF("image_id", "region_idx", "v", "weight")
+    // weighted vecsets in region scan order; slice(16) is a safety
+    // valve for pathological segmentations (EMD kernel bound) — band
+    // images produce 1-8 regions in practice
+    val vecsets = regions.groupBy("image_id")
+      .agg(slice(transform(array_sort(collect_list(
+          struct(col("region_idx"), col("v"), col("weight")))),
+          x => struct(x.getField("v").as("v"), x.getField("weight").as("w"))),
+        1, 16).as("rset"))
+      .select(col("image_id"),
+        transform(col("rset"), x => x.getField("v")).as("vset"),
+        transform(col("rset"), x => x.getField("w")).as("wset"))
+    val queries = vecsets.filter(col("image_id") < NQueries)
+      .select(col("image_id").as("query_img"),
+        col("vset").as("qset"), col("wset").as("qw"))
+    val corpB = withBuckets(
+        regions.select(col("image_id").as("vec_id"), col("v")), dim = graft.functions.Srm.Dim)
       .select(col("vec_id").as("cand_img"), col("tbl"), col("bucket"))
-    val qB = withBuckets(regions.filter(col("image_id") < NQueries)
-        .select(col("image_id").as("vec_id"), col("v")))
+    val qB = withBuckets(
+        regions.filter(col("image_id") < NQueries)
+          .select(col("image_id").as("vec_id"), col("v")), dim = graft.functions.Srm.Dim)
       .select(col("vec_id").as("query_img"), col("tbl"), col("bucket"))
     // per-region lists merged by union; collision count = probe evidence
     val cand = corpB.join(broadcast(qB), Seq("tbl", "bucket"))
@@ -512,11 +538,12 @@ object Similarity {
       .select("query_img", "cand_img")
     val wEmd = Window.partitionBy("query_img").orderBy(col("emd"), col("cand_img"))
     over
-      .join(complete.select(col("image_id").as("cand_img"), col("vset").as("cset")),
-        "cand_img")
+      .join(vecsets.select(col("image_id").as("cand_img"),
+        col("vset").as("cset"), col("wset").as("cw")), "cand_img")
       .join(broadcast(queries), "query_img")
       .select(col("query_img"), col("cand_img"),
-        graft.functions.NativeVector.emd(col("qset"), col("cset")).as("emd"))
+        graft.functions.NativeVector.emdWeighted(
+          col("qset"), col("qw"), col("cset"), col("cw")).as("emd"))
       .withColumn("rank", row_number().over(wEmd))
       .filter(col("rank") <= TopK)
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Multimodal, Similarity}
 
 class SimilaritySpec extends SparkSpec {
 
@@ -93,6 +93,16 @@ class SimilaritySpec extends SparkSpec {
   test("ferret_emd: top-k per query image, ascending exact EMD") {
     val res = Similarity.ferretEmd(spark, sfDir).cache()
     assert(res.count() > 0)
+    // the vecsets come from the REAL segmenter now: re-rank must have
+    // compared sets of differing cardinality (the general EMD path)
+    val nr = Multimodal.mmSegment(spark, sfDir)
+      .groupBy("doc_id").agg(max("n_regions").as("nr"))
+    val mixed = res.join(nr.withColumnRenamed("doc_id", "query_img")
+        .withColumnRenamed("nr", "qnr"), "query_img")
+      .join(nr.withColumnRenamed("doc_id", "cand_img")
+        .withColumnRenamed("nr", "cnr"), "cand_img")
+      .filter(col("qnr") =!= col("cnr"))
+    assert(mixed.count() > 0, "no variable-cardinality EMD pair ranked")
     assert(res.filter(col("emd") < 0).count() == 0)
     val over = res.groupBy("query_img").count()
       .filter(col("count") > Similarity.TopK).count()
