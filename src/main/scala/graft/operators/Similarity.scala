@@ -505,6 +505,11 @@ object Similarity {
         }
       }
       .toDF("image_id", "region_idx", "v", "weight")
+      // the decode+SRM+extract pass is the dominant map stage and the
+      // plan forks it four ways (corpus/query buckets, vecsets,
+      // queries — filters can't push through MapPartitions): segment
+      // ONCE, eagerly; the bench frees the blocks between queries
+      .localCheckpoint(true)
     // weighted vecsets in region scan order; slice(16) is a safety
     // valve for pathological segmentations (EMD kernel bound) — band
     // images produce 1-8 regions in practice
