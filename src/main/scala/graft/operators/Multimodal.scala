@@ -381,6 +381,88 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 3])) AS BIGINT) AS b_sum
       |FROM px t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
 
+  // ---- mm_jpeg: the reference's REAL input format, round-tripped -------
+  /** The reference ingests JPEG (libjpeg behind ferret's
+    * image_read_rgb): this operator drives the pure-JVM baseline JFIF
+    * codec ([[graft.functions.JpegCodec]]) end to end — synthesize a
+    * grayscale 8px-band image from the digest, ENCODE it to a real
+    * JPEG stream (FDCT → quantize → zigzag → Huffman → stuffed bits),
+    * DECODE that stream back (marker walk → DHT/DQT load → Huffman →
+    * dequant → IDCT), and emit per-band sums computed from the
+    * DECODED pixels. Gray flat 8×8-aligned bands round-trip EXACTLY
+    * at quality 100 (DC-only blocks, unit quant table), so DuckDB can
+    * recompute every emitted value from the digest alone: a
+    * cross-engine proof of the whole DCT/Huffman path — any bug in
+    * either direction shifts a band sum and breaks the hash. */
+  case class MMJpegBand(doc_id: Long, band_idx: Int, width: Int, height: Int,
+                        band_sum: Long)
+
+  private[graft] def synthesizeGrayBands(docId: Long, payload: Array[Byte]): graft.functions.ImageCodec.Image = {
+    val width = (8 * (2 + docId % 3)).toInt
+    val height = (8 * (2 + payload.length % 2)).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < width * height) {
+      val v = digest(((i % width) / 8) % 32)
+      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+      i += 1
+    }
+    graft.functions.ImageCodec.Image(width, height, rgb)
+  }
+
+  def mmJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val src = synthesizeGrayBands(id, payload)
+          val jpeg = graft.functions.JpegCodec.encodeJpeg(src, quality = 100, gray = true)
+          val dec = graft.functions.JpegCodec.decodeJpeg(jpeg)
+          require(dec.width == src.width && dec.height == src.height,
+            s"JPEG round trip changed geometry for doc $id")
+          (0 until src.width / 8).iterator.map { band =>
+            var sum = 0L
+            var y = 0
+            while (y < dec.height) {
+              var x = 8 * band
+              while (x < 8 * band + 8) {
+                sum += dec.rgb(3 * (y * dec.width + x)) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            MMJpegBand(id, band, dec.width, dec.height, sum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB re-derives each band's digest byte and multiplies by the
+    * band's pixel count — equal to the Spark side's decoded-pixel
+    * sums only if encode→decode is lossless on this image class. */
+  val mmJpegSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+      |    CAST(8 * (2 + nb % 2) AS INT) AS height, h
+      |  FROM m
+      |), b AS (
+      |  SELECT doc_id, width, height, h,
+      |    unnest(range(0, width // 8)) AS band_idx
+      |  FROM g
+      |)
+      |SELECT doc_id, CAST(band_idx AS INT) AS band_idx, width, height,
+      |  CAST(((strpos('0123456789abcdef', substr(h, 2*(band_idx % 32) + 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(h, 2*(band_idx % 32) + 2, 1)) - 1)
+      |    * 8 * height AS BIGINT) AS band_sum
+      |FROM b""".stripMargin
+
   // ---- mm_audio: real WAV decode + waveform features -------------------
   /** Audio-column plumbing, completing the modality triple: each
     * payload synthesizes a genuine PCM16LE mono WAV (samples derive
@@ -467,7 +549,8 @@ object Multimodal {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio" -> (mmAudio _),
     "mm_segment" -> (mmSegment _),
-    "mm_segment_check" -> (mmSegmentCheck _))
+    "mm_segment_check" -> (mmSegmentCheck _),
+    "mm_jpeg" -> (mmJpeg _))
 
   /** Every mm_features column recomputed independently by DuckDB:
     * geometry from (doc_id, octet_length), the BMP's encoded size from
@@ -509,5 +592,6 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio" -> mmAudioSql,
-    "mm_segment_check" -> mmSegmentCheckSql)
+    "mm_segment_check" -> mmSegmentCheckSql,
+    "mm_jpeg" -> mmJpegSql)
 }

