@@ -300,20 +300,68 @@ object EmdKernel {
   * an optimal transportation solution uses at most n₁+n₂-1 arcs. */
 object EmdWeightedKernel {
 
+  /** Exact transportation solution plus an LP OPTIMALITY CERTIFICATE.
+    * `flow` is primal-feasible by construction; `p` (supply duals)
+    * and `q` (demand duals) satisfy q(j) - p(i) <= cost(i)(j) on the
+    * FULL grid, the heavier side's sign constraint (p >= 0 when
+    * supply exceeds demand, q <= 0 when demand exceeds supply), and
+    * strong duality Σd·q - Σs·p = Σf·c — three purely arithmetic
+    * facts that any third engine can check to confirm the flow is
+    * optimal, without re-running a solver (emd_check's DuckDB oracle
+    * does exactly that). */
+  final case class Certificate(emd: Double, totalFlow: Double,
+                               flow: Array[Array[Double]],
+                               p: Array[Double], q: Array[Double])
+
   def emd(a: ArrayData, aw: ArrayData, b: ArrayData, bw: ArrayData,
           aFloat: Boolean, bFloat: Boolean,
           awFloat: Boolean, bwFloat: Boolean): Double = {
     val n1 = a.numElements()
     val n2 = b.numElements()
-    require(n1 > 0 && n2 > 0 && n1 <= 16 && n2 <= 16,
-      s"graft_emd_w expects non-empty vector sets of <= 16 (got $n1 vs $n2)")
-    require(aw.numElements() == n1 && bw.numElements() == n2,
-      s"graft_emd_w weight/vector cardinality mismatch ($n1/${aw.numElements()}, $n2/${bw.numElements()})")
     def wAt(w: ArrayData, i: Int, f: Boolean): Double =
       if (f) w.getFloat(i).toDouble else w.getDouble(i)
+    def vAt(v: ArrayData, i: Int, f: Boolean): Array[Double] = {
+      val row = v.getArray(i)
+      Array.tabulate(row.numElements())(k =>
+        if (f) row.getFloat(k).toDouble else row.getDouble(k))
+    }
+    require(aw.numElements() == n1 && bw.numElements() == n2,
+      s"graft_emd_w weight/vector cardinality mismatch ($n1/${aw.numElements()}, $n2/${bw.numElements()})")
+    val (_, _, totalFlow, totalCost) = solveFlow(
+      Array.tabulate(n1)(vAt(a, _, aFloat)), Array.tabulate(n1)(wAt(aw, _, awFloat)),
+      Array.tabulate(n2)(vAt(b, _, bFloat)), Array.tabulate(n2)(wAt(bw, _, bwFloat)))
+    if (totalFlow <= 0) 0.0 else totalCost / totalFlow
+  }
 
-    val supply = Array.tabulate(n1)(i => wAt(aw, i, awFloat))
-    val demand = Array.tabulate(n2)(j => wAt(bw, j, bwFloat))
+  /** Solve + duals, on plain arrays (the verification path — the hot
+    * ranking path goes through [[emd]] and skips the dual pass). */
+  def certificate(va: Array[Array[Double]], wa: Array[Double],
+                  vb: Array[Array[Double]], wb: Array[Double]): Certificate = {
+    val (flow, cost, totalFlow, totalCost) = solveFlow(va, wa, vb, wb)
+    val (p, q) = duals(cost, flow, wa, wb)
+    Certificate(if (totalFlow <= 0) 0.0 else totalCost / totalFlow,
+      totalFlow, flow, p, q)
+  }
+
+  private def l2(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Successive-shortest-paths transportation solve. Returns
+    * (flow matrix, cost matrix, total flow, total cost). */
+  private def solveFlow(va: Array[Array[Double]], wa: Array[Double],
+                        vb: Array[Array[Double]], wb: Array[Double])
+      : (Array[Array[Double]], Array[Array[Double]], Double, Double) = {
+    val n1 = va.length
+    val n2 = vb.length
+    require(n1 > 0 && n2 > 0 && n1 <= 16 && n2 <= 16,
+      s"graft_emd_w expects non-empty vector sets of <= 16 (got $n1 vs $n2)")
+    val supply = wa.clone()
+    val demand = wb.clone()
     require(supply.forall(_ >= 0) && demand.forall(_ >= 0),
       "graft_emd_w weights must be non-negative")
     // transport min(Σw1, Σw2) mass (emd.c:150): scale the HEAVIER
@@ -321,19 +369,17 @@ object EmdWeightedKernel {
     // cap total moved mass by tracking remaining supply/demand and
     // stopping when the smaller side exhausts
     val totalFlow = math.min(supply.sum, demand.sum)
-    if (totalFlow <= 0) return 0.0
-
     val cost = Array.ofDim[Double](n1, n2)
     var i = 0
     while (i < n1) {
-      val av = a.getArray(i)
       var j = 0
       while (j < n2) {
-        cost(i)(j) = EmdKernel.l2Dist(av, b.getArray(j), aFloat, bFloat)
+        cost(i)(j) = l2(va(i), vb(j))
         j += 1
       }
       i += 1
     }
+    if (totalFlow <= 0) return (Array.ofDim[Double](n1, n2), cost, 0.0, 0.0)
 
     // successive shortest paths over the residual network:
     // nodes 0..n1-1 sources, n1..n1+n2-1 sinks
@@ -386,7 +432,8 @@ object EmdWeightedKernel {
             (best < 0 || dist(n1 + j) < dist(n1 + best))) best = j
         j += 1
       }
-      if (best < 0) return totalCost / math.max(moved, eps) // disconnected (cannot happen: complete bipartite)
+      if (best < 0) // disconnected (cannot happen: complete bipartite)
+        return (flow, cost, math.max(moved, eps), totalCost)
       // walk the path back, find bottleneck
       var amt = math.min(totalFlow - moved, demand(best))
       var node = n1 + best
@@ -418,7 +465,81 @@ object EmdWeightedKernel {
         i += 1
       }
     }
-    totalCost / totalFlow
+    (flow, cost, totalFlow, totalCost)
+  }
+
+  /** Feasible LP duals for the solved transportation problem,
+    * recovered from the FINAL residual network: model the unequal-mass
+    * case as an all-equality b-flow by adding a zero-cost dummy node
+    * on the heavier side (dummy SINK absorbing unused supply when
+    * Σs > Σd, dummy SOURCE feeding unmet demand when Σd > Σs), then
+    * Bellman-Ford feasible potentials y from a virtual source
+    * 0-connected to every node — optimality of the flow means the
+    * residual graph has no negative cycle, so y converges and
+    * satisfies y(w) <= y(v) + c(v,w) on every residual arc. Setting
+    * p(i) = y(i) - y(t), q(j) = y(n1+j) - y(t) then gives dual
+    * feasibility on the full grid (forward arcs are never saturated:
+    * capacities are infinite), complementary slackness on flow arcs
+    * (their backward residuals force equality), and the heavier
+    * side's sign constraint (the dummy's zero-cost arcs). CS +
+    * feasibility imply strong duality — which the certificate's
+    * consumer re-checks arithmetically rather than trusting this
+    * derivation. */
+  private def duals(cost: Array[Array[Double]], flow: Array[Array[Double]],
+                    s: Array[Double], d: Array[Double])
+      : (Array[Double], Array[Double]) = {
+    val n1 = s.length
+    val n2 = d.length
+    val eps = 1e-12
+    val sTot = s.sum
+    val dTot = d.sum
+    val hasDummy = math.abs(sTot - dTot) > eps
+    val dummySink = sTot > dTot // unused supply drains to the dummy
+    val t = n1 + n2
+    val y = new Array[Double](n1 + n2 + 1) // y(t) stays 0 when unused
+    val rowSlack = Array.tabulate(n1)(i => s(i) - flow(i).sum)
+    val colSlack = Array.tabulate(n2) { j =>
+      var acc = d(j); var i = 0
+      while (i < n1) { acc -= flow(i)(j); i += 1 }
+      acc
+    }
+    var changed = true
+    var rounds = 0
+    while (changed && rounds <= n1 + n2 + 1) {
+      changed = false
+      var i = 0
+      while (i < n1) {
+        var j = 0
+        while (j < n2) {
+          if (y(i) + cost(i)(j) < y(n1 + j) - eps) { // forward arc, cap ∞
+            y(n1 + j) = y(i) + cost(i)(j); changed = true
+          }
+          if (flow(i)(j) > eps && y(n1 + j) - cost(i)(j) < y(i) - eps) {
+            y(i) = y(n1 + j) - cost(i)(j); changed = true // backward arc
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (hasDummy && dummySink) {
+        var i2 = 0
+        while (i2 < n1) {
+          if (y(i2) < y(t) - eps) { y(t) = y(i2); changed = true }
+          if (rowSlack(i2) > eps && y(t) < y(i2) - eps) { y(i2) = y(t); changed = true }
+          i2 += 1
+        }
+      } else if (hasDummy) {
+        var j2 = 0
+        while (j2 < n2) {
+          if (y(t) < y(n1 + j2) - eps) { y(n1 + j2) = y(t); changed = true }
+          if (colSlack(j2) > eps && y(n1 + j2) < y(t) - eps) { y(t) = y(n1 + j2); changed = true }
+          j2 += 1
+        }
+      }
+      rounds += 1
+    }
+    (Array.tabulate(n1)(i => y(i) - y(t)),
+      Array.tabulate(n2)(j => y(n1 + j) - y(t)))
   }
 }
 

@@ -490,6 +490,21 @@ object Similarity {
     * over ≤16×16 regions) runs only on the over-fetched pairs per
     * query, never the corpus. */
   def ferretEmd(s: SparkSession, dir: String): DataFrame = {
+    val wEmd = Window.partitionBy("query_img").orderBy(col("emd"), col("cand_img"))
+    ferretEmdJoined(s, dir)
+      .select(col("query_img"), col("cand_img"),
+        graft.functions.NativeVector.emdWeighted(
+          col("qset"), col("qw"), col("cset"), col("cw")).as("emd"))
+      .withColumn("rank", row_number().over(wEmd))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** The over-fetched candidate pairs with both sides' weighted
+    * vecsets attached — the input t_rank scores. Shared by
+    * [[ferretEmd]] (hot path: the codegen'd scalar kernel) and
+    * [[emdCheck]] (verification path: the same solver, emitting its
+    * optimality certificate). */
+  private def ferretEmdJoined(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val regions = Tables.parallel(s, Tables.documents(s, dir))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -541,17 +556,111 @@ object Similarity {
     val over = cand.withColumn("r", row_number().over(wHits))
       .filter(col("r") <= OverFetch)
       .select("query_img", "cand_img")
-    val wEmd = Window.partitionBy("query_img").orderBy(col("emd"), col("cand_img"))
     over
       .join(vecsets.select(col("image_id").as("cand_img"),
         col("vset").as("cset"), col("wset").as("cw")), "cand_img")
       .join(broadcast(queries), "query_img")
-      .select(col("query_img"), col("cand_img"),
-        graft.functions.NativeVector.emdWeighted(
-          col("qset"), col("qw"), col("cset"), col("cw")).as("emd"))
-      .withColumn("rank", row_number().over(wEmd))
-      .filter(col("rank") <= TopK)
+      .select("query_img", "cand_img", "qset", "qw", "cset", "cw")
   }
+
+  // ---- emd_check: cross-engine OPTIMALITY certificate for the EMD ------
+  /** The min-cost-flow solve behind ferret_emd, made third-party
+    * checkable: for each final top-K (query, candidate) pair, emit the
+    * FULL n1×n2 transportation grid — flows, LP duals (p over supply
+    * regions, q over demand regions), weights, and the claimed
+    * distance — one scalar-only row per cell. DuckDB then proves
+    * optimality with arithmetic alone: ground distances recomputed
+    * from mm_segment's independently-dumped SRM descriptors, primal
+    * feasibility (f ≥ 0, row/col sums within weights, Σf =
+    * min(Σs,Σd)), dual feasibility (q_j - p_i ≤ c_ij on the full
+    * grid, heavier-side sign), and strong duality (Σd·q - Σs·p =
+    * Σf·c = emd·Σf) — LP duality makes "this flow is optimal" a
+    * fact a second engine can CHECK without owning a solver. Any
+    * suboptimal flow, wrong distance, or forged dual drops the pair
+    * from the oracle's output and breaks the hash compare. */
+  def emdCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val certs = ferretEmdJoined(s, dir)
+      .as[(Long, Long, Seq[Seq[Double]], Seq[Double], Seq[Seq[Double]], Seq[Double])]
+      .map { case (qi, ci, qset, qw, cset, cw) =>
+        val cert = graft.functions.EmdWeightedKernel.certificate(
+          qset.map(_.toArray).toArray, qw.toArray,
+          cset.map(_.toArray).toArray, cw.toArray)
+        val grid = for { i <- qset.indices; j <- cset.indices } yield
+          (i, j, cert.flow(i)(j), cert.p(i), cert.q(j), qw(i), cw(j))
+        (qi, ci, cert.emd, cert.totalFlow, qset.size, cset.size, grid)
+      }
+      .toDF("query_img", "cand_img", "emd", "total_flow", "n1", "n2", "grid")
+    // the same (emd, cand_img) rank as ferret_emd — the certificate
+    // covers exactly the pairs the ranking ships
+    val wEmd = Window.partitionBy("query_img").orderBy(col("emd"), col("cand_img"))
+    certs.withColumn("rank", row_number().over(wEmd))
+      .filter(col("rank") <= TopK)
+      .select(col("query_img"), col("cand_img"), col("emd"), col("total_flow"),
+        col("n1"), col("n2"), explode(col("grid")).as("g"))
+      .select(col("query_img"), col("cand_img"),
+        col("g._1").as("i"), col("g._2").as("j"), col("g._3").as("f"),
+        col("g._4").as("p_i"), col("g._5").as("q_j"),
+        col("g._6").as("s_i"), col("g._7").as("d_j"),
+        col("n1"), col("n2"), col("total_flow"), col("emd"))
+  }
+
+  /** Optimality-certificate oracle: every value recomputed or checked
+    * by DuckDB from the dumped grid plus mm_segment's independent
+    * descriptor dump; a pair survives into the output only if its
+    * certificate PROVES the flow optimal (see [[emdCheck]]). */
+  val emdCheckSql: String =
+    """WITH arcs AS (SELECT * FROM read_parquet('{VERIFY_OUT}/emd_check/*.parquet')),
+      |seg AS (SELECT doc_id, region_idx, descriptor, weight
+      |        FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')),
+      |g AS (
+      |  SELECT a.*, qa.weight AS w_q, ca.weight AS w_c,
+      |    sqrt(list_sum(list_transform(range(1, len(qa.descriptor) + 1),
+      |      k -> (qa.descriptor[k] - ca.descriptor[k])
+      |         * (qa.descriptor[k] - ca.descriptor[k])))) AS c
+      |  FROM arcs a
+      |  JOIN seg qa ON qa.doc_id = a.query_img AND qa.region_idx = a.i
+      |  JOIN seg ca ON ca.doc_id = a.cand_img AND ca.region_idx = a.j
+      |), rsum AS (
+      |  SELECT query_img, cand_img, i, SUM(f) AS rf,
+      |    ANY_VALUE(s_i) AS s_i, ANY_VALUE(p_i) AS p_i
+      |  FROM arcs GROUP BY 1, 2, 3
+      |), csum AS (
+      |  SELECT query_img, cand_img, j, SUM(f) AS cf,
+      |    ANY_VALUE(d_j) AS d_j, ANY_VALUE(q_j) AS q_j
+      |  FROM arcs GROUP BY 1, 2, 3
+      |), rp AS (
+      |  SELECT query_img, cand_img, SUM(s_i) AS s_tot, SUM(s_i * p_i) AS sp,
+      |    bool_and(rf <= s_i + 1e-9) AS rows_ok, MIN(p_i) AS min_p
+      |  FROM rsum GROUP BY 1, 2
+      |), cp AS (
+      |  SELECT query_img, cand_img, SUM(d_j) AS d_tot, SUM(d_j * q_j) AS dq,
+      |    bool_and(cf <= d_j + 1e-9) AS cols_ok, MAX(q_j) AS max_q
+      |  FROM csum GROUP BY 1, 2
+      |), gp AS (
+      |  SELECT query_img, cand_img, SUM(f * c) AS cost, SUM(f) AS moved,
+      |    bool_and(f >= -1e-9) AS f_ok,
+      |    bool_and(q_j - p_i <= c + 1e-9) AS dual_ok,
+      |    bool_and(abs(s_i - w_q) <= 1e-9 AND abs(d_j - w_c) <= 1e-9) AS w_ok,
+      |    COUNT(*) AS n_cells, ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2,
+      |    ANY_VALUE(total_flow) AS fl, ANY_VALUE(emd) AS emd
+      |  FROM g GROUP BY 1, 2
+      |), ok AS (
+      |  SELECT gp.query_img, gp.cand_img
+      |  FROM gp
+      |  JOIN rp USING (query_img, cand_img)
+      |  JOIN cp USING (query_img, cand_img)
+      |  WHERE gp.f_ok AND gp.dual_ok AND gp.w_ok
+      |    AND rp.rows_ok AND cp.cols_ok
+      |    AND gp.n_cells = gp.n1 * gp.n2
+      |    AND abs(gp.moved - gp.fl) <= 1e-9
+      |    AND abs(gp.fl - least(rp.s_tot, cp.d_tot)) <= 1e-9
+      |    AND abs(gp.cost - gp.emd * gp.fl) <= 1e-6
+      |    AND abs((cp.dq - rp.sp) - gp.cost) <= 1e-6
+      |    AND (rp.s_tot <= cp.d_tot + 1e-9 OR rp.min_p >= -1e-9)
+      |    AND (cp.d_tot <= rp.s_tot + 1e-9 OR cp.max_q <= 1e-9)
+      |)
+      |SELECT a.* FROM arcs a JOIN ok USING (query_img, cand_img)""".stripMargin
 
   // ---- ann_depth_sweep: the reference's ranking-depth knob -------------
   private[graft] val SweepDepths = Seq(TopK, 2 * TopK, 4 * TopK)
@@ -659,7 +768,8 @@ object Similarity {
     "ann_pq" -> (annPq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ferret_pipeline" -> (ferretPipeline _),
-    "ferret_emd" -> (ferretEmd _))
+    "ferret_emd" -> (ferretEmd _),
+    "emd_check" -> (emdCheck _))
 
   /** The exact baseline is DuckDB-oracled: list_cosine_similarity on
     * double-cast lists accumulates in the same element order as the
@@ -702,5 +812,6 @@ object Similarity {
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
     "ann_pq" -> annValueSql("ann_pq"),
-    "ferret_pipeline" -> annValueSql("ferret_pipeline"))
+    "ferret_pipeline" -> annValueSql("ferret_pipeline"),
+    "emd_check" -> emdCheckSql)
 }
