@@ -399,10 +399,31 @@ object Curation {
       |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.doc_id)
       |SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
 
+  /** Value oracle for the recall gate: both pair sets are in the
+    * verify dump — the exact baseline (itself fully DuckDB-oracled)
+    * and the LSH candidates (their cos/is_dup values value-oracled) —
+    * so the gate's counting and the recall arithmetic are recomputed
+    * cross-engine from first principles. */
+  val dedupNdRecallSql: String =
+    s"""WITH ex AS (SELECT vec_a, vec_b
+       |  FROM read_parquet('{VERIFY_OUT}/dedup_embedding_exact/*.parquet')),
+       |lsh AS (SELECT vec_a, vec_b
+       |  FROM read_parquet('{VERIFY_OUT}/dedup_embedding/*.parquet')
+       |  WHERE is_dup AND vec_a < $SampleN AND vec_b < $SampleN),
+       |n AS (SELECT
+       |  (SELECT COUNT(*) FROM ex) AS n_exact,
+       |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+       |  (SELECT COUNT(*) FROM (SELECT * FROM ex INTERSECT SELECT * FROM lsh)) AS n_hit)
+       |SELECT n_exact, n_lsh, n_hit,
+       |  CASE WHEN n_exact = 0 THEN 1.0
+       |       ELSE CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+       |FROM n""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,
     "dedup_canonical" -> dedupCanonicalSql,
     "text_pipeline" -> textPipelineSql,
-    "dedup_embedding_exact" -> dedupEmbeddingExactSql)
+    "dedup_embedding_exact" -> dedupEmbeddingExactSql,
+    "dedup_nd_recall" -> dedupNdRecallSql)
 }

@@ -805,8 +805,43 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
        |FROM scored""".stripMargin
 
+  /** Value oracle for the EMD re-rank: the distances come from the
+    * emd_check dump, where each one carries an LP optimality
+    * certificate DuckDB independently verifies — so re-deriving the
+    * (emd, cand_img) rank over those certified values cross-checks
+    * ferret_emd's ranking the same way annValueSql re-ranks the
+    * cosine paths over their emitted candidate sets. */
+  val ferretEmdSql: String =
+    """WITH p AS (SELECT DISTINCT query_img, cand_img, emd
+      |           FROM read_parquet('{VERIFY_OUT}/emd_check/*.parquet'))
+      |SELECT query_img, cand_img, emd,
+      |  CAST(row_number() OVER (PARTITION BY query_img
+      |    ORDER BY emd, cand_img) AS INT) AS rank
+      |FROM p""".stripMargin
+
+  /** Value oracle for the recall gate: exact and approximate top-k
+    * sets are all in the verify dump (each value-oracled in its own
+    * right), so the hit counting and recall arithmetic are recomputed
+    * cross-engine. */
+  val annRecallSql: String =
+    s"""WITH ex AS (SELECT query_id, vec_id
+       |  FROM read_parquet('{VERIFY_OUT}/ann_bruteforce/*.parquet')),
+       |l AS (SELECT query_id, vec_id, 1 AS hit
+       |  FROM read_parquet('{VERIFY_OUT}/ann_lsh/*.parquet')),
+       |i AS (SELECT query_id, vec_id, 1 AS hit
+       |  FROM read_parquet('{VERIFY_OUT}/ann_ivf/*.parquet'))
+       |SELECT ex.query_id,
+       |  CAST(SUM(COALESCE(l.hit, 0)) AS DOUBLE) / $TopK.0 AS recall_lsh,
+       |  CAST(SUM(COALESCE(i.hit, 0)) AS DOUBLE) / $TopK.0 AS recall_ivf
+       |FROM ex
+       |LEFT JOIN l ON ex.query_id = l.query_id AND ex.vec_id = l.vec_id
+       |LEFT JOIN i ON ex.query_id = i.query_id AND ex.vec_id = i.vec_id
+       |GROUP BY ex.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "vec_centroids" -> vecCentroidsSql,
+    "ferret_emd" -> ferretEmdSql,
+    "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annValueSql("ann_lsh"),
     "ann_ivf" -> annValueSql("ann_ivf"),
