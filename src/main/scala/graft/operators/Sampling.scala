@@ -151,15 +151,123 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- sample_pps: probability-proportional-to-size sampling -----------
+  /** Systematic PPS sampling over the token stream: lay a fixed grid
+    * of sample points (anchor [[PpsOff]], step [[PpsStep]]) over the
+    * global token prefix sum in hash order, and pick every document
+    * whose token interval (cum - n, cum] contains a grid point —
+    * n_picks doubles as the importance weight (a doc longer than the
+    * step is picked multiple times). Selection probability is
+    * proportional to token count, the estimator every
+    * token-budget-aware corpus statistic wants; the RANDOMIZATION is
+    * the hash ordering (the file's one primitive — systematic
+    * sampling over a hash-shuffled arrangement is classic randomized
+    * PPS), so the whole operator is integer arithmetic over the
+    * distributed prefix sum: bit-exact cross-engine, no RNG, stable
+    * per document under corpus growth of its prefix. Pure map after
+    * the prefix sum — the same scale posture as shard_pack. */
+  private[operators] val PpsStep = 512L
+  private[operators] val PpsOff = 256L
+
+  def samplePps(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      hashKey(col("doc_id"), "pps").as("key"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // grid points <= x: zero below the anchor, else (x - off) div step + 1.
+    // The step is a POWER OF TWO, so the double division is exact for
+    // any token total below 2^53 and floor() equals integer division —
+    // bit-identical to the oracle's BIGINT `//`.
+    def gridUpTo(x: Column): Column =
+      when(x < PpsOff, 0L)
+        .otherwise(floor((x - lit(PpsOff)) / lit(PpsStep.toDouble)).cast("long") + 1L)
+    PrefixSum.runningSum(base, Seq(col("key"), col("doc_id")), "n_tokens", "cum_tokens")
+      .withColumn("n_picks",
+        gridUpTo(col("cum_tokens")) - gridUpTo(col("cum_tokens") - col("n_tokens")))
+      .filter(col("n_picks") >= 1)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("n_picks"))
+  }
+
+  /** Same semantics-stating global window as shard_pack's oracle. */
+  val samplePpsSql: String = {
+    def grid(x: String) =
+      s"CASE WHEN $x < $PpsOff THEN 0 ELSE ($x - $PpsOff) // $PpsStep + 1 END"
+    s"""SELECT doc_id, n_tokens, cum_tokens,
+      |  ${grid("cum_tokens")} - ${grid("(cum_tokens - n_tokens)")} AS n_picks
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM (
+      |    SELECT doc_id, ${hashKeySql("doc_id", "pps")} AS key,
+      |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |    FROM documents
+      |  )
+      |) WHERE ${grid("cum_tokens")} - ${grid("(cum_tokens - n_tokens)")} >= 1""".stripMargin
+  }
+
+  // ---- mix_budget: per-source quality-ordered token budget --------------
+  /** The data-mixing primitive of corpus assembly: within each source,
+    * admit documents best-quality-first until the source's token
+    * budget is exhausted (greedy prefix of the (quality DESC, doc_id)
+    * order — kept iff the running token total stays within
+    * [[MixBudget]]). Emits the full assignment table with the running
+    * total, so downstream both filters on `kept` and audits how much
+    * of each source's budget was used. The quality expression is the
+    * curation pipeline's composite score, already proven bit-exact
+    * cross-engine (dedup_canonical / text_pipeline oracles), so the
+    * double ORDER BY is stable. Per-SOURCE window — strata spread
+    * across the cluster like sample_stratified; no global window. */
+  private[operators] val MixBudget = 8192L
+
+  def mixBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("kept", col("cum_tokens") <= MixBudget)
+  }
+
+  val mixBudgetSql: String =
+    s"""SELECT source, doc_id, quality_score, n_tokens,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality_score DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality_score DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= $MixBudget AS kept
+      |FROM (
+      |  SELECT source, doc_id,
+      |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+      |      ELSE CAST(len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as)\\b')) AS DOUBLE)
+      |        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END * 0.25
+      |    + CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) END * 0.25
+      |    + (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) END) * 0.25
+      |    + least(1.0, CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0) * 0.25
+      |      AS quality_score,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> (sampleHash _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
-    "shard_pack" -> (shardPack _))
+    "shard_pack" -> (shardPack _),
+    "sample_pps" -> (samplePps _),
+    "mix_budget" -> (mixBudget _))
 
   val oracle: Map[String, String] = Map(
     "sample_hash" -> sampleHashSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "shard_pack" -> shardPackSql)
+    "shard_pack" -> shardPackSql,
+    "sample_pps" -> samplePpsSql,
+    "mix_budget" -> mixBudgetSql)
 }

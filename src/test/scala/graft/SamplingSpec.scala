@@ -83,4 +83,55 @@ class SamplingSpec extends SparkSpec {
     assert(windows.nonEmpty)
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in shard_pack"))
   }
+
+  test("sample_pps: every grid point covered exactly once, weights ∝ tokens") {
+    val rows = Sampling.samplePps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // picks partition the grid: Σ n_picks = #grid points <= total tokens
+    val total = Tables.documents(spark, sfDir)
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .collect().head.getLong(0)
+    val wantPicks = if (total < 256L) 0L else (total - 256L) / 512L + 1L
+    assert(rows.map(_.getAs[Long]("n_picks")).sum == wantPicks,
+      "grid points not covered exactly once")
+    rows.foreach { r =>
+      val (n, cum, picks) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_picks"))
+      // each pick is a grid point inside the doc's token interval
+      assert(picks >= 1 && picks <= n / 512L + 1L, s"pick count $picks vs len $n")
+      val firstPick = ((cum - n - 256L + 512L).max(0L) / 512L) * 512L + 256L
+      assert(firstPick > cum - n && firstPick <= cum, "pick outside interval")
+    }
+    // deterministic re-run
+    val again = Sampling.samplePps(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // scale posture: only PARTITIONED windows in the shipped plan
+    Sampling.samplePps(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in sample_pps"))
+  }
+
+  test("mix_budget: kept set is the maximal quality-prefix within budget") {
+    val rows = Sampling.mixBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(r =>
+        (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      // kept is a PREFIX of the quality order
+      val kept = ordered.map(_.getAs[Boolean]("kept"))
+      assert(!kept.dropWhile(identity).contains(true), s"$src: non-prefix keep set")
+      // within budget, and maximal: the first dropped doc would overflow
+      val keptTok = ordered.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTok <= 8192L, s"$src over budget")
+      ordered.find(!_.getAs[Boolean]("kept")).foreach { first =>
+        assert(keptTok + first.getAs[Long]("n_tokens") > 8192L, s"$src: not maximal")
+      }
+      // running totals are the per-source prefix sums of the order
+      var acc = 0L
+      ordered.foreach { r =>
+        acc += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == acc, s"$src: broken running total")
+      }
+    }
+  }
 }
