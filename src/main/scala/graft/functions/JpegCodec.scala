@@ -13,18 +13,27 @@ package graft.functions
   * RGB) that fails malformed input with a diagnostic.
   *
   * Supported subset (what the encoder emits): baseline sequential
-  * DCT, 8-bit, grayscale (1 component) or YCbCr 4:4:4 (3 components,
-  * no subsampling), no restart intervals, no progressive/arithmetic
-  * coding. The decoder validates and rejects everything else loudly
-  * rather than producing garbage.
+  * DCT, 8-bit, grayscale (1 component) or YCbCr (3 components, 4:4:4
+  * or 4:2:0 chroma subsampling — libjpeg's two default layouts), no
+  * restart intervals, no progressive/arithmetic coding. The decoder
+  * handles per-component sampling factors in {1,2} (interleaved MCU
+  * scan, replication chroma upsample — libjpeg's non-fancy mode) and
+  * rejects everything else loudly rather than producing garbage.
   *
-  * Determinism anchor for cross-engine verification: a GRAYSCALE
-  * image (Cb=Cr=128 exactly, Y=value exactly — the JFIF color
-  * transform is identity on gray) whose flat regions align to the
-  * 8×8 block grid round-trips EXACTLY at quality 100 (flat block ⇒
-  * only the DC coefficient is nonzero; luminance DC quant at q100 is
-  * 1 ⇒ lossless through quantize/dequantize; IDCT of a DC-only block
-  * is exactly constant) — mm_jpeg builds its value oracle on this.
+  * Color runs through INTEGER YCbCr samples (round + clamp to 0..255
+  * before the DCT), exactly like libjpeg's 8-bit sample pipeline —
+  * NOT full-precision doubles end to end. That choice is what makes
+  * the cross-engine determinism anchors possible:
+  *  - a GRAYSCALE image (identity transform) whose flat regions align
+  *    to the 8×8 grid round-trips EXACTLY at quality 100 (flat block
+  *    ⇒ DC-only; q100 luma quant is all 1s; IDCT of a DC-only block
+  *    is constant to ~1e-13, and the sample is integer so rounding
+  *    recovers it exactly) — mm_jpeg's value oracle;
+  *  - a COLOR image flat per 8×8 block at q100 4:4:4 decodes to
+  *    exactly `yccRoundtrip(r,g,b)` — the deterministic two-stage
+  *    integer map (RGB → rounded YCbCr samples → rounded RGB) that a
+  *    second engine can replicate with the same double arithmetic —
+  *    mm_jpeg_color's and mm_segment's value oracles.
   */
 object JpegCodec {
 
@@ -299,17 +308,52 @@ object JpegCodec {
   private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
+  // ---- color transform (8-bit integer samples, libjpeg pipeline) -------
+
+  private def clamp255(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+
+  /** RGB → rounded 8-bit YCbCr samples (JFIF forward transform). */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp255(math.round(0.299 * r + 0.587 * g + 0.114 * b)),
+    clamp255(math.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)),
+    clamp255(math.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)))
+
+  /** Rounded 8-bit YCbCr samples → RGB (JFIF inverse transform). */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(math.round(y + 1.402 * (cr - 128))),
+    clamp255(math.round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+    clamp255(math.round(y + 1.772 * (cb - 128))))
+
+  /** The deterministic color map a flat 8×8 block pays through a q100
+    * 4:4:4 encode→decode (forward transform, lossless DCT round trip
+    * on the integer samples, inverse transform). Plain double
+    * arithmetic + round — a second engine replicates it exactly, which
+    * is what the mm_jpeg_color / mm_segment value oracles do. */
+  def yccRoundtrip(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val (y, cb, cr) = rgbToYcc(r, g, b)
+    yccToRgb(y, cb, cr)
+  }
+
   // ---- encoder ---------------------------------------------------------
 
   /** Encode top-down pixels as baseline JFIF. `gray` selects a
     * 1-component stream (input still RGB; R=G=B expected but only R
-    * is read); otherwise YCbCr 4:4:4. */
+    * is read); otherwise YCbCr — 4:4:4 by default, or 4:2:0 (luma
+    * 2×2 sampling, box-filter chroma downsample — libjpeg's default
+    * color layout) when `chroma420` is set. */
   def encodeJpeg(img: ImageCodec.Image, quality: Int = 90,
-                 gray: Boolean = false): Array[Byte] = {
+                 gray: Boolean = false, chroma420: Boolean = false): Array[Byte] = {
     val w = img.width
     val h = img.height
+    require(w > 0 && h > 0, s"JPEG encode: bad dims ${w}x$h")
     val lumaQ = scaledQuant(StdLumaQuant, quality)
     val chromaQ = scaledQuant(StdChromaQuant, quality)
+    val nComp = if (gray) 1 else 3
+    // per-component sampling factors (h, v)
+    val sampH = if (gray) Array(1) else if (chroma420) Array(2, 1, 1) else Array(1, 1, 1)
+    val sampV = sampH.clone()
+    val maxH = sampH.max
+    val maxV = sampV.max
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
@@ -331,12 +375,11 @@ object JpegCodec {
     dqt(0, lumaQ)
     if (!gray) dqt(1, chromaQ)
     // SOF0
-    val nComp = if (gray) 1 else 3
     marker(0xc0); u16(8 + 3 * nComp); u8(8); u16(h); u16(w); u8(nComp)
     var ci = 0
     while (ci < nComp) {
       u8(ci + 1) // component id
-      u8(0x11) // 1x1 sampling (4:4:4)
+      u8((sampH(ci) << 4) | sampV(ci))
       u8(if (ci == 0) 0 else 1) // quant table
       ci += 1
     }
@@ -363,32 +406,70 @@ object JpegCodec {
     }
     u8(0); u8(63); u8(0) // spectral selection (baseline fixed)
 
-    // component planes, level-shifted; edge-replicated to 8k × 8k
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = new Array[Array[Double]](nComp)
-    var c = 0
-    while (c < nComp) { planes(c) = new Array[Double](bw * 8 * bh * 8); c += 1 }
-    var y = 0
-    while (y < bh * 8) {
-      val sy = math.min(y, h - 1)
-      var x = 0
-      while (x < bw * 8) {
-        val sx = math.min(x, w - 1)
-        val p = 3 * (sy * w + sx)
-        val r = img.rgb(p) & 0xff
-        val g = img.rgb(p + 1) & 0xff
-        val b = img.rgb(p + 2) & 0xff
-        if (gray) planes(0)(y * bw * 8 + x) = r - 128.0
-        else {
-          // JFIF YCbCr
-          planes(0)(y * bw * 8 + x) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-          planes(1)(y * bw * 8 + x) = -0.168736 * r - 0.331264 * g + 0.5 * b
-          planes(2)(y * bw * 8 + x) = 0.5 * r - 0.418688 * g - 0.081312 * b
-        }
-        x += 1
+    // full-resolution INTEGER samples per component (libjpeg's 8-bit
+    // sample pipeline: the color transform rounds BEFORE the DCT)
+    val full = Array.fill(nComp)(new Array[Int](w * h))
+    var p = 0
+    while (p < w * h) {
+      val r = img.rgb(3 * p) & 0xff
+      val g = img.rgb(3 * p + 1) & 0xff
+      val b = img.rgb(3 * p + 2) & 0xff
+      if (gray) full(0)(p) = r
+      else {
+        val (yy, cb, cr) = rgbToYcc(r, g, b)
+        full(0)(p) = yy; full(1)(p) = cb; full(2)(p) = cr
       }
-      y += 1
+      p += 1
+    }
+
+    val mcuCols = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcuRows = (h + 8 * maxV - 1) / (8 * maxV)
+    // per-component planes: subsampled (box filter with edge clamp),
+    // then edge-replicated out to the MCU-padded block grid
+    val planes = new Array[Array[Int]](nComp)
+    val planeW = new Array[Int](nComp)
+    val planeH = new Array[Int](nComp)
+    var c = 0
+    while (c < nComp) {
+      val cw = (w * sampH(c) + maxH - 1) / maxH
+      val chh = (h * sampV(c) + maxV - 1) / maxV
+      val pw = mcuCols * 8 * sampH(c)
+      val ph = mcuRows * 8 * sampV(c)
+      planeW(c) = pw; planeH(c) = ph
+      val pl = new Array[Int](pw * ph)
+      val fx = maxH / sampH(c) // downsample factor (1 or 2)
+      val fy = maxV / sampV(c)
+      var y = 0
+      while (y < ph) {
+        val sy = math.min(y, chh - 1)
+        var x = 0
+        while (x < pw) {
+          val sx = math.min(x, cw - 1)
+          if (fx == 1 && fy == 1) pl(y * pw + x) = full(c)(math.min(sy, h - 1) * w + math.min(sx, w - 1))
+          else {
+            // box average over the source window, clamped at edges
+            var sum = 0L
+            var n = 0
+            var dy = 0
+            while (dy < fy) {
+              val yy = math.min(sy * fy + dy, h - 1)
+              var dx = 0
+              while (dx < fx) {
+                val xx = math.min(sx * fx + dx, w - 1)
+                sum += full(c)(yy * w + xx)
+                n += 1
+                dx += 1
+              }
+              dy += 1
+            }
+            pl(y * pw + x) = math.round(sum.toDouble / n).toInt
+          }
+          x += 1
+        }
+        y += 1
+      }
+      planes(c) = pl
+      c += 1
     }
 
     val dcEnc = Array(new HuffEncoder(DcLumaBits, DcLumaVals),
@@ -400,55 +481,66 @@ object JpegCodec {
     val coef = new Array[Double](64)
     val quant = new Array[Int](64)
     val prevDc = new Array[Int](nComp)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
         c = 0
         while (c < nComp) {
           val qt = if (c == 0) lumaQ else chromaQ
           val ti = if (c == 0) 0 else 1
-          var i = 0
-          while (i < 64) {
-            blk(i) = planes(c)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8)
-            i += 1
-          }
-          fdct(blk, coef)
-          i = 0
-          while (i < 64) {
-            quant(i) = math.round(coef(ZigZag(i)) / qt(ZigZag(i))).toInt
-            i += 1
-          }
-          // DC
-          val diff = quant(0) - prevDc(c)
-          prevDc(c) = quant(0)
-          val t = category(diff)
-          bwr.put(dcEnc(ti).code(t), dcEnc(ti).size(t))
-          if (t > 0) bwr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-          // AC: run-length of zeros + category
-          var run = 0
-          i = 1
-          while (i < 64) {
-            if (quant(i) == 0) run += 1
-            else {
-              while (run > 15) { // ZRL
-                bwr.put(acEnc(ti).code(0xf0), acEnc(ti).size(0xf0))
-                run -= 16
+          val pw = planeW(c)
+          var vi = 0
+          while (vi < sampV(c)) {
+            var hi = 0
+            while (hi < sampH(c)) {
+              val bx0 = (mx * sampH(c) + hi) * 8
+              val by0 = (my * sampV(c) + vi) * 8
+              var i = 0
+              while (i < 64) {
+                blk(i) = planes(c)((by0 + i / 8) * pw + bx0 + i % 8) - 128.0
+                i += 1
               }
-              val at = category(quant(i))
-              val sym = (run << 4) | at
-              bwr.put(acEnc(ti).code(sym), acEnc(ti).size(sym))
-              bwr.put(if (quant(i) < 0) quant(i) + (1 << at) - 1 else quant(i), at)
-              run = 0
+              fdct(blk, coef)
+              i = 0
+              while (i < 64) {
+                quant(i) = math.round(coef(ZigZag(i)) / qt(ZigZag(i))).toInt
+                i += 1
+              }
+              // DC
+              val diff = quant(0) - prevDc(c)
+              prevDc(c) = quant(0)
+              val t = category(diff)
+              bwr.put(dcEnc(ti).code(t), dcEnc(ti).size(t))
+              if (t > 0) bwr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+              // AC: run-length of zeros + category
+              var run = 0
+              i = 1
+              while (i < 64) {
+                if (quant(i) == 0) run += 1
+                else {
+                  while (run > 15) { // ZRL
+                    bwr.put(acEnc(ti).code(0xf0), acEnc(ti).size(0xf0))
+                    run -= 16
+                  }
+                  val at = category(quant(i))
+                  val sym = (run << 4) | at
+                  bwr.put(acEnc(ti).code(sym), acEnc(ti).size(sym))
+                  bwr.put(if (quant(i) < 0) quant(i) + (1 << at) - 1 else quant(i), at)
+                  run = 0
+                }
+                i += 1
+              }
+              if (run > 0) bwr.put(acEnc(ti).code(0x00), acEnc(ti).size(0x00)) // EOB
+              hi += 1
             }
-            i += 1
+            vi += 1
           }
-          if (run > 0) bwr.put(acEnc(ti).code(0x00), acEnc(ti).size(0x00)) // EOB
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     bwr.flush()
     marker(0xd9) // EOI
@@ -458,7 +550,9 @@ object JpegCodec {
   // ---- decoder ---------------------------------------------------------
 
   /** Decode a baseline JPEG (the encoder's subset: 8-bit, 1 or 3
-    * components, 1x1 sampling, no restarts) into top-down RGB. */
+    * components, per-component sampling factors in {1,2} —
+    * interleaved scan, replication chroma upsample — no restarts)
+    * into top-down RGB. */
   def decodeJpeg(bytes: Array[Byte]): ImageCodec.Image = {
     require(bytes.length >= 4, s"truncated JPEG: ${bytes.length} bytes")
     require((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
@@ -476,6 +570,8 @@ object JpegCodec {
     val compQuant = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val sampH = new Array[Int](3)
+    val sampV = new Array[Int](3)
     var sosSeen = false
 
     while (!sosSeen) {
@@ -489,6 +585,7 @@ object JpegCodec {
             val pq = u8()
             require((pq >> 4) == 0, "JPEG: 16-bit quant tables unsupported")
             val id = pq & 0x0f
+            require(id < 4, s"JPEG: bad DQT table id $id")
             val t = new Array[Int](64)
             var i = 0
             while (i < 64) { t(ZigZag(i)) = u8(); i += 1 }
@@ -507,15 +604,19 @@ object JpegCodec {
           while (i < nComp) {
             u8() // component id (positional mapping assumed, as emitted)
             val hv = u8()
-            require(hv == 0x11,
-              f"JPEG: subsampling $hv%02x unsupported (4:4:4 only)")
+            sampH(i) = hv >> 4
+            sampV(i) = hv & 0x0f
+            require(sampH(i) >= 1 && sampH(i) <= 2 && sampV(i) >= 1 && sampV(i) <= 2,
+              f"JPEG: sampling $hv%02x unsupported (factors 1-2 only)")
             compQuant(i) = u8()
+            require(compQuant(i) < 4, s"JPEG: bad SOF quant table id ${compQuant(i)}")
             i += 1
           }
         case 0xc4 => // DHT
           var len = u16() - 2
           while (len > 0) {
             val tc = u8()
+            require((tc & 0x0f) < 4, s"JPEG: bad DHT table id ${tc & 0x0f}")
             val bits = new Array[Int](17)
             var total = 0
             var l = 1
@@ -538,6 +639,8 @@ object JpegCodec {
             val tt = u8()
             compDc(i) = tt >> 4
             compAc(i) = tt & 0x0f
+            require(compDc(i) < 4 && compAc(i) < 4,
+              s"JPEG: bad SOS table ids ${compDc(i)}/${compAc(i)}")
             i += 1
           }
           u8(); u8(); u8() // spectral selection
@@ -549,85 +652,118 @@ object JpegCodec {
         case x if x >= 0xe0 && x <= 0xef => // APPn
           // NB: u16() advances pos, so it must be read into a local
           // BEFORE the +=: `pos += u16() - 2` snapshots the OLD pos
-          val skipApp = u16() - 2; pos += skipApp
+          val skipApp = u16() - 2
+          require(skipApp >= 0 && pos + skipApp <= bytes.length,
+            s"JPEG: bad APPn segment length ${skipApp + 2}")
+          pos += skipApp
         case 0xfe => // COM
-          val skipCom = u16() - 2; pos += skipCom
+          val skipCom = u16() - 2
+          require(skipCom >= 0 && pos + skipCom <= bytes.length,
+            s"JPEG: bad COM segment length ${skipCom + 2}")
+          pos += skipCom
         case x => throw new IllegalArgumentException(
           f"JPEG: unsupported marker FF$x%02x")
       }
     }
     require(width > 0 && height > 0, "JPEG: no SOF before SOS")
-    require(width <= (1 << 16) && height <= (1 << 16), "JPEG: bad dims")
+    // bound the padded-plane allocation BEFORE computing it: 2^26
+    // samples (64 MiB of Int) is far beyond any payload here, and the
+    // guard keeps a forged SOF from overflowing bw*8*bh*8 to a
+    // negative/aliased Int allocation
+    require(width.toLong * height <= (1L << 26),
+      s"JPEG: dims ${width}x$height exceed supported size")
+    val maxH = sampH.take(nComp).max
+    val maxV = sampV.take(nComp).max
+    val mcuCols = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcuRows = (height + 8 * maxV - 1) / (8 * maxV)
 
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Double](bw * 8 * bh * 8))
+    // per-component 8-bit sample planes (rounded after the IDCT —
+    // libjpeg's integer sample pipeline, and the determinism anchor
+    // the oracles rely on)
+    val planes = new Array[Array[Int]](nComp)
+    val planeW = new Array[Int](nComp)
+    var c = 0
+    while (c < nComp) {
+      planeW(c) = mcuCols * 8 * sampH(c)
+      planes(c) = new Array[Int](planeW(c) * mcuRows * 8 * sampV(c))
+      c += 1
+    }
     val r = new BitReader(bytes, pos)
     val prevDc = new Array[Int](nComp)
     val coef = new Array[Double](64)
     val pix = new Array[Double](64)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        var c = 0
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        c = 0
         while (c < nComp) {
           val qt = quantTables(compQuant(c))
           require(qt != null, "JPEG: SOS before its DQT")
           val dcT = dcTables(compDc(c))
           val acT = acTables(compAc(c))
           require(dcT != null && acT != null, "JPEG: SOS before its DHT")
-          java.util.Arrays.fill(coef, 0.0)
-          val t = dcT.decode(r)
-          prevDc(c) += extend(r.bits(t), t)
-          coef(0) = prevDc(c).toDouble * qt(0)
-          var k = 1
-          while (k < 64) {
-            val rs = acT.decode(r)
-            val run = rs >> 4
-            val sz = rs & 0x0f
-            if (sz == 0) {
-              if (run == 15) k += 16 // ZRL
-              else k = 64 // EOB
-            } else {
-              k += run
-              require(k < 64, "JPEG: AC coefficient index overflow")
-              coef(ZigZag(k)) = extend(r.bits(sz), sz).toDouble * qt(ZigZag(k))
-              k += 1
+          var vi = 0
+          while (vi < sampV(c)) {
+            var hi = 0
+            while (hi < sampH(c)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val t = dcT.decode(r)
+              prevDc(c) += extend(r.bits(t), t)
+              coef(0) = prevDc(c).toDouble * qt(0)
+              var k = 1
+              while (k < 64) {
+                val rs = acT.decode(r)
+                val run = rs >> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += run
+                  require(k < 64, "JPEG: AC coefficient index overflow")
+                  coef(ZigZag(k)) = extend(r.bits(sz), sz).toDouble * qt(ZigZag(k))
+                  k += 1
+                }
+              }
+              idct(coef, pix)
+              val pw = planeW(c)
+              val bx0 = (mx * sampH(c) + hi) * 8
+              val by0 = (my * sampV(c) + vi) * 8
+              var i = 0
+              while (i < 64) {
+                planes(c)((by0 + i / 8) * pw + bx0 + i % 8) =
+                  clamp255(math.round(pix(i) + 128.0))
+                i += 1
+              }
+              hi += 1
             }
-          }
-          idct(coef, pix)
-          var i = 0
-          while (i < 64) {
-            planes(c)((by * 8 + i / 8) * bw * 8 + bx * 8 + i % 8) = pix(i) + 128.0
-            i += 1
+            vi += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
 
-    def clamp(v: Double): Byte =
-      math.max(0, math.min(255, math.round(v).toInt)).toByte
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val p = y * bw * 8 + x
         val o = 3 * (y * width + x)
         if (nComp == 1) {
-          val v = clamp(planes(0)(p))
+          val v = planes(0)((y * sampV(0) / maxV) * planeW(0) + x * sampH(0) / maxH).toByte
           rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
         } else {
-          val yy = planes(0)(p)
-          val cb = planes(1)(p) - 128.0
-          val cr = planes(2)(p) - 128.0
-          rgb(o) = clamp(yy + 1.402 * cr)
-          rgb(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
-          rgb(o + 2) = clamp(yy + 1.772 * cb)
+          // replication upsample: each component sampled at its own
+          // (possibly coarser) grid — libjpeg's non-fancy mode
+          val yy = planes(0)((y * sampV(0) / maxV) * planeW(0) + x * sampH(0) / maxH)
+          val cb = planes(1)((y * sampV(1) / maxV) * planeW(1) + x * sampH(1) / maxH)
+          val cr = planes(2)((y * sampV(2) / maxV) * planeW(2) + x * sampH(2) / maxH)
+          val (rr, gg, bb) = yccToRgb(yy, cb, cr)
+          rgb(o) = rr.toByte; rgb(o + 1) = gg.toByte; rgb(o + 2) = bb.toByte
         }
         x += 1
       }

@@ -433,7 +433,8 @@ object EmdWeightedKernel {
         j += 1
       }
       if (best < 0) // disconnected (cannot happen: complete bipartite)
-        return (flow, cost, math.max(moved, eps), totalCost)
+        throw new IllegalStateException(
+          s"graft_emd_w: no augmenting path with ${totalFlow - moved} mass unmoved")
       // walk the path back, find bottleneck
       var amt = math.min(totalFlow - moved, demand(best))
       var node = n1 + best
@@ -465,6 +466,14 @@ object EmdWeightedKernel {
         i += 1
       }
     }
+    // the augmentation guard above is a termination backstop, not an
+    // accepted exit: normalizing totalCost by totalFlow with mass
+    // still unmoved would SILENTLY underestimate the distance on the
+    // ranking path — fail loudly instead (each augmentation saturates
+    // a supply or demand, so the bound is unreachable for n<=16
+    // unless the solver itself is broken)
+    require(totalFlow - moved <= 1e-9 * math.max(1.0, totalFlow),
+      s"graft_emd_w: augmentation guard tripped with ${totalFlow - moved} of $totalFlow mass unmoved")
     (flow, cost, totalFlow, totalCost)
   }
 

@@ -279,42 +279,73 @@ object Multimodal {
     * (ferret-pthreads.c:468,514) as a Spark operator: decode → SRM
     * segmentation ([[graft.functions.Srm.segment]], srm.c:251) →
     * per-region 14-dim descriptors (extract.c:261). One output row
-    * per region, carrying the float descriptor (feeds ferret_emd's
+    * per region, carrying the 14-dim descriptor (feeds ferret_emd's
     * vecsets), the √size-normalized EMD weight, and integer-exact
     * per-region pixel counts + RGB channel sums — the partition
     * invariants mm_segment_check proves cross-engine.
     *
-    * Segmentation-bearing payloads are larger than mm_features' (12-16
-    * × 9-12 px) and carry STRUCTURE: 1-4 vertical bands whose base
-    * colors come from digest bytes, plus a ±2 deterministic noise
-    * texture — so SRM has real work to do (merge the noise, keep the
-    * band boundaries) and DuckDB can still re-derive every pixel from
-    * the digest alone. */
+    * The descriptor is emitted as a comma-joined string of shortest-
+    * repr doubles, not an array column: every downstream consumer
+    * (the driver's sort-all-columns row check, DuckDB's
+    * string_split + CAST AS DOUBLE in the emd_check oracle) parses
+    * the shortest double repr exactly (SURVEY §5's VARCHAR-hop
+    * rule), while an Array[Double] cell is unsortable driver-side.
+    *
+    * Segmentation-bearing payloads now arrive as the reference's
+    * ACTUAL input format (image.c:43 image_read_rgb — ferret ingests
+    * JPEG): the synthesized color image is ENCODED to a real baseline
+    * JFIF stream (q100 4:4:4) and the pipeline decodes that stream
+    * before segmenting — decode → t_seg → t_extract, end to end from
+    * the wire format forward. The images carry STRUCTURE at 8×8 block
+    * granularity (1-4 vertical bands whose base colors come from
+    * digest bytes, plus a ±2 deterministic per-BLOCK noise texture):
+    * SRM has real work to do (merge the noise, keep the band
+    * boundaries), every 8×8 block is flat so the q100 4:4:4 round
+    * trip is EXACTLY [[graft.functions.JpegCodec.yccRoundtrip]], and
+    * DuckDB re-derives every decoded pixel from the digest alone. */
   case class MMRegion(doc_id: Long, region_idx: Int, n_regions: Int,
                       n_pixels: Int, r_sum: Long, g_sum: Long, b_sum: Long,
-                      weight: Double, descriptor: Array[Double])
+                      weight: Double, descriptor: String)
 
-  private[graft] def synthesizeSegBmp(docId: Long, payload: Array[Byte]): Array[Byte] = {
-    val width = (12 + docId % 5).toInt
-    val height = (9 + payload.length % 4).toInt
+  /** Deterministic driver-sortable serialization: Java's shortest
+    * double repr per element, comma-joined — DuckDB's CAST(x AS
+    * DOUBLE) parses it back bit-exactly (§5). */
+  private[graft] def descriptorString(d: Array[Double]): String =
+    d.map(java.lang.Double.toString).mkString(",")
+
+  /** Synthesize the segmentation payload as a REAL color JPEG stream
+    * (baseline JFIF, q100 4:4:4): 8×8-block-flat pixels — band base
+    * colors from digest bytes, ±2 noise varying per BLOCK — so the
+    * encode is exactly reversible modulo the deterministic YCbCr
+    * sample rounding ([[graft.functions.JpegCodec.yccRoundtrip]]). */
+  private[graft] def synthesizeSegJpeg(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val width = (8 * (2 + docId % 3)).toInt  // 16/24/32, block-aligned
+    val height = (8 * (1 + payload.length % 3)).toInt // 8/16/24
     val nBands = (1 + docId % 4).toInt
+    val wb = width / 8
     val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
     val rgb = new Array[Byte](width * height * 3)
     var i = 0
     while (i < rgb.length) {
       val k = i / 3
       val c = i % 3
-      val x = k % width
-      val y = k / width
-      val band = x * nBands / width
+      val bx = (k % width) / 8
+      val by = (k / width) / 8
+      val band = bx * nBands / wb
       val base = digest((3 * band + c) % 32) & 0xff
-      val noise = (x * 7 + y * 13) % 5 - 2
+      val noise = (bx * 7 + by * 13) % 5 - 2
       rgb(i) = math.max(0, math.min(255, base + noise)).toByte
       i += 1
     }
-    graft.functions.ImageCodec.encodeBmp(
-      graft.functions.ImageCodec.Image(width, height, rgb))
+    graft.functions.JpegCodec.encodeJpeg(
+      graft.functions.ImageCodec.Image(width, height, rgb), quality = 100)
   }
+
+  /** The ferret ingest step (t_load): decode the synthesized JPEG
+    * stream back to pixels. Shared by mm_segment and ferret_emd so
+    * both segment EXACTLY the same decoded images. */
+  private[graft] def segSourceImage(docId: Long, payload: Array[Byte]): graft.functions.ImageCodec.Image =
+    graft.functions.JpegCodec.decodeJpeg(synthesizeSegJpeg(docId, payload))
 
   def mmSegment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -323,11 +354,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          val img = graft.functions.ImageCodec.decodeBmp(synthesizeSegBmp(id, payload))
+          val img = segSourceImage(id, payload)
           val regions = graft.functions.Srm.segmentAndDescribe(img)
           regions.iterator.zipWithIndex.map { case (r, ri) =>
             MMRegion(id, ri, regions.length, r.nPixels,
-              r.rSum, r.gSum, r.bSum, r.weight, r.descriptor)
+              r.rSum, r.gSum, r.bSum, r.weight, descriptorString(r.descriptor))
           }
         }
       }
@@ -337,10 +368,13 @@ object Multimodal {
   /** Per-image segmentation invariants, value-oracled: regions must
     * PARTITION the image, so their pixel counts and integer channel
     * sums aggregate to the whole-image totals — which DuckDB
-    * recomputes independently from the digest-derived pixel formula,
-    * while n_regions comes from the emitted mm_segment dump. A
-    * segmenter that drops/duplicates pixels, mislabels a region or
-    * miscounts sums breaks the hash compare. */
+    * recomputes independently from the digest-derived pixel formula
+    * THROUGH the JPEG ingest path's deterministic color round trip
+    * (every 8×8 block is flat, so the q100 4:4:4 encode→decode is
+    * exactly yccRoundtrip — replicated below with the same double
+    * arithmetic and rounding), while n_regions comes from the emitted
+    * mm_segment dump. A segmenter that drops/duplicates pixels, or
+    * any JPEG bug that shifts a decoded sample, breaks the hash. */
   def mmSegmentCheck(s: SparkSession, dir: String): DataFrame =
     mmSegment(s, dir)
       .groupBy("doc_id")
@@ -355,31 +389,58 @@ object Multimodal {
       |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
       |  FROM documents
       |), g AS (
-      |  SELECT doc_id, CAST(12 + doc_id % 5 AS INT) AS width,
-      |    CAST(9 + nb % 4 AS INT) AS height,
+      |  SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS wb,
+      |    CAST(1 + nb % 3 AS INT) AS hb,
       |    CAST(1 + doc_id % 4 AS INT) AS nbands, h
       |  FROM m
-      |), px AS (
-      |  SELECT doc_id, width, height,
-      |    list_transform(range(0, width*height*3), i ->
-      |      greatest(0, least(255,
-      |        (strpos('0123456789abcdef', substr(h,
-      |           2*((3*(((i // 3) % width) * nbands // width) + (i % 3)) % 32) + 1, 1)) - 1) * 16
-      |        + strpos('0123456789abcdef', substr(h,
-      |           2*((3*(((i // 3) % width) * nbands // width) + (i % 3)) % 32) + 2, 1)) - 1
-      |        + (((i // 3) % width) * 7 + ((i // 3) // width) * 13) % 5 - 2))) AS p
+      |), blk0 AS (
+      |  SELECT doc_id, wb, hb, h, nbands,
+      |    CAST(unnest(range(0, wb*hb)) AS INT) AS k
       |  FROM g
+      |), blk AS (
+      |  SELECT doc_id, wb, hb, h, nbands, k % wb AS bx, k // wb AS by
+      |  FROM blk0
+      |), rgb0 AS (
+      |  SELECT doc_id, wb, hb,
+      |    greatest(0, least(255,
+      |      (strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb)) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb)) % 32) + 2, 1)) - 1
+      |      + (bx*7 + by*13) % 5 - 2)) AS r0,
+      |    greatest(0, least(255,
+      |      (strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb) + 1) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb) + 1) % 32) + 2, 1)) - 1
+      |      + (bx*7 + by*13) % 5 - 2)) AS g0,
+      |    greatest(0, least(255,
+      |      (strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb) + 2) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*(bx*nbands//wb) + 2) % 32) + 2, 1)) - 1
+      |      + (bx*7 + by*13) % 5 - 2)) AS b0
+      |  FROM blk
+      |), ycc AS (
+      |  SELECT doc_id, wb, hb,
+      |    greatest(0, least(255, round(CAST(0.299 AS DOUBLE)*r0 + CAST(0.587 AS DOUBLE)*g0 + CAST(0.114 AS DOUBLE)*b0))) AS yy,
+      |    greatest(0, least(255, round(CAST(-0.168736 AS DOUBLE)*r0 - CAST(0.331264 AS DOUBLE)*g0 + CAST(0.5 AS DOUBLE)*b0 + CAST(128 AS DOUBLE)))) AS cb,
+      |    greatest(0, least(255, round(CAST(0.5 AS DOUBLE)*r0 - CAST(0.418688 AS DOUBLE)*g0 - CAST(0.081312 AS DOUBLE)*b0 + CAST(128 AS DOUBLE)))) AS cr
+      |  FROM rgb0
+      |), dec AS (
+      |  SELECT doc_id, wb, hb,
+      |    greatest(0, least(255, round(yy + CAST(1.402 AS DOUBLE)*(cr - 128)))) AS r1,
+      |    greatest(0, least(255, round(yy - CAST(0.344136 AS DOUBLE)*(cb - 128) - CAST(0.714136 AS DOUBLE)*(cr - 128)))) AS g1,
+      |    greatest(0, least(255, round(yy + CAST(1.772 AS DOUBLE)*(cb - 128)))) AS b1
+      |  FROM ycc
+      |), tot AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(wb) * MAX(hb) * 64 AS BIGINT) AS n_pixels,
+      |    CAST(SUM(r1) * 64 AS BIGINT) AS r_sum,
+      |    CAST(SUM(g1) * 64 AS BIGINT) AS g_sum,
+      |    CAST(SUM(b1) * 64 AS BIGINT) AS b_sum
+      |  FROM dec GROUP BY doc_id
       |), seg AS (
       |  SELECT doc_id, CAST(MAX(n_regions) AS INT) AS n_regions
       |  FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')
       |  GROUP BY doc_id
       |)
-      |SELECT t.doc_id, s.n_regions,
-      |  CAST(t.width * t.height AS BIGINT) AS n_pixels,
-      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 1])) AS BIGINT) AS r_sum,
-      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 2])) AS BIGINT) AS g_sum,
-      |  CAST(list_sum(list_transform(range(0, t.width*t.height), k -> t.p[3*k + 3])) AS BIGINT) AS b_sum
-      |FROM px t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
+      |SELECT t.doc_id, s.n_regions, t.n_pixels, t.r_sum, t.g_sum, t.b_sum
+      |FROM tot t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
 
   // ---- mm_jpeg: the reference's REAL input format, round-tripped -------
   /** The reference ingests JPEG (libjpeg behind ferret's
@@ -462,6 +523,141 @@ object Multimodal {
       |    + strpos('0123456789abcdef', substr(h, 2*(band_idx % 32) + 2, 1)) - 1)
       |    * 8 * height AS BIGINT) AS band_sum
       |FROM b""".stripMargin
+
+  // ---- mm_jpeg_color: the COLOR baseline path (YCbCr + 4:2:0) ----------
+  /** The reference ingests COLOR JPEGs (libjpeg's default encode:
+    * YCbCr transform, 4:2:0 chroma subsampling, the Annex K chroma
+    * quant table). This operator drives BOTH color layouts end to end
+    * per row over digest-synthesized 16×16-MCU-flat color images:
+    *  - quality 100, 4:4:4 — EXACT: every decoded pixel is the
+    *    deterministic [[graft.functions.JpegCodec.yccRoundtrip]] map,
+    *    which DuckDB recomputes from the digest with the same double
+    *    arithmetic (any DCT/Huffman/transform bug breaks the hash);
+    *  - quality 90, 4:2:0 — the full subsample→DCT→quantize path
+    *    under the scaled chroma table; flat MCUs make the box-filter
+    *    downsample exact, so the only loss is DC quantization, and
+    *    the oracle re-admits the emitted sums only within the proven
+    *    ±8/pixel bound (the emd_check echo-gate pattern: forged sums
+    *    drop the row and break the hash compare).
+    * Per-MCU channel sums are computed from the DECODED pixels of
+    * each stream, never from the synthesis inputs. */
+  case class MMJpegColor(doc_id: Long, mcu_idx: Int, width: Int, height: Int,
+                         r444: Long, g444: Long, b444: Long,
+                         r420: Long, g420: Long, b420: Long)
+
+  private[graft] def synthesizeColorMcus(docId: Long, payload: Array[Byte]): graft.functions.ImageCodec.Image = {
+    val width = (16 * (1 + docId % 2)).toInt
+    val height = (16 * (1 + payload.length % 2)).toInt
+    val mw = width / 16
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < rgb.length) {
+      val k = i / 3
+      val c = i % 3
+      val m = (k / width / 16) * mw + (k % width) / 16
+      rgb(i) = digest((3 * m + c) % 32)
+      i += 1
+    }
+    graft.functions.ImageCodec.Image(width, height, rgb)
+  }
+
+  def mmJpegColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val src = synthesizeColorMcus(id, payload)
+          val d444 = graft.functions.JpegCodec.decodeJpeg(
+            graft.functions.JpegCodec.encodeJpeg(src, quality = 100))
+          val d420 = graft.functions.JpegCodec.decodeJpeg(
+            graft.functions.JpegCodec.encodeJpeg(src, quality = 90, chroma420 = true))
+          require(d444.width == src.width && d444.height == src.height &&
+            d420.width == src.width && d420.height == src.height,
+            s"JPEG color round trip changed geometry for doc $id")
+          val mw = src.width / 16
+          val mh = src.height / 16
+          (0 until mw * mh).iterator.map { m =>
+            val x0 = (m % mw) * 16
+            val y0 = (m / mw) * 16
+            val s444 = new Array[Long](3)
+            val s420 = new Array[Long](3)
+            var y = y0
+            while (y < y0 + 16) {
+              var x = x0
+              while (x < x0 + 16) {
+                val o = 3 * (y * src.width + x)
+                var c = 0
+                while (c < 3) {
+                  s444(c) += d444.rgb(o + c) & 0xff
+                  s420(c) += d420.rgb(o + c) & 0xff
+                  c += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            MMJpegColor(id, m, src.width, src.height,
+              s444(0), s444(1), s444(2), s420(0), s420(1), s420(2))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB recomputes the q100 4:4:4 sums EXACTLY (yccRoundtrip per
+    * MCU × 256 pixels, same double arithmetic), and re-admits the
+    * emitted q90 4:2:0 sums only within the quantization bound —
+    * ±8/pixel against the ideal color (flat MCUs: subsampling exact,
+    * DC quant error ≤ 1 per YCbCr sample, ≤ ~3 per RGB channel after
+    * the transform; 8 leaves margin without admitting garbage). */
+  val mmJpegColorSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS mw,
+      |    CAST(1 + nb % 2 AS INT) AS mh, h
+      |  FROM m
+      |), blk AS (
+      |  SELECT doc_id, mw, mh, h,
+      |    CAST(unnest(range(0, mw*mh)) AS INT) AS k
+      |  FROM g
+      |), rgb0 AS (
+      |  SELECT doc_id, mw, mh, k,
+      |    (strpos('0123456789abcdef', substr(h, 2*((3*k) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*k) % 32) + 2, 1)) - 1 AS r0,
+      |    (strpos('0123456789abcdef', substr(h, 2*((3*k + 1) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*k + 1) % 32) + 2, 1)) - 1 AS g0,
+      |    (strpos('0123456789abcdef', substr(h, 2*((3*k + 2) % 32) + 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2*((3*k + 2) % 32) + 2, 1)) - 1 AS b0
+      |  FROM blk
+      |), ycc AS (
+      |  SELECT doc_id, mw, mh, k,
+      |    greatest(0, least(255, round(CAST(0.299 AS DOUBLE)*r0 + CAST(0.587 AS DOUBLE)*g0 + CAST(0.114 AS DOUBLE)*b0))) AS yy,
+      |    greatest(0, least(255, round(CAST(-0.168736 AS DOUBLE)*r0 - CAST(0.331264 AS DOUBLE)*g0 + CAST(0.5 AS DOUBLE)*b0 + CAST(128 AS DOUBLE)))) AS cb,
+      |    greatest(0, least(255, round(CAST(0.5 AS DOUBLE)*r0 - CAST(0.418688 AS DOUBLE)*g0 - CAST(0.081312 AS DOUBLE)*b0 + CAST(128 AS DOUBLE)))) AS cr
+      |  FROM rgb0
+      |), ideal AS (
+      |  SELECT doc_id, mw, mh, k,
+      |    CAST(256 * greatest(0, least(255, round(yy + CAST(1.402 AS DOUBLE)*(cr - 128)))) AS BIGINT) AS ir,
+      |    CAST(256 * greatest(0, least(255, round(yy - CAST(0.344136 AS DOUBLE)*(cb - 128) - CAST(0.714136 AS DOUBLE)*(cr - 128)))) AS BIGINT) AS ig,
+      |    CAST(256 * greatest(0, least(255, round(yy + CAST(1.772 AS DOUBLE)*(cb - 128)))) AS BIGINT) AS ib
+      |  FROM ycc
+      |), dump AS (
+      |  SELECT doc_id, mcu_idx, r420, g420, b420
+      |  FROM read_parquet('{VERIFY_OUT}/mm_jpeg_color/*.parquet')
+      |)
+      |SELECT i.doc_id, i.k AS mcu_idx,
+      |  CAST(i.mw * 16 AS INT) AS width, CAST(i.mh * 16 AS INT) AS height,
+      |  i.ir AS r444, i.ig AS g444, i.ib AS b444,
+      |  d.r420, d.g420, d.b420
+      |FROM ideal i JOIN dump d ON i.doc_id = d.doc_id AND i.k = d.mcu_idx
+      |WHERE abs(d.r420 - i.ir) <= 2048
+      |  AND abs(d.g420 - i.ig) <= 2048
+      |  AND abs(d.b420 - i.ib) <= 2048""".stripMargin
 
   // ---- mm_audio: real WAV decode + waveform features -------------------
   /** Audio-column plumbing, completing the modality triple: each
@@ -550,7 +746,8 @@ object Multimodal {
     "mm_audio" -> (mmAudio _),
     "mm_segment" -> (mmSegment _),
     "mm_segment_check" -> (mmSegmentCheck _),
-    "mm_jpeg" -> (mmJpeg _))
+    "mm_jpeg" -> (mmJpeg _),
+    "mm_jpeg_color" -> (mmJpegColor _))
 
   /** Every mm_features column recomputed independently by DuckDB:
     * geometry from (doc_id, octet_length), the BMP's encoded size from
@@ -593,5 +790,6 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio" -> mmAudioSql,
     "mm_segment_check" -> mmSegmentCheckSql,
-    "mm_jpeg" -> mmJpegSql)
+    "mm_jpeg" -> mmJpegSql,
+    "mm_jpeg_color" -> mmJpegColorSql)
 }

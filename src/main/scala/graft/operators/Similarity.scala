@@ -478,11 +478,13 @@ object Similarity {
     * t_rank re-ranks the over-fetched merged list with the
     * general-weight `emd` vecset distance (ferret-pthreads.c:870 →
     * emd.c:104) over the segmenter's √size-normalized region weights.
-    * Images are the digest-synthesized band BMPs the multimodal
-    * family decodes (Multimodal.synthesizeSegBmp) — real format, real
-    * decode, real segmentation; region cardinality VARIES per image
-    * (1-4 bands ± specks), which is exactly what the general
-    * transportation EMD exists to rank.
+    * Images arrive as the reference's ACTUAL input format — a real
+    * baseline JFIF stream decoded by JpegCodec (t_load, image.c:43
+    * image_read_rgb), shared with mm_segment via
+    * Multimodal.segSourceImage — real format, real decode, real
+    * segmentation; region cardinality VARIES per image (1-4 bands ±
+    * specks), which is exactly what the general transportation EMD
+    * exists to rank.
     *
     * Scale posture: the segment+extract map stage is embarrassingly
     * parallel (partition-batched, no shuffle); candidate gen stays a
@@ -511,8 +513,7 @@ object Similarity {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          val img = graft.functions.ImageCodec.decodeBmp(
-            Multimodal.synthesizeSegBmp(id, payload))
+          val img = Multimodal.segSourceImage(id, payload)
           graft.functions.Srm.segmentAndDescribe(img)
             .iterator.zipWithIndex.map { case (r, ri) =>
               (id, ri, r.descriptor, r.weight)
@@ -611,7 +612,9 @@ object Similarity {
     * certificate PROVES the flow optimal (see [[emdCheck]]). */
   val emdCheckSql: String =
     """WITH arcs AS (SELECT * FROM read_parquet('{VERIFY_OUT}/emd_check/*.parquet')),
-      |seg AS (SELECT doc_id, region_idx, descriptor, weight
+      |seg AS (SELECT doc_id, region_idx, weight,
+      |          list_transform(string_split(descriptor, ','),
+      |            x -> CAST(x AS DOUBLE)) AS descriptor
       |        FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')),
       |g AS (
       |  SELECT a.*, qa.weight AS w_q, ca.weight AS w_c,

@@ -55,6 +55,22 @@ object StorageLayout {
     * claim. The one-time write cost is printed to stderr. */
   private val ingested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Content fingerprint of a source table's files (name, size,
+    * mtime — the annIvfIndexed pattern): folded into every ingest key
+    * so a dataset regenerated mid-session moves the key and forces a
+    * re-ingest, instead of silently serving the stale layout. */
+  private def contentFingerprint(dir: String, tables: Seq[String]): String = {
+    val desc = tables.map { t =>
+      val root = new java.io.File(s"$dir/$t.parquet")
+      val files = if (root.isDirectory)
+        Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
+      else Seq(root)
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    }.mkString("||")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   private def ingestOnce(key: String)(write: => Unit): Unit =
     StorageLayout.synchronized {
       if (!ingested.contains(key)) {
@@ -84,7 +100,8 @@ object StorageLayout {
     * statistics choose anyway, and AQE has no shuffle stage left to
     * re-plan. */
   def qColocatedJoin(s: SparkSession, dir: String): DataFrame = {
-    val suffix = sessionSuffix(s, dir)
+    val suffix =
+      s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("orders", "lineitem"))}"
     val tmp = System.getProperty("java.io.tmpdir")
     val oTbl = s"graft_orders_bkt_$suffix"
     val lTbl = s"graft_lineitem_bkt_$suffix"
@@ -140,7 +157,7 @@ object StorageLayout {
     * query assumes; the data files themselves never carry the
     * partition column, so the layout also stores less. */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
-    val suffix = sessionSuffix(s, dir)
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
     val tmp = System.getProperty("java.io.tmpdir")
     val path = s"$tmp/graft_events_bydate_$suffix"
     ingestOnce(path) {

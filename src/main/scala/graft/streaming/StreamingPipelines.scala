@@ -286,9 +286,20 @@ object StreamingPipelines {
       count(lit(1)).as("n")).collect().head
     val (fp, n) = (if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0), fpRow.getLong(1))
     val stored =
-      if (parquetNonEmpty(s, frontierPath))
-        Some(s.read.parquet(frontierPath).collect().head)
-      else None
+      if (parquetNonEmpty(s, frontierPath)) {
+        val f = s.read.parquet(frontierPath)
+        // the frontier/digest layout changed when txn-keyed idempotent
+        // replay landed (single next_seq column + flat digest files →
+        // (next_seq, base, epoch, fp, txn) + txn= partitions): a store
+        // written by the old code must fail HERE with a clear message,
+        // not on a getAs[Long]("epoch") cast deep in the batch
+        require(f.columns.toSet == Set("next_seq", "base", "epoch", "fp", "txn"),
+          s"five-stage store at $storeDir has an incompatible frontier format " +
+            s"(columns: ${f.columns.sorted.mkString(", ")}) — it predates the " +
+            "txn-keyed replay contract; start a fresh storeDir or migrate the " +
+            "frontier to (next_seq, base, epoch, fp, txn) with txn=0")
+        Some(f.collect().head)
+      } else None
     val isReplay = stored.exists(r =>
       r.getAs[Long]("epoch") == epoch && r.getAs[Long]("fp") == fp)
     val txn = stored.map(r =>
@@ -322,22 +333,32 @@ object StreamingPipelines {
     Seq((frontier + n, frontier, epoch, fp, txn))
       .toDF("next_seq", "base", "epoch", "fp", "txn")
       .write.mode("overwrite").parquet(frontierPath)
-    // Compress (firsts only) + Reorder: the global sort is per
-    // MICRO-BATCH (trigger-volume bounded) — the reference's Reorder
-    // is likewise a single serial stage, the price of a total order
-    val ordered = tagged
-      .withColumn("comp_len", when(col("is_first"),
-        graft.functions.NativeChunk.compressedLen(col("piece"), "deflate")))
-      .withColumn("piece", when(col("is_first"), col("piece")))
-      .withColumn("emit_seq",
-        row_number().over(Window.orderBy("doc_id", "chunk_idx")) + lit(frontier - 1))
-    // the returned frame reads only the checkpointed `tagged` (itself
-    // derived from the checkpointed `chunks`); record both RDD ids so
-    // the NEXT trigger frees them once this batch's output has been
-    // consumed
-    val ckptIds = Seq(tagged, chunks).flatMap(_.queryExecution.logical.collect {
+    // Compress (firsts only) + Reorder: emit_seq is the DISTRIBUTED
+    // prefix sum (unit weights) over (doc_id, chunk_idx) — identical
+    // contiguous ranks to a global row_number, but only #partitions
+    // counts reach the driver and the compressed `piece` payloads
+    // never leave their range partitions. (The reference's Reorder is
+    // a single serial thread, encoder.c:1345 — but funneling every
+    // micro-batch's payload bytes through ONE task to assign a
+    // sequence number is a scale-killer Spark doesn't need to pay:
+    // the repo's own bar, SURVEY §2.A q_histogram_eqdepth.)
+    val ordered = graft.operators.PrefixSum.runningSum(
+        tagged
+          .withColumn("comp_len", when(col("is_first"),
+            graft.functions.NativeChunk.compressedLen(col("piece"), "deflate")))
+          .withColumn("piece", when(col("is_first"), col("piece")))
+          .withColumn("__one", lit(1L)),
+        Seq(col("doc_id"), col("chunk_idx")), "__one", "emit_seq")
+      .withColumn("emit_seq", col("emit_seq") + lit(frontier - 1))
+      .drop("__one")
+    // the returned frame reads the prefix sum's internal checkpoint
+    // (which truncated `tagged`'s lineage), but `tagged` and `chunks`
+    // hold their own checkpoint blocks too; record every LogicalRDD id
+    // so the NEXT trigger frees them all once this batch's output has
+    // been consumed
+    val ckptIds = Seq(ordered, tagged, chunks).flatMap(_.queryExecution.logical.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    })
+    }).distinct
     fiveStagePrevCkpt.put(storeDir, ckptIds): Unit
     ordered
   }

@@ -145,6 +145,15 @@ class CurationSpec extends SparkSpec {
       rec.getAs[Long]("n_hit"), rec.getAs[Double]("recall"))
     assert(nHit <= nExact)
     assert(recall >= 0.0 && recall <= 1.0)
+    // HARD floor on the near-dup quality gate (not just range
+    // well-formedness): the banded-LSH candidate path must keep
+    // finding the exact baseline's pairs — a broken minhash seed or
+    // banding split would sail through every structural check. The
+    // floor is a collapse detector with ~30% headroom below the
+    // shipped banding's measured 0.53 at this SF; a broken seed → ~0.
+    info(f"nd recall $recall%.3f ($nHit/$nExact)")
+    assert(nExact == 0 || recall >= 0.35,
+      s"near-dup recall floor breached: $recall < 0.35 ($nHit/$nExact)")
     // LSH near-dup pairs on the sample window must be TRUE pairs too
     // (the verify stage filters on exact cosine, so no false positives)
     assert(rec.getAs[Long]("n_lsh") == nHit,

@@ -49,6 +49,56 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxErr <= 2, s"flat color max error $maxErr")
   }
 
+  test("color 8x8-flat blocks at q100 4:4:4 decode to EXACTLY yccRoundtrip") {
+    // the mm_jpeg_color / mm_segment oracle anchor: integer YCbCr
+    // samples + DC-only blocks + unit quant table ⇒ the decoded pixel
+    // is the deterministic two-stage rounded color map, nothing else
+    val colors = Array((17, 240, 88), (155, 3, 201), (90, 90, 90), (255, 0, 128),
+      (0, 0, 0), (255, 255, 255), (1, 254, 127), (63, 64, 65))
+    val im = img(32, 16) { (x, y) => colors((x / 8 + 2 * (y / 8)) % 8) }
+    val dec = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(im, quality = 100))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val (r0, g0, b0) = colors((x / 8 + 2 * (y / 8)) % 8)
+      val (er, eg, eb) = JpegCodec.yccRoundtrip(r0, g0, b0)
+      val o = 3 * (y * 32 + x)
+      assert((dec.rgb(o) & 0xff) == er && (dec.rgb(o + 1) & 0xff) == eg &&
+        (dec.rgb(o + 2) & 0xff) == eb,
+        s"($x,$y): got (${dec.rgb(o) & 0xff},${dec.rgb(o + 1) & 0xff},${dec.rgb(o + 2) & 0xff}) want ($er,$eg,$eb)")
+    }
+  }
+
+  test("4:2:0: SOF carries 2x2 luma sampling; flat MCUs bounded at q90") {
+    val colors = Array((200, 60, 130), (10, 250, 90), (128, 128, 128), (240, 10, 10))
+    val im = img(32, 32) { (x, y) => colors((x / 16 + 2 * (y / 16)) % 4) }
+    val bytes = JpegCodec.encodeJpeg(im, quality = 90, chroma420 = true)
+    // find SOF0, check the luma sampling byte is 0x22
+    var i = 0
+    while (i < bytes.length - 1 &&
+      !((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0)) i += 1
+    assert((bytes(i + 11) & 0xff) == 0x22, "luma sampling factor should be 2x2")
+    // 4:2:0 stream is smaller than 4:4:4 on the same image
+    assert(bytes.length < JpegCodec.encodeJpeg(im, quality = 90).length)
+    val dec = JpegCodec.decodeJpeg(bytes)
+    assert(dec.width == 32 && dec.height == 32)
+    // flat 16x16 MCUs: subsampling is exact (average of equals), so
+    // the only loss is DC quantization — bounded by the q90 DC steps
+    // (3 luma, 3 chroma) through the color transform
+    val maxErr = im.rgb.zip(dec.rgb)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 8, s"flat-MCU 4:2:0 q90 max error $maxErr")
+  }
+
+  test("4:2:0 textured: bounded error, dimensions preserved off-alignment") {
+    val im = img(22, 18) { (x, y) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + 128) % 256, (y * 29 + 60) % 256)
+    }
+    val dec = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(im, quality = 90, chroma420 = true))
+    assert(dec.width == 22 && dec.height == 18)
+    val mae = im.rgb.zip(dec.rgb)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble / im.rgb.length
+    assert(mae < 32.0, s"4:2:0 q90 mean abs error $mae out of bounds")
+  }
+
   test("textured image: bounded reconstruction error, decreasing with quality") {
     val im = img(40, 24) { (x, y) =>
       ((x * 37 + y * 11) % 256, (x * 5 + 128) % 256, (y * 29 + 60) % 256)
@@ -104,6 +154,13 @@ class JpegCodecSpec extends AnyFunSuite {
     prog(i + 1) = 0xc2.toByte
     assert(intercept[IllegalArgumentException](
       JpegCodec.decodeJpeg(prog)).getMessage.contains("progressive"))
+    // APP0 with a forged length of 0 or 1 must fail loudly, not walk
+    // the marker scan backwards forever (segment length includes its
+    // own two bytes, so anything < 2 is malformed)
+    val badApp = good.clone()
+    badApp(4) = 0x00; badApp(5) = 0x01 // APP0 length := 1
+    assert(intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(badApp)).getMessage.contains("segment length"))
   }
 
   test("determinism: identical input, identical stream") {

@@ -121,8 +121,21 @@ class SimilaritySpec extends SparkSpec {
     assert(res.count() == Similarity.NQueries)
     assert(res.filter(col("recall_lsh") < 0 || col("recall_lsh") > 1).count() == 0)
     assert(res.filter(col("recall_ivf") < 0 || col("recall_ivf") > 1).count() == 0)
-    val meanLsh = res.agg(avg("recall_lsh")).collect().head.getDouble(0)
-    assert(meanLsh > 0.0, s"LSH recall is zero — candidate path broken")
+    // HARD quality floors, not just well-formedness: a silent
+    // regression in the LshBuckets seeds / banding or the IVF
+    // centroid training would keep every structural check green while
+    // recall collapses. Floors are collapse detectors calibrated with
+    // ~30% headroom under the shipped configuration's measured value
+    // at this SF (lsh 0.44 — end-recall here is bounded by the
+    // reference-mandated 2k over-fetch through the sketch, not the
+    // banding; ivf 0.86); a broken seed/centroid path drops to ~0.
+    val (meanLsh, meanIvf) = {
+      val r = res.agg(avg("recall_lsh"), avg("recall_ivf")).collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    info(f"mean recall: lsh $meanLsh%.3f ivf $meanIvf%.3f")
+    assert(meanLsh >= 0.3, s"LSH recall floor breached: $meanLsh < 0.3")
+    assert(meanIvf >= 0.6, s"IVF recall floor breached: $meanIvf < 0.6")
     res.unpersist()
   }
 

@@ -217,10 +217,11 @@ class TextMultimodalSpec extends SparkSpec {
         col("mn") =!= 0)
     assert(badIdx.count() == 0)
     // sizes partition the synthesized geometry: width*height =
-    // (12 + doc_id%5) * (9 + octet_length%4)
+    // 8*(2 + doc_id%3) * 8*(1 + octet_length%3) (block-aligned for
+    // the exact JPEG ingest round trip)
     val expected = Tables.documents(spark, sfDir).select(col("doc_id"),
-      ((lit(12) + col("doc_id") % 5) *
-        (lit(9) + octet_length(encode(col("text"), "UTF-8")) % 4)).as("npx"))
+      (lit(8) * (lit(2) + col("doc_id") % 3) * lit(8) *
+        (lit(1) + octet_length(encode(col("text"), "UTF-8")) % 3)).as("npx"))
     val sized = res.groupBy("doc_id").agg(sum(col("n_pixels")).as("got"))
       .join(expected, "doc_id").filter(col("got") =!= col("npx"))
     assert(sized.count() == 0)
@@ -228,7 +229,12 @@ class TextMultimodalSpec extends SparkSpec {
     val badW = res.groupBy("doc_id").agg(sum(col("weight")).as("w"))
       .filter(abs(col("w") - 1.0) > 1e-9)
     assert(badW.count() == 0)
-    assert(res.filter(size(col("descriptor")) =!= 14).count() == 0)
+    // descriptor is the comma-joined shortest-repr string of 14
+    // doubles (driver-sortable; DuckDB splits + casts it back)
+    assert(res.filter(size(split(col("descriptor"), ",")) =!= 14).count() == 0)
+    assert(res.filter(
+      exists(transform(split(col("descriptor"), ","), x => x.cast("double")),
+        x => x.isNull)).count() == 0)
     // the band structure produces real multi-region segmentations:
     // images with several contrasting bands usually keep boundaries
     assert(res.filter(col("n_regions") > 1).count() > 0)
