@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is a machine-parsed JSON line on stdout;
+// sbt's default LoggedOutput prefixes every forked line with "[info] "
+// which breaks any `json.loads(line)` consumer. StdoutOutput passes
+// the child's streams through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -130,12 +130,25 @@ object Dedup {
   /** Chunk boundaries + identities only — compression is opt-in
     * downstream (chunk_compress), so this table never pays a codec
     * pass. */
-  private def chunkTable(s: SparkSession, dir: String): DataFrame =
+  private def chunkTable(s: SparkSession, dir: String,
+                         minSize: Int = 32, maxSize: Int = 256,
+                         maskBits: Int = 6): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), NativeChunk.chunks(col("text")))
+      .select(col("doc_id"), NativeChunk.chunks(col("text"), minSize, maxSize, maskBits))
 
   def dedupChunk(s: SparkSession, dir: String): DataFrame =
     chunkTable(s, dir)
+
+  /** The sweep's NON-default granularity cells, emitted as full chunk
+    * tables: each gets the same per-chunk identity oracle as
+    * dedup_chunk, and their dumps are what lets dedup_chunk_sweep's
+    * accounting be value-oracled cell-for-cell instead of only at the
+    * default granularity. */
+  def dedupChunkFine(s: SparkSession, dir: String): DataFrame =
+    chunkTable(s, dir, ChunkSweepGrid(0)._1, ChunkSweepGrid(0)._2, ChunkSweepGrid(0)._3)
+
+  def dedupChunkCoarse(s: SparkSession, dir: String): DataFrame =
+    chunkTable(s, dir, ChunkSweepGrid(2)._1, ChunkSweepGrid(2)._2, ChunkSweepGrid(2)._3)
 
   // ---- dedup_chunk_stats: Deduplicate-stage accounting -----------------
   def dedupChunkStats(s: SparkSession, dir: String): DataFrame =
@@ -172,8 +185,10 @@ object Dedup {
     * chunks find more duplication at more per-chunk overhead. One
     * chunking pass per granularity; all passes embarrassingly
     * parallel. */
+  private[graft] val ChunkSweepGrid = Seq((16, 128, 5), (32, 256, 6), (64, 512, 7))
+
   def dedupChunkSweep(s: SparkSession, dir: String): DataFrame = {
-    val grid = Seq((16, 128, 5), (32, 256, 6), (64, 512, 7))
+    val grid = ChunkSweepGrid
     grid.map { case (mn, mx, mb) =>
       chunkStatsOf(docs(s, dir)
           .select(col("doc_id"), NativeChunk.chunks(col("text"), mn, mx, mb)))
@@ -534,16 +549,18 @@ object Dedup {
     * (DuckDB's sha256 is VARCHAR-only), valid because the corpus is
     * ASCII; the BYTE-exact proof for arbitrary content is
     * dedup_restore's round-trip oracle. */
-  val dedupChunkSql: String =
-    """WITH c AS (
+  private def chunkIdentitySql(dump: String): String =
+    s"""WITH c AS (
       |  SELECT doc_id, chunk_idx, "offset", "length"
-      |  FROM read_parquet('{VERIFY_OUT}/dedup_chunk/*.parquet')
+      |  FROM read_parquet('{VERIFY_OUT}/$dump/*.parquet')
       |)
       |SELECT c.doc_id, c.chunk_idx, c."offset", c."length",
       |  CASE WHEN octet_length(encode(d.text)) = length(d.text)
       |       THEN sha256(substr(d.text, c."offset" + 1, c."length"))
       |       ELSE 'ERROR_NON_ASCII_DOC_BYTE_OFFSETS_NEED_BINARY_SUBSTR' END AS chunk_sha
       |FROM c JOIN documents d ON c.doc_id = d.doc_id""".stripMargin
+
+  val dedupChunkSql: String = chunkIdentitySql("dedup_chunk")
 
   /** Deduplicate-stage accounting recomputed by DuckDB from the
     * (value-oracled) emitted chunk table — every count, byte total and
@@ -560,6 +577,33 @@ object Dedup {
       |  1.0 - CAST(u.unique_bytes AS DOUBLE) / CAST(t.total_bytes AS DOUBLE) AS dedup_ratio,
       |  CAST(t.total_bytes AS DOUBLE) / CAST(t.n_chunks AS DOUBLE) AS mean_chunk_len
       |FROM t, u""".stripMargin
+
+  /** Every cell of the granularity sweep recomputed by DuckDB from the
+    * three identity-oracled chunk dumps (dedup_chunk_fine /
+    * dedup_chunk / dedup_chunk_coarse carry the per-chunk digests for
+    * the three grid cells) — the whole knob grid is value-oracled,
+    * not just the default-granularity row. */
+  private def sweepCellSql(dump: String, mn: Int, mx: Int, mb: Int): String =
+    s"""SELECT $mn AS min_size, $mx AS max_size, $mb AS mask_bits,
+      |  t.n_docs, t.n_chunks, u.n_unique_chunks, t.total_bytes, u.unique_bytes,
+      |  1.0 - CAST(u.unique_bytes AS DOUBLE) / CAST(t.total_bytes AS DOUBLE) AS dedup_ratio,
+      |  CAST(t.total_bytes AS DOUBLE) / CAST(t.n_chunks AS DOUBLE) AS mean_chunk_len
+      |FROM
+      |  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |          CAST(SUM("length") AS BIGINT) AS total_bytes
+      |   FROM read_parquet('{VERIFY_OUT}/$dump/*.parquet')) t,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+      |          CAST(SUM(len) AS BIGINT) AS unique_bytes
+      |   FROM (SELECT chunk_sha, MIN("length") AS len
+      |         FROM read_parquet('{VERIFY_OUT}/$dump/*.parquet')
+      |         GROUP BY chunk_sha)) u""".stripMargin
+
+  val dedupChunkSweepSql: String = Seq(
+    sweepCellSql("dedup_chunk_fine", ChunkSweepGrid(0)._1, ChunkSweepGrid(0)._2, ChunkSweepGrid(0)._3),
+    sweepCellSql("dedup_chunk", ChunkSweepGrid(1)._1, ChunkSweepGrid(1)._2, ChunkSweepGrid(1)._3),
+    sweepCellSql("dedup_chunk_coarse", ChunkSweepGrid(2)._1, ChunkSweepGrid(2)._2, ChunkSweepGrid(2)._3)
+  ).mkString("\nUNION ALL\n")
 
   /** Value oracle over the emitted embedding near-dup pairs: cosine +
     * threshold recomputed by DuckDB's list_cosine_similarity over the
@@ -672,6 +716,8 @@ object Dedup {
     "dedup_exact_bucketed" -> (dedupExactBucketed _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_chunk" -> (dedupChunk _),
+    "dedup_chunk_fine" -> (dedupChunkFine _),
+    "dedup_chunk_coarse" -> (dedupChunkCoarse _),
     "dedup_chunk_stats" -> (dedupChunkStats _),
     "dedup_chunk_sweep" -> (dedupChunkSweep _),
     "dedup_chunk_check" -> (dedupChunkCheck _),
@@ -688,7 +734,10 @@ object Dedup {
     "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_chunk" -> dedupChunkSql,
+    "dedup_chunk_fine" -> chunkIdentitySql("dedup_chunk_fine"),
+    "dedup_chunk_coarse" -> chunkIdentitySql("dedup_chunk_coarse"),
     "dedup_chunk_stats" -> dedupChunkStatsSql,
+    "dedup_chunk_sweep" -> dedupChunkSweepSql,
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
     "dedup_minhash" -> dedupMinhashSql,
