@@ -169,8 +169,15 @@ object Sampling {
   private[operators] val PpsStep = 512L
   private[operators] val PpsOff = 256L
 
-  def samplePps(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"),
+  def samplePps(s: SparkSession, dir: String): DataFrame =
+    ppsFromDocs(docs(s, dir))
+
+  /** PPS over an arbitrary `(doc_id, text)` frame — split out so the
+    * spec can drive it with corpora the parquet tables don't contain
+    * (documents longer than [[PpsStep]] → multi-pick weights; corpus
+    * appends → per-document pick stability). */
+  private[graft] def ppsFromDocs(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
       hashKey(col("doc_id"), "pps").as("key"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     // grid points <= x: zero below the anchor, else (x - off) div step + 1.

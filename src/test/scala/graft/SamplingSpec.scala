@@ -111,6 +111,83 @@ class SamplingSpec extends SparkSpec {
     }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in sample_pps"))
   }
 
+  // local reference implementation of the PPS arithmetic (hash order,
+  // prefix sums, grid counting) — independent of every Spark kernel
+  private def ppsReference(docs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    def key(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:pps".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def grid(x: Long): Long = if (x < 256L) 0L else (x - 256L) / 512L + 1L
+    var cum = 0L
+    docs.sortBy { case (id, _) => (key(id), id) }.flatMap { case (id, n) =>
+      cum += n
+      val picks = grid(cum) - grid(cum - n)
+      if (picks >= 1) Some(id -> (cum, picks)) else None
+    }.toMap
+  }
+
+  private def mkDocs(spec: Seq[(Long, Int)]) = {
+    import spark.implicits._
+    spec.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("sample_pps: documents longer than the step carry multi-pick weights") {
+    // one 2600-token doc (>5 steps) + a spread of shorter docs: the
+    // long doc must be picked 5-6 times (its interval contains
+    // floor(2600/512)=5 grid points minimum), and EVERY row must match
+    // the local reference arithmetic exactly
+    val spec = Seq((1L, 2600)) ++ (2L to 40L).map(i => (i, (i * 37 % 300).toInt + 5))
+    val want = ppsReference(spec.map { case (id, n) => (id, n.toLong) })
+    val got = Sampling.ppsFromDocs(mkDocs(spec)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_picks"))).toMap
+    assert(got == want, "PPS rows differ from the local reference")
+    val longPicks = got(1L)._2
+    assert(longPicks >= 5L && longPicks <= 6L,
+      s"multi-pick weight wrong for the 2600-token doc: $longPicks")
+    // total picks = total grid points
+    val total = spec.map(_._2.toLong).sum
+    assert(got.values.map(_._2).sum == (total - 256L) / 512L + 1L)
+  }
+
+  test("sample_pps: picks are stable for documents ahead of an append") {
+    // systematic PPS over the hash order: appending documents only
+    // perturbs cum_tokens (hence picks) AT AND AFTER the first
+    // appended key — every document that sorts before it keeps its
+    // exact (cum_tokens, n_picks) row. This is the growth-stability
+    // contract that lets an incremental pipeline extend the sample
+    // without reassigning history.
+    def key(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$id:pps".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val base = (100L to 140L).map(i => (i, (i * 53 % 400).toInt + 10))
+    // append ids chosen from the TOP quarter of the hash space so a
+    // prefix of the base corpus provably sorts ahead of every one
+    val appended = Iterator.from(900).map(_.toLong)
+      .filter(id => key(id) >= "c0").take(10)
+      .map(i => (i, (i * 29 % 350).toInt + 10)).toSeq
+    val before = Sampling.ppsFromDocs(mkDocs(base)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_picks"))).toMap
+    val after = Sampling.ppsFromDocs(mkDocs(base ++ appended)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_picks"))).toMap
+    val firstNewKey = appended.map { case (id, _) => (key(id), id) }.min
+    val stable = base.map(_._1)
+      .filter(id => Ordering[(String, Long)].lt((key(id), id), firstNewKey)).toSet
+    assert(stable.nonEmpty, "test corpus degenerate: no doc ahead of the append")
+    stable.foreach { id =>
+      assert(before.get(id) == after.get(id),
+        s"doc $id ahead of the append changed its pick row")
+    }
+    // and at least one later doc DID shift (the append is real)
+    assert(base.map(_._1).exists(id => before.get(id) != after.get(id) ||
+      !stable.contains(id)))
+  }
+
   test("mix_budget: kept set is the maximal quality-prefix within budget") {
     val rows = Sampling.mixBudget(spark, sfDir).collect()
     assert(rows.nonEmpty)
