@@ -428,14 +428,15 @@ object Dedup {
     * no production pipeline would run. */
   private val SweepGrid = Seq((16, 8), (8, 16), (4, 32))
 
-  def dedupMinhashSweep(s: SparkSession, dir: String): DataFrame = {
-    // snapshot-and-free (the clustersFromPairs pattern): the result is
-    // a driver-local Seq with no lineage into the checkpoints below,
-    // so every block this call persists is freed before returning —
-    // leaking them taxed later bench passes by 3× (Dataset.unpersist
-    // is a CacheManager no-op for checkpoint-backed frames; the RDDs
-    // must be freed through getPersistentRDDs).
-    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+  /** The sweep's scored candidate table — every base-banding candidate
+    * pair with its matched-base-band bitmask, the derived longer-band
+    * memberships, and the exact verify jaccard. Shared by
+    * [[dedupMinhashSweep]] (aggregates it to the grid) and exposed as
+    * the `dedup_minhash_bands` entry so DuckDB can value-oracle the
+    * WHOLE grid: jaccard recomputed from raw text per pair, c8/c4
+    * recomputed from the emitted mask by bit arithmetic, and every
+    * sweep cell's counts/precision re-aggregated from the dump. */
+  private def minhashSweepScored(s: SparkSession, dir: String): DataFrame = {
     val hs = hashSets(s, dir).localCheckpoint(true)
     val sig = hs.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
       .localCheckpoint(true)
@@ -478,15 +479,30 @@ object Dedup {
       shiftright(col("mask"), 2 * j).bitwiseAND(lit(3L)) === lit(3L)).reduce(_ || _)
     val c4 = (0 until 4).map(j =>
       shiftright(col("mask"), 4 * j).bitwiseAND(lit(15L)) === lit(15L)).reduce(_ || _)
-    val tagged = mem.select(col("doc_a"), col("doc_b"), c8.as("c8"), c4.as("c4"))
+    val tagged = mem.select(col("doc_a"), col("doc_b"), col("mask"),
+      c8.as("c8"), c4.as("c4"))
     // one exact-Jaccard verify carrying the membership flags (same
     // size-gated attach as verifyJaccard, flags ride along)
     val withA = attachSide(tagged,
       hs.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
-    val scored = attachSide(withA,
+    attachSide(withA,
       hs.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
-      .select(col("c8"), col("c4"),
+      .select(col("doc_a"), col("doc_b"), col("mask"), col("c8"), col("c4"),
         NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
+  }
+
+  def dedupMinhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashSweepScored(s, dir)
+
+  def dedupMinhashSweep(s: SparkSession, dir: String): DataFrame = {
+    // snapshot-and-free (the clustersFromPairs pattern): the result is
+    // a driver-local Seq with no lineage into the checkpoints below,
+    // so every block this call persists is freed before returning —
+    // leaking them taxed later bench passes by 3× (Dataset.unpersist
+    // is a CacheManager no-op for checkpoint-backed frames; the RDDs
+    // must be freed through getPersistentRDDs).
+    val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
+    val scored = minhashSweepScored(s, dir)
     val dup = col("jaccard") >= 0.7
     val agg = scored.agg(
       count(lit(1)).as("n16"),
@@ -638,6 +654,57 @@ object Dedup {
       |    / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE)) >= 0.7 AS is_dup
       |FROM p JOIN g a ON p.doc_a = a.doc_id JOIN g b ON p.doc_b = b.doc_id""".stripMargin
 
+  /** Value oracle over the emitted sweep pair table: jaccard
+    * recomputed from RAW TEXT per pair (the dedup_minhash
+    * equivalence), c8/c4 recomputed from the emitted base-band mask
+    * by the same bit arithmetic (adjacent-bit-pair / aligned-nibble
+    * tests) — only the mask itself stays kernel-derived (seeded
+    * banding is not SQL-expressible). */
+  val dedupMinhashBandsSql: String = {
+    val c8 = (0 until 8).map(j => s"((mask >> ${2 * j}) & 3) = 3")
+      .mkString("(", " OR ", ")")
+    val c4 = (0 until 4).map(j => s"((mask >> ${4 * j}) & 15) = 15")
+      .mkString("(", " OR ", ")")
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ts
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_a, doc_b, mask
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_minhash_bands/*.parquet')
+      |)
+      |SELECT p.doc_a, p.doc_b, p.mask, $c8 AS c8, $c4 AS c4,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE) AS jaccard
+      |FROM p JOIN g a ON p.doc_a = a.doc_id JOIN g b ON p.doc_b = b.doc_id""".stripMargin
+  }
+
+  /** Every cell of the banding S-curve grid re-aggregated by DuckDB
+    * from the value-oracled sweep pair dump — counts, dup counts and
+    * precision all recomputed cross-engine. */
+  val dedupMinhashSweepSql: String = {
+    def cell(bands: Int, rows: Int, cond: String) =
+      s"""SELECT $bands AS bands, $rows AS rows_per_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(COALESCE(SUM(CASE WHEN dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dups
+        |FROM b WHERE $cond""".stripMargin
+    s"""WITH b AS (
+      |  SELECT c8, c4, jaccard >= 0.7 AS dup
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_minhash_bands/*.parquet')
+      |), cells AS (
+      |${cell(16, 8, "TRUE")}
+      |UNION ALL
+      |${cell(8, 16, "c8")}
+      |UNION ALL
+      |${cell(4, 32, "c4")}
+      |)
+      |SELECT bands, rows_per_band, n_candidates, n_dups,
+      |  CASE WHEN n_candidates = 0 THEN 1.0
+      |       ELSE CAST(n_dups AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+      |  END AS "precision"
+      |FROM cells""".stripMargin
+  }
+
   /** Value oracle over the emitted simhash pairs: hamming and the
     * threshold recomputed by DuckDB from the emitted 64-bit
     * signatures (XOR + popcount — engine-independent arithmetic). */
@@ -724,6 +791,7 @@ object Dedup {
     "dedup_restore" -> (dedupRestore _),
     "chunk_compress" -> (chunkCompress _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_bands" -> (dedupMinhashBands _),
     "dedup_minhash_sweep" -> (dedupMinhashSweep _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -741,6 +809,8 @@ object Dedup {
     "dedup_chunk_check" -> dedupChunkCheckSql,
     "dedup_restore" -> dedupRestoreSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_minhash_bands" -> dedupMinhashBandsSql,
+    "dedup_minhash_sweep" -> dedupMinhashSweepSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)

@@ -684,19 +684,32 @@ object Similarity {
     * at ~1/3 the work (the prior formulation recomputed the full
     * bucket join + sketch phase per depth; a differential spec pins
     * the outputs equal). */
-  def annDepthSweep(s: SparkSession, dir: String): DataFrame = {
+  /** The sweep's per-depth top-K pick table, exposed as the
+    * `ann_depth_picks` entry: carrying cos + within-(depth,query)
+    * rank makes it value-oracle-able exactly like every other ANN
+    * variant (cos recomputed from raw vectors, rank re-derived), and
+    * its dump is what lets ann_depth_sweep's recall arithmetic be
+    * recomputed cross-engine against the ann_bruteforce dump. */
+  private def depthPicks(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = queriesDf(e)
-    val nq = q.count()
     val perDepth = lshScored(e, q, overFetch = SweepDepths.max)
       .withColumn("over_fetch", explode(typedLit(SweepDepths)))
       .filter(col("phase1_rank") <= col("over_fetch"))
     val wCos = Window.partitionBy("over_fetch", "query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    val approx = perDepth
+    perDepth
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= TopK)
-      .select("over_fetch", "query_id", "vec_id")
+      .select("over_fetch", "query_id", "vec_id", "cos", "rank")
+  }
+
+  def annDepthPicks(s: SparkSession, dir: String): DataFrame =
+    depthPicks(s, dir)
+
+  def annDepthSweep(s: SparkSession, dir: String): DataFrame = {
+    val nq = queriesDf(emb(s, dir)).count()
+    val approx = depthPicks(s, dir).select("over_fetch", "query_id", "vec_id")
     val exact = annBruteforce(s, dir)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     approx.join(exact, Seq("query_id", "vec_id"), "left")
@@ -767,6 +780,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
+    "ann_depth_picks" -> (annDepthPicks _),
     "ann_depth_sweep" -> (annDepthSweep _),
     "ann_pq" -> (annPq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
@@ -826,6 +840,41 @@ object Similarity {
     * sets are all in the verify dump (each value-oracled in its own
     * right), so the hit counting and recall arithmetic are recomputed
     * cross-engine. */
+  /** Value oracle for the per-depth pick table: cos recomputed from
+    * raw vectors, rank re-derived within (over_fetch, query_id) —
+    * the annValueSql contract extended by the depth key. */
+  val annDepthPicksSql: String =
+    """WITH p AS (SELECT over_fetch, query_id, vec_id
+      |  FROM read_parquet('{VERIFY_OUT}/ann_depth_picks/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT p.over_fetch, p.query_id, p.vec_id,
+      |    list_cosine_similarity(q.v, c.v) AS cos
+      |  FROM p JOIN e q ON p.query_id = q.vec_id JOIN e c ON p.vec_id = c.vec_id)
+      |SELECT over_fetch, query_id, vec_id, cos,
+      |  CAST(row_number() OVER (PARTITION BY over_fetch, query_id
+      |    ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |FROM scored""".stripMargin
+
+  /** The depth-sweep recall curve recomputed by DuckDB from the two
+    * value-oracled dumps (per-depth picks vs the exact baseline) —
+    * hit counting and the recall arithmetic cross-engine, same
+    * contract as annRecallSql. */
+  val annDepthSweepSql: String =
+    s"""WITH ex AS (SELECT query_id, vec_id
+       |  FROM read_parquet('{VERIFY_OUT}/ann_bruteforce/*.parquet')),
+       |p AS (SELECT over_fetch, query_id, vec_id
+       |  FROM read_parquet('{VERIFY_OUT}/ann_depth_picks/*.parquet')),
+       |nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM ex)
+       |SELECT p.over_fetch, nq.n AS n_queries,
+       |  CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(nq.n * $TopK AS DOUBLE) AS mean_recall
+       |FROM p
+       |LEFT JOIN ex ON p.query_id = ex.query_id AND p.vec_id = ex.vec_id
+       |CROSS JOIN nq
+       |GROUP BY p.over_fetch, nq.n
+       |ORDER BY p.over_fetch""".stripMargin
+
   val annRecallSql: String =
     s"""WITH ex AS (SELECT query_id, vec_id
        |  FROM read_parquet('{VERIFY_OUT}/ann_bruteforce/*.parquet')),
@@ -846,6 +895,8 @@ object Similarity {
     "ferret_emd" -> ferretEmdSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_depth_picks" -> annDepthPicksSql,
+    "ann_depth_sweep" -> annDepthSweepSql,
     "ann_lsh" -> annValueSql("ann_lsh"),
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
