@@ -91,6 +91,40 @@ object Chunker {
     total
   }
 
+  /** Deflate-compressed BYTES of a range (same codec/level as
+    * [[deflatedLen]]) — for consumers that write a real archive
+    * (RefCompare's head-to-head vs the reference binary), not just
+    * account for the size. */
+  def deflate(bytes: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(bytes, off, len)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, len / 2))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Inverse of [[deflate]] — the archive restore path. */
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      // a call can return 0 AND finish (empty payload: header+trailer
+      // consumed in one step) — only 0-progress while still unfinished
+      // and starved of input means truncation
+      if (n == 0 && !inf.finished() && inf.needsInput())
+        throw new IllegalStateException("inflate: truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
   /** Gzip-framed size (10-byte header + deflate stream + 8-byte
     * trailer), via a counting sink — no payload buffering. */
   def gzipLen(bytes: Array[Byte], off: Int, len: Int): Int = {

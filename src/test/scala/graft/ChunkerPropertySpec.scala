@@ -80,6 +80,22 @@ class ChunkerPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("deflate bytes round-trip through inflate; length matches deflatedLen") {
+    cases.foreach { bytes =>
+      // interior slice exercises the (off, len) addressing
+      val off = math.min(1, bytes.length)
+      val len = math.max(0, bytes.length - off)
+      val comp = Chunker.deflate(bytes, off, len)
+      assert(comp.length == Chunker.deflatedLen(bytes, off, len))
+      assert(Chunker.inflate(comp).toSeq == bytes.slice(off, off + len).toSeq)
+    }
+    // truncated stream fails loudly, not silently short
+    val comp = Chunker.deflate("hello hello hello".getBytes, 0, 17)
+    intercept[IllegalStateException] {
+      Chunker.inflate(comp.dropRight(3))
+    }
+  }
+
   test("bzip2 length equals an independently framed commons-compress stream") {
     cases.filter(_.nonEmpty).foreach { bytes =>
       val buf = new java.io.ByteArrayOutputStream()
