@@ -44,8 +44,14 @@ object Sessions {
     spark
   }
 
-  /** Common case: local[cpus] with cpus from the env contract. */
-  def contractLocal(appName: String, defaultCpus: String = "4"): SparkSession = {
+  /** Common case: local[cpus] with cpus from the env contract.
+    * Default 32 = the DRIVER's bench setting (BENCH_rN.json cpus: 32):
+    * an un-enved local run must measure the same configuration the
+    * round artifact does, or local numbers are 4-core phantoms — a
+    * 74.7 s "full bench" this round turned out to be local[4] with 4
+    * shuffle partitions, and a scale smoke OOM'd purely from the
+    * 4-partition aggregate granularity. */
+  def contractLocal(appName: String, defaultCpus: String = "32"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     contract(s"local[$cpus]", cpus, appName)
   }
