@@ -34,6 +34,40 @@ object Bench {
       }
     }
 
+    // ---- machine-contention telemetry (round 9: a 24 s-vs-11 s
+    // timing dispute was unadjudicable from the artifact alone) ----
+    // Per measured pass, sample 1-min load average and whole-machine
+    // CPU jiffies (/proc/stat) plus THIS JVM's process CPU time; the
+    // difference is CPU-seconds other processes burned during the
+    // pass. other_cpu ≈ 0 → the number is ours; other_cpu large →
+    // the environment was loud and the spread says so.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def machineBusyJiffies(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        f.sum - f(3) - f.lift(4).getOrElse(0L) // total - idle - iowait
+      } catch { case _: Throwable => -1L }
+    def processCpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+        case _ => -1L
+      }
+    val jiffyHz = 100.0 // kernel USER_HZ as exposed via /proc/stat
+    case class PassEnv(load: Double, ourCpuSec: Double, otherCpuSec: Double)
+    def measured(thunk: => Either[String, Double]): (Either[String, Double], PassEnv) = {
+      val l0 = loadAvg(); val m0 = machineBusyJiffies(); val p0 = processCpuNanos()
+      val r = thunk
+      val m1 = machineBusyJiffies(); val p1 = processCpuNanos()
+      val ours = if (p0 < 0 || p1 < 0) -1.0 else (p1 - p0) / 1e9
+      val machine = if (m0 < 0 || m1 < 0) -1.0 else (m1 - m0) / jiffyHz
+      val other = if (ours < 0 || machine < 0) -1.0 else math.max(0.0, machine - ours)
+      (r, PassEnv(l0, ours, other))
+    }
+
     // Self-measuring streaming HARNESSES report their own items/s and
     // latency percentiles internally; their wall-clock is dominated by
     // fixed micro-batch machinery, so repeating them buys no precision
@@ -69,12 +103,15 @@ object Bench {
       // checkpoints leaks its blocks into its own later passes (med
       // consistently above min on the checkpoint-heavy queries);
       // freeing happens OUTSIDE the timed section
-      val runs = (1 to nPasses).map { _ => freeBlocks(); once(fn, sfDir) }
-      val oks = runs.collect { case Right(t) => t }
-      val errs = runs.collect { case Left(m) => m }
+      val runs = (1 to nPasses).map { _ =>
+        freeBlocks(); measured(once(fn, sfDir))
+      }
+      val oks = runs.collect { case (Right(t), _) => t }
+      val errs = runs.collect { case (Left(m), _) => m }
+      val envs = runs.map(_._2)
       val median = if (oks.isEmpty) None
         else Some(oks.sorted.apply((oks.size - 1) / 2))
-      (name, median, errs.headOption.filter(_ => oks.isEmpty), oks)
+      (name, median, errs.headOption.filter(_ => oks.isEmpty), oks, envs)
     }
 
     def jstr(s: String): String =
@@ -83,15 +120,19 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.collect { case (n, Some(t), _, _) => n -> t }
-    val failed = results.collect { case (n, None, err, _) => n -> err.getOrElse("unknown") }
+    val ok = results.collect { case (n, Some(t), _, _, _) => n -> t }
+    val failed = results.collect { case (n, None, err, _, _) => n -> err.getOrElse("unknown") }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     // per-pass spread, so round-over-round variance is self-documenting
     // (a regressed median with a tight spread is code; with a wide
     // spread it's the environment)
-    val spread = results.collect { case (n, Some(t), _, oks) =>
-      jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max}}"""
+    def r2(d: Double): Double = math.round(d * 100) / 100.0
+    val spread = results.collect { case (n, Some(t), _, oks, envs) =>
+      val env = envs.map(e =>
+        s"""{"load":${r2(e.load)},"our_cpu":${r2(e.ourCpuSec)},"other_cpu":${r2(e.otherCpuSec)}}""")
+        .mkString("[", ",", "]")
+      jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max},"env":$env}"""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
 

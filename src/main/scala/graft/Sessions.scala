@@ -37,6 +37,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // Tables.events must read either generator vintage of
+      // events.parquet: TIMESTAMP(NANOS) (needs this legacy flag to
+      // load as INT64 nanos) or plain TIMESTAMP[us] (flag is a
+      // no-op). Set here so loaders stay pure — no conf.set outside
+      // Sessions.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

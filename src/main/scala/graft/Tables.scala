@@ -39,14 +39,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
-    * rejects; read nanos as long and truncate to microseconds — the
-    * same value DuckDB sees for its µs TIMESTAMP, so oracle parity
-    * holds. */
+  /** events.parquet's `ts` column has shipped under three physical
+    * types across testdata regenerations: TIMESTAMP(NANOS) (read as
+    * INT64 nanos via the legacy nanosAsLong conf, set in
+    * Sessions.contract), TIMESTAMP[us], and TIMESTAMP_NTZ. A loader
+    * pinned to any one of them breaks every events consumer the next
+    * time the generator changes — round 9 lost 12 queries and 23
+    * specs to exactly that — so branch on the LOADED schema and
+    * normalize to session-zoned µs TIMESTAMP, the value DuckDB sees
+    * for its µs TIMESTAMP, preserving oracle parity in all cases. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.types._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other; expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -17,6 +17,9 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Mirror Sessions.contract: lets Tables.events read a
+      // TIMESTAMP(NANOS)-vintage events.parquet; no-op on µs vintage.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
