@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Head-to-head throughput harness against the reference's OWN
@@ -12,33 +11,37 @@ import org.apache.spark.sql.functions._
   * the measured wall-clocks side by side.
   *
   * Pipeline here (scale-shaped — nothing corpus-sized ever funnels
-  * through one task or one shuffle of raw bytes):
-  *   1. read the folder via the binaryFile source, spread files
-  *      across the cluster, ONE materialized read feeds both passes;
-  *   2. CDC-chunk every file (the compiled Buzhash kernel; storage
-  *      params min 2 KiB / mask 12 ≈ 4 KiB mean / max 64 KiB — the
-  *      reference's measured mean chunk on this corpus is ~4.2 KB);
-  *   3. global first-occurrence dedup on the 32-byte digests (a
-  *      digest-only shuffle; the reference binary dedups per-FILE
+  * through one task or one shuffle of raw bytes, and the corpus is
+  * scanned in full exactly ONCE):
+  *   1. read the folder with direct java.nio file reads
+  *      (BinaryFiles.readDirDirect — one file per task), fused with:
+  *   2. CDC-chunking (Buzhash skip-ahead kernel by default, the
+  *      reference's Rabin fingerprint via the anchor arg; storage
+  *      params min 2 KiB / mask 12 ≈ 4 KiB mean / max 64 KiB) and
+  *      the refs-table write — stream-order restoration info (the
+  *      Reorder stage's state) plus winner-selection metadata, one
+  *      job, no intermediate materialization;
+  *   3. global first-occurrence dedup on the 20-byte SHA-1 digests
+  *      (a digest-only min-struct hash aggregation over the re-read
+  *      columnar chunk table; the reference binary dedups per-FILE
   *      hashtable, new_dedup.c:996 — our global dedup does STRICTLY
   *      more work and still must win);
-  *   4. deflate each unique chunk once, slicing winner ranges back
-  *      out of the shared file read (winner (offset,len) lists join
-  *      per file — compressed pieces are born in the partition that
-  *      holds the file, never shuffled);
-  *   5. write the archive: a refs table restoring stream order
-  *      (file, chunk_idx, sha) + a pieces table (sha, deflated
-  *      bytes) — jointly the .ddp container's information content.
+  *   4. deflate each winner from a RANGED read of its source file
+  *      (a few % of the corpus — never a second full scan), winners
+  *      locally sorted by (file, offset) so one channel at a time
+  *      reads forward;
+  *   5. write the pieces table (sha, deflated bytes) — refs + pieces
+  *      are jointly the .ddp container's information content.
   *
-  * Methodology: the pipeline runs twice in-process — pass 1 COLD
-  * (includes codegen/classloading, reported separately), pass 2 WARM
-  * (the steady-state number; the reference is AOT-compiled native
-  * code, so its single measured pass is already "warm"). The
-  * reference's own "Time Processing" likewise excludes process
-  * setup. Semantic deltas, all documented in REFBENCH.md: SHA-256
-  * vs SHA1, Buzhash vs Rabin anchors (same mean granularity),
-  * zlib-deflate vs gzip framing, global vs per-file dedup, parquet
-  * archive vs .ddp container.
+  * Methodology: pass 1 COLD (includes codegen/classloading, reported
+  * separately), then N warm passes with the MEDIAN reported (the
+  * reference is AOT-compiled native code, so its measured passes are
+  * all "warm"; its own "Time Processing" likewise excludes process
+  * setup). Semantic deltas, all documented in REFBENCH.md: Buzhash
+  * vs Rabin anchors by default (same mean granularity), zlib-deflate
+  * vs gzip framing, global vs per-file dedup, parquet archive vs
+  * .ddp container. Chunk identity is SHA-1 like the reference
+  * (dedupdef.h); the restore PROOF hashes whole files with SHA-256.
   */
 object RefCompare {
   private val MinSize = 2048
@@ -54,54 +57,130 @@ object RefCompare {
     // semantics, new_dedup.c:996 cache_hash_files per file — the
     // equal-work comparison cell; no cross-file digest shuffle needed)
     val scope = if (args.length > 3) args(3) else "global"
+    // optional anchor algorithm (args 5 = warm reps, args 6 = anchor):
+    // "buzhash" (repo default) or "rabin" (the reference's own
+    // fingerprint, rabin.c — cuts comparable with the binary's .ddp
+    // segmentation)
+    val anchor = if (args.length > 5) args(5) else "buzhash"
     val spark = Sessions.contractLocal("graft-refcompare")
     spark.sparkContext.setLogLevel("ERROR")
+    // harness-local tuning (documented deltas from the contract
+    // session, which optimizes for the oracled analytic queries):
+    // both jobs here have a fixed two-stage shape over known-tiny
+    // shuffles, so AQE's per-stage materialize-and-replan barriers
+    // are pure driver latency; and the v1 output committer renames
+    // every task file serially on the driver at job commit — v2
+    // commits on task completion (local FS, no speculative tasks)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
 
     def onePass(tag: String): Map[String, Double] = {
       val out = s"$outDir/$tag"
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
-      val files = graft.sources.BinaryFiles.readDir(spark, inDir, glob)
-        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
-        .repartition(spark.sparkContext.defaultParallelism, col("file"))
-        .localCheckpoint(true) // one disk read shared by both passes
+      var tPrev = t0
+      def lap(stage: String): Unit = {
+        val now = System.nanoTime()
+        System.err.println(f"[$tag] $stage%-12s ${(now - tPrev) / 1e9}%8.3f s")
+        tPrev = now
+      }
+      // direct java.nio reads — the binaryFile source's Hadoop local
+      // FS layers cost a measured 10× on page-cached reads (see
+      // BinaryFiles.readDirDirect); the C binary reads with plain
+      // fread, so this is the apples-to-apples reader. No
+      // corpus-sized checkpoint either: the OS file cache IS the
+      // shared-read structure between the chunk and compress scans
+      val files = graft.sources.BinaryFiles.readDirDirect(spark, inDir, glob)
       import spark.implicits._
-      val chunkTbl = files.as[(String, Array[Byte])]
+      // ONE fused job: chunk every file (identity = 20-byte binary
+      // SHA-1, the reference Deduplicate stage's own keying,
+      // dedupdef.h SHA1_LEN — half the digest cost of SHA-256 and
+      // 3.2× narrower than hex rows; the restore proof below stays
+      // SHA-256 over whole files) and write the chunk table straight
+      // out as the archive's refs side — stream-order restoration
+      // info (the Reorder stage's state) plus the winner-selection
+      // metadata. Pieces are pre-deflated, so parquet recompression
+      // is pure waste inside the timed window — both tables raw.
+      files.as[(String, Array[Byte])]
         .mapPartitions { it =>
           it.flatMap { case (f, bytes) =>
-            graft.functions.Chunker.chunk(bytes, MinSize, MaxSize, MaskBits)
-              .iterator.map(c => (f, c.chunk_idx, c.offset, c.length, c.chunk_sha))
-          }
-        }
-        .toDF("file", "chunk_idx", "offset", "length", "chunk_sha")
-      val w =
-        if (scope == "file")
-          Window.partitionBy("file", "chunk_sha").orderBy("chunk_idx")
-        else Window.partitionBy("chunk_sha").orderBy("file", "chunk_idx")
-      val tbl = chunkTbl.withColumn("rn", row_number().over(w))
-        .localCheckpoint(true) // feeds refs AND winner selection
-      // refs: stream-order restoration info (the Reorder stage's state)
-      tbl.select("file", "chunk_idx", "chunk_sha")
-        .write.mode("overwrite").parquet(s"$out/refs")
-      // winner ranges per file, sorted by offset (struct sort key)
-      val winners = tbl.filter(col("rn") === 1)
-        .groupBy("file")
-        .agg(sort_array(collect_list(struct(col("offset"), col("length"),
-          col("chunk_sha")))).as("cuts"))
-        .select(col("file"), col("cuts.offset").as("offs"),
-          col("cuts.length").as("lens"), col("cuts.chunk_sha").as("shas"))
-      // compress each unique chunk in the partition that holds its file
-      files.join(winners, "file")
-        .select(col("content"), col("offs"), col("lens"), col("shas"))
-        .as[(Array[Byte], Seq[Int], Seq[Int], Seq[String])]
-        .mapPartitions { it =>
-          it.flatMap { case (bytes, offs, lens, shas) =>
-            offs.indices.iterator.map { i =>
-              (shas(i), graft.functions.Chunker.deflate(bytes, offs(i), lens(i)))
+            val cuts = graft.functions.Chunker.boundaries(bytes, MinSize, MaxSize, MaskBits, anchor)
+            var start = 0
+            cuts.iterator.zipWithIndex.map { case (end, idx) =>
+              val off = start
+              start = end
+              (f, idx, off, end - off,
+                graft.functions.Chunker.digest(bytes, off, end - off, "SHA-1"))
             }
           }
         }
+        .toDF("file", "chunk_idx", "offset", "length", "chunk_sha")
+        .write.mode("overwrite").option("compression", "none").parquet(s"$out/refs")
+      lap("chunk+refs")
+      // winner selection reads the just-written (small, columnar)
+      // chunk table back, never the corpus
+      val chunkTbl = spark.read.parquet(s"$out/refs")
+      // first-occurrence winner per digest: a hash aggregation with
+      // map-side partial min (r9 used row_number over a global sort
+      // window — a full sort shuffle for an argmin)
+      val winRows =
+        if (scope == "file")
+          chunkTbl.groupBy("file", "chunk_sha")
+            .agg(min(struct(col("chunk_idx"), col("offset"), col("length"))).as("w"))
+            .select(col("file"), col("w.offset").as("offset"),
+              col("w.length").as("length"), col("chunk_sha"))
+        else
+          chunkTbl.groupBy("chunk_sha")
+            .agg(min(struct(col("file"), col("chunk_idx"), col("offset"),
+              col("length"))).as("w"))
+            .select(col("w.file").as("file"), col("w.offset").as("offset"),
+              col("w.length").as("length"), col("chunk_sha"))
+      // compress each unique chunk from a RANGE read of its file —
+      // the winner set is a few % of the corpus, so re-scanning every
+      // file's full content here (r9 did, via a join back to the
+      // binaryFile read) pays 50× the IO this stage needs. A local
+      // sort (no shuffle) orders each partition's winners by
+      // (file, offset): one open file channel at a time, reads
+      // sequential-forward; on an object store this is the
+      // ranged-GET pattern.
+      winRows
+        .sortWithinPartitions("file", "offset")
+        .select(col("file"), col("offset"), col("length"), col("chunk_sha"))
+        .as[(String, Int, Int, Array[Byte])]
+        .mapPartitions { it =>
+          var curFile: String = null
+          var ch: java.nio.channels.FileChannel = null
+          def switchTo(f: String): Unit = {
+            if (ch != null) ch.close()
+            ch = java.nio.channels.FileChannel.open(
+              java.nio.file.Paths.get(s"$inDir/$f"))
+            curFile = f
+          }
+          val mapped = it.map { case (f, off, len, sha) =>
+            if (f != curFile) switchTo(f)
+            val buf = java.nio.ByteBuffer.allocate(len)
+            var pos = off.toLong
+            while (buf.hasRemaining) {
+              val n = ch.read(buf, pos)
+              if (n < 0) throw new java.io.EOFException(
+                s"$f truncated at $pos (want $len @ $off)")
+              pos += n
+            }
+            (sha, graft.functions.Chunker.deflate(buf.array(), 0, len))
+          }
+          new Iterator[(Array[Byte], Array[Byte])] {
+            def hasNext: Boolean = {
+              val h = mapped.hasNext
+              if (!h && ch != null) { ch.close(); ch = null }
+              h
+            }
+            def next(): (Array[Byte], Array[Byte]) = mapped.next()
+          }
+        }
         .toDF("chunk_sha", "piece")
-        .write.mode("overwrite").parquet(s"$out/pieces")
+        .write.mode("overwrite").option("compression", "none").parquet(s"$out/pieces")
+      lap("pieces_write")
       val wall = (System.nanoTime() - t0) / 1e9
       // accounting AFTER the clock stops (the reference also reports
       // its stats after Time Processing)
@@ -110,10 +189,14 @@ object RefCompare {
       val nChunks = refs.count().toDouble
       val nUnique = pieces.count().toDouble
       val outBytes = pieces.agg(sum(length(col("piece")))).collect().head.getLong(0).toDouble
-      val inBytes = files.as[(String, Array[Byte])]
-        .map(_._2.length.toLong).reduce(_ + _).toDouble
-      files.unpersist(true): Unit
-      tbl.unpersist(true): Unit
+      val inBytes = graft.sources.BinaryFiles.readDir(spark, inDir, glob)
+        .agg(sum(col("length"))).collect().head.getLong(0).toDouble
+      // checkpoint-backed frames are invisible to CacheManager —
+      // free the pass's blocks through the RDD registry (the
+      // clustersFromPairs pattern)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
       Map("wall_sec" -> wall, "in_mb" -> inBytes / 1048576,
         "out_mb" -> outBytes / 1048576, "n_chunks" -> nChunks,
         "n_unique" -> nUnique,
@@ -122,7 +205,13 @@ object RefCompare {
     }
 
     val cold = onePass("cold")
-    val warm = onePass("warm")
+    // several warm passes, report the median — single-pass warm
+    // numbers on a shared box swing ±50% (r9's contention dispute);
+    // every pass overwrites the same archive dir, so the restore
+    // check below always verifies the last one
+    val nWarm = if (args.length > 4) args(4).toInt else 3
+    val warms = (1 to nWarm).map(_ => onePass("warm"))
+    val warm = warms.sortBy(_("wall_sec")).apply(nWarm / 2)
 
     // Restore verification (outside the timed region): the archive is
     // REAL — refs + inflated pieces reassemble every input file
@@ -131,7 +220,13 @@ object RefCompare {
     val nBad = {
       import spark.implicits._
       val refs = spark.read.parquet(s"$outDir/warm/refs")
+      // per-file scope stores one piece per (file, sha); a sha's
+      // bytes are identical wherever it occurs, so restore joins one
+      // representative piece per sha — without this, the sha-only
+      // join fans every ref out to every file's copy (~80× row blowup
+      // with KB-sized binaries attached)
       val pieces = spark.read.parquet(s"$outDir/warm/pieces")
+        .dropDuplicates("chunk_sha")
       val restored = refs.join(pieces, "chunk_sha")
         .groupBy("file")
         .agg(sort_array(collect_list(struct(col("chunk_idx"), col("piece")))).as("ps"))
@@ -143,9 +238,8 @@ object RefCompare {
           (f, md.digest().map("%02x".format(_)).mkString)
         }
         .toDF("file", "sha_restored")
-      val orig = graft.sources.BinaryFiles.readDir(spark, inDir, glob)
-        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
-          sha2(col("content"), 256).as("sha_orig"))
+      val orig = graft.sources.BinaryFiles.readDirDirect(spark, inDir, glob)
+        .select(col("file"), sha2(col("content"), 256).as("sha_orig"))
       orig.join(restored, "file")
         .filter(col("sha_orig") =!= col("sha_restored")).count() +
         orig.join(restored, Seq("file"), "left_anti").count()
@@ -153,7 +247,7 @@ object RefCompare {
     def j(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
         .mkString("{", ",", "}")
-    println(s"""{"harness":"ref_compare","in_dir":"$inDir","scope":"$scope","cores":${spark.sparkContext.defaultParallelism},"restore_mismatches":$nBad,"cold":${j(cold)},"warm":${j(warm)}}""")
+    println(s"""{"harness":"ref_compare","in_dir":"$inDir","scope":"$scope","anchor":"$anchor","cores":${spark.sparkContext.defaultParallelism},"restore_mismatches":$nBad,"cold":${j(cold)},"warm":${j(warm)}}""")
     spark.stop()
   }
 }

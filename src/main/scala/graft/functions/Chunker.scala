@@ -32,6 +32,156 @@ object Chunker {
   private val Window = 16
   private def rotl(x: Long, n: Int): Long = java.lang.Long.rotateLeft(x, n)
 
+  /** Chunk cut positions (exclusive end offsets) for `bytes`.
+    *
+    * The boundary rule is the classic CDC contract: a cut fires at the
+    * first position where the chunk is ≥ `minSize` bytes AND the low
+    * `maskBits` bits of the rolling hash over the trailing 16-byte
+    * window are all ones, or unconditionally at `maxSize`. After each
+    * cut the window restarts from the cut.
+    *
+    * Because the hash at a position ≥ `Window` bytes into a chunk
+    * depends only on the trailing `Window` bytes, and no boundary is
+    * tested before `minSize`, the loop skips straight to
+    * `minSize - Window` bytes past each cut and warms the window from
+    * there — identical cuts, ~`(minSize-Window)/meanChunk` of the
+    * hashing work saved (half, at the storage params min 2 KiB /
+    * mean 4 KiB). When `minSize ≤ Window` it degrades to rolling from
+    * the chunk start, which is the same computation unskipped.
+    */
+  def boundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                 maskBits: Int): Array[Int] = {
+    val mask = (1L << maskBits) - 1
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var start = 0
+    while (start < n) {
+      // forced cut / tail (overflow-safe for maxSize near Int.MaxValue)
+      val hardEnd = if (maxSize >= n - start) n else start + maxSize
+      val iFirst = start + minSize - 1           // earliest testable cut
+      var cut = hardEnd
+      if (iFirst < hardEnd) {
+        val j0 = math.max(start, iFirst - Window + 1)
+        var h = 0L
+        var i = j0
+        var found = false
+        while (i < hardEnd && !found) {
+          h = rotl(h, 1) ^ T(bytes(i) & 0xff)
+          if (i - j0 >= Window) h ^= rotl(T(bytes(i - Window) & 0xff), Window)
+          if (i >= iFirst && (h & mask) == mask) { cut = i + 1; found = true }
+          i += 1
+        }
+      }
+      out += cut
+      start = cut
+    }
+    out.result()
+  }
+
+  // ---- Rabin polynomial anchors (the reference's own fingerprint) ----
+  //
+  // rabin.c:45 rabininit/rabinseg semantics (Plan 9-derived public
+  // code): a 32-bit GF(2) polynomial rolling fingerprint over a
+  // 32-byte window — h' = (h·x^8 + b) mod m with the overflowing top
+  // byte folded through a 256-entry reduction table, m the monic
+  // degree-32 polynomial x^32 ⊕ RabinIrr — boundary where
+  // (h & mask) == 0, fresh h per chunk. Differences from Buzhash:
+  // polynomial arithmetic vs rotate-XOR, ==0 anchor vs ==mask, and
+  // the reference's constants, so boundaries can be compared
+  // head-to-head with the binary's .ddp segmentation.
+  private[graft] val RabinIrr = 0x45c2b6a1
+  private[graft] val RabinWindow = 32
+
+  /** tab(b) = b·x^32 mod m — folds the byte shifted out of the top. */
+  private[graft] val rabinTab: Array[Int] = Array.tabulate(256) { b =>
+    var v = b
+    var i = 0
+    while (i < 32) {
+      v = if ((v >>> 31) != 0) (v << 1) ^ RabinIrr else v << 1
+      i += 1
+    }
+    v
+  }
+
+  /** winTab(b) = b·x^(8·RabinWindow) mod m — removes the byte leaving
+    * the window (it was multiplied by x^8 at each of the Window
+    * iterations since it entered). */
+  private[graft] val rabinWinTab: Array[Int] = Array.tabulate(256) { b =>
+    var h = ((0 << 8) | b) ^ rabinTab(0)
+    var i = 1
+    while (i < RabinWindow) {
+      h = (h << 8) ^ rabinTab(h >>> 24)
+      i += 1
+    }
+    h
+  }
+
+  /** Iterated fingerprint of a whole array from a fresh state —
+    * exposed for the GF(2) long-division oracle in the spec. */
+  private[graft] def rabinFp(bytes: Array[Byte]): Int = {
+    var h = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = ((h << 8) | (bytes(i) & 0xff)) ^ rabinTab(h >>> 24)
+      i += 1
+    }
+    h
+  }
+
+  /** Rabin-anchored cut positions under the same (min, max, maskBits)
+    * knobs as [[boundaries]]. With minSize ≤ 32 and a large maxSize
+    * this reproduces iterated rabinseg exactly (rabin.c:71: no test
+    * before the 32-byte window fills — the effective minimum chunk);
+    * the same skip-ahead applies since the fingerprint depends only
+    * on the trailing 32 bytes. */
+  def rabinBoundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                      maskBits: Int): Array[Int] = {
+    val mask = (1 << maskBits) - 1
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var start = 0
+    while (start < n) {
+      val hardEnd = if (maxSize >= n - start) n else start + maxSize
+      val eFirst = start + math.max(minSize, RabinWindow) // earliest cut end
+      var cut = hardEnd
+      if (eFirst < hardEnd) { // a test position exists before the forced cut
+        var h = 0
+        var k = eFirst - RabinWindow
+        while (k < eFirst) { // fill the initial window
+          h = ((h << 8) | (bytes(k) & 0xff)) ^ rabinTab(h >>> 24)
+          k += 1
+        }
+        if ((h & mask) == 0) cut = eFirst
+        else {
+          var i = eFirst
+          var found = false
+          while (i < hardEnd && !found) {
+            h ^= rabinWinTab(bytes(i - RabinWindow) & 0xff)
+            val x = h >>> 24
+            h = ((h << 8) | (bytes(i) & 0xff)) ^ rabinTab(x)
+            i += 1
+            if ((h & mask) == 0) { cut = i; found = true }
+          }
+        }
+      }
+      out += cut
+      start = cut
+    }
+    out.result()
+  }
+
+  /** Anchor menu: `buzhash` (repo default) or `rabin` (the
+    * reference's fingerprint, for boundary-level comparability). */
+  val Anchors: Set[String] = Set("buzhash", "rabin")
+
+  def boundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                 maskBits: Int, anchor: String): Array[Int] = anchor match {
+    case "buzhash" => boundaries(bytes, minSize, maxSize, maskBits)
+    case "rabin"   => rabinBoundaries(bytes, minSize, maxSize, maskBits)
+    case a => throw new IllegalArgumentException(
+      s"unknown anchor '$a' (expected one of ${Anchors.mkString("/")})")
+  }
+
   /** Cut `bytes` into content-defined chunks.
     *
     * @param minSize  no boundary before this many bytes in a chunk
@@ -41,28 +191,15 @@ object Chunker {
     */
   def chunk(bytes: Array[Byte], minSize: Int = 32, maxSize: Int = 256,
             maskBits: Int = 6): Seq[Chunk] = {
-    val mask = (1L << maskBits) - 1
+    val cuts = boundaries(bytes, minSize, maxSize, maskBits)
     val out = Vector.newBuilder[Chunk]
     var start = 0
     var idx = 0
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      val in = bytes(i) & 0xff
-      h = rotl(h, 1) ^ T(in)
-      if (i - start >= Window) {
-        val outByte = bytes(i - Window) & 0xff
-        h ^= rotl(T(outByte), Window)
-      }
-      val len = i - start + 1
-      if ((len >= minSize && (h & mask) == mask) || len >= maxSize) {
-        out += mkChunk(bytes, idx, start, len)
-        idx += 1; start = i + 1; h = 0L
-      }
-      i += 1
+    while (idx < cuts.length) {
+      val end = cuts(idx)
+      out += mkChunk(bytes, idx, start, end - start)
+      start = end; idx += 1
     }
-    if (start < bytes.length)
-      out += mkChunk(bytes, idx, start, bytes.length - start)
     out.result()
   }
 
@@ -72,11 +209,35 @@ object Chunker {
   private def mkChunk(bytes: Array[Byte], idx: Int, off: Int, len: Int): Chunk =
     Chunk(idx, off, len, sha256Hex(bytes, off, len))
 
-  def sha256Hex(bytes: Array[Byte], off: Int, len: Int): String = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update(bytes, off, len)
-    md.digest().map("%02x".format(_)).mkString
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest — table lookup, not per-byte
+    * String.format (which costs ~2 µs/byte and dominated the r9
+    * chunk-identity path at 5M+ formats per RefCompare pass). */
+  def hex(bytes: Array[Byte]): String = {
+    val cs = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      cs(2 * i) = HexDigits(b >>> 4)
+      cs(2 * i + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(cs)
   }
+
+  /** Raw digest bytes of a range under `algo` (e.g. "SHA-1",
+    * "SHA-256"). The 20-byte SHA-1 identity is what the reference's
+    * Deduplicate stage keys on (dedupdef.h); binary digests keep the
+    * shuffle/archive rows 3.2× narrower than hex strings. */
+  def digest(bytes: Array[Byte], off: Int, len: Int, algo: String): Array[Byte] = {
+    val md = MessageDigest.getInstance(algo)
+    md.update(bytes, off, len)
+    md.digest()
+  }
+
+  def sha256Hex(bytes: Array[Byte], off: Int, len: Int): String =
+    hex(digest(bytes, off, len, "SHA-256"))
 
   /** Deflate-compressed size of a byte range (level 6, zlib-wrapped —
     * mirrors the reference's per-chunk gzip of unique chunks). */

@@ -23,6 +23,38 @@ object BinaryFiles {
       .option("pathGlobFilter", glob)
       .load(path)
 
+  /** Local-filesystem fast path: one row (file, content) per file,
+    * read with plain java.nio instead of the `binaryFile` source.
+    * Hadoop's LocalFileSystem streams every byte through checksum +
+    * small-buffer layers — measured 2.5–5 s to scan a page-cached
+    * 683 MB folder on 32 cores where direct reads take 0.1–0.4 s — a
+    * 10× tax no distributed concern justifies on a local disk. The
+    * head-to-head harness (RefCompare) uses this; on a real cluster
+    * against HDFS/S3 the `binaryFile` source above is the right
+    * reader (distributed listing, locality, credentials).
+    *
+    * Listing happens on the driver (one entry per FILE — path
+    * strings only, not content; fine for any folder a single
+    * directory listing can hold); content is read inside tasks. */
+  def readDirDirect(spark: SparkSession, path: String, glob: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val matcher = dir.getFileSystem.getPathMatcher(s"glob:$glob")
+    val paths = Files.list(dir).iterator().asScala
+      .filter(p => matcher.matches(p.getFileName))
+      .map(_.toString).toArray.sorted
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism))
+    import spark.implicits._
+    spark.sparkContext.parallelize(paths.toIndexedSeq, slices)
+      .map { p =>
+        val q = Paths.get(p)
+        (q.getFileName.toString, Files.readAllBytes(q))
+      }
+      .toDF("file", "content")
+  }
+
   /** The per-file CDC chunk table every accounting below derives from:
     * one Buzhash+SHA-256 pass over every file's bytes. Emitted as its
     * own driver-contract dump (`file_chunks`) so the file_dedup
