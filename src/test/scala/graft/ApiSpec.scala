@@ -42,6 +42,32 @@ class ApiSpec extends SparkSpec {
     assert(cl > 0 && cl < 200)
   }
 
+  test("readDirDirect matches the binaryFile source row-for-row and honors the glob") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_direct").toFile
+    try {
+      val rng = new scala.util.Random(7L)
+      for (i <- 0 until 5) {
+        val bytes = new Array[Byte](1000 + i * 333)
+        rng.nextBytes(bytes)
+        java.nio.file.Files.write(tmp.toPath.resolve(f"d$i%02d.bin"), bytes)
+      }
+      java.nio.file.Files.write(tmp.toPath.resolve("skip.txt"), Array[Byte](1, 2))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("file"), sha2(col("content"), 256).as("sha"),
+            org.apache.spark.sql.functions.length(col("content")).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      val direct = canon(BinaryFiles.readDirDirect(spark, tmp.toString, "*.bin"))
+      val hadoop = canon(BinaryFiles.readDir(spark, tmp.toString, "*.bin")
+        .select(org.apache.spark.sql.functions
+          .regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content")))
+      assert(direct == hadoop)
+      assert(direct.map(_._1) == (0 until 5).map(i => f"d$i%02d.bin"))
+    } finally {
+      graft.streaming.StreamingPipelines.deleteRecursively(tmp)
+    }
+  }
+
   test("binaryFile source: file_dedup accounts every test file") {
     val res = BinaryFiles.fileDedup(spark, sfDir).collect()
     assert(res.length == 10) // one row per table file
