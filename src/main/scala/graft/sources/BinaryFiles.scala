@@ -41,9 +41,12 @@ object BinaryFiles {
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
     val matcher = dir.getFileSystem.getPathMatcher(s"glob:$glob")
-    val paths = Files.list(dir).iterator().asScala
-      .filter(p => matcher.matches(p.getFileName))
-      .map(_.toString).toArray.sorted
+    val listing = Files.list(dir)
+    val paths =
+      try listing.iterator().asScala
+        .filter(p => matcher.matches(p.getFileName))
+        .map(_.toString).toArray.sorted
+      finally listing.close()
     val slices = math.max(1, math.min(paths.length,
       spark.sparkContext.defaultParallelism))
     import spark.implicits._
