@@ -351,6 +351,111 @@ object Curation {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
       |) WHERE cos >= 0.4""".stripMargin
 
+  // ---- dedup_semantic: SemDeDup (centroid-blocked embedding dedup) -----
+  /** Semantic dedup, the SemDeDup shape (Abbas et al. 2023, public):
+    * k-means cells block the candidate space (no global pairwise —
+    * within-cell only; at corpus scale K grows with N so cell size
+    * stays bounded, the paper's own deployment), cosine ≥
+    * [[SemDupThreshold]] marks semantic duplicates, duplicate
+    * clusters are connected components over those pairs (the shared
+    * [[clustersFromPairs]] propagation), and each cluster keeps the
+    * member FARTHEST from its centroid (lowest centroid cosine — the
+    * paper's keep-low-similarity rule; ties → lowest vec_id).
+    *
+    * The cells are [[Similarity.cellAssignments]]'s — the same
+    * deterministic k-means the IVF index uses, so "semantic
+    * neighborhood" means the same thing across the ANN and dedup
+    * families.
+    *
+    * Output: one row per within-cell candidate pair at cosine ≥
+    * [[SemCandFloor]], with the pair cosine, the dup flag, both
+    * members' centroid cosines, and both keep decisions. The DuckDB
+    * oracle recomputes the cosines and dup flags from the raw
+    * vectors, rebuilds the clusters by recursive-CTE closure over
+    * the recomputed dup pairs, and re-derives every keep flag from
+    * the emitted centroid cosines — the full decision chain is
+    * cross-engine-verified (cell membership and cc values are
+    * kernel-side, the dedup_simhash ride-along pattern). */
+  private val SemDupThreshold = 0.4
+  private val SemCandFloor = 0.2
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding").as("v"))
+    // one k-means + assignment pass feeds both pair sides, the
+    // cluster node list, and the keep join
+    val assigned = Similarity.cellAssignments(e).localCheckpoint(true)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("cc").as("cc_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("cc").as("cc_b"))
+    val pairs = a.join(b, "cell").filter(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cc_a"), col("cc_b"),
+        VectorFns.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= SemCandFloor)
+      .withColumn("is_dup", col("cos") >= SemDupThreshold)
+      .localCheckpoint(true) // feeds the output AND the cluster edges
+    val dup = pairs.filter(col("is_dup"))
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = clustersFromPairs(
+      assigned.select(col("vec_id").as("doc_id")), dup)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("cc").asc, col("doc_id").asc)
+    // node-sized; materialized once — it feeds BOTH pair-side joins,
+    // and without the checkpoint the cluster-join + keep window
+    // subtree executes twice (visible as two Window nodes in the plan)
+    val keeps = clusters
+      .join(assigned.select(col("vec_id").as("doc_id"), col("cc")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), (col("rn") === 1).as("keep"))
+      .localCheckpoint(true)
+    pairs
+      .join(keeps.select(col("doc_id").as("vec_a"), col("keep").as("keep_a")), "vec_a")
+      .join(keeps.select(col("doc_id").as("vec_b"), col("keep").as("keep_b")), "vec_b")
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"), col("is_dup"),
+        col("cc_a"), col("cc_b"), col("keep_a"), col("keep_b"))
+  }
+
+  /** Full-chain oracle: cosines and dup flags recomputed from raw
+    * vectors (list_cosine_similarity parity), clusters rebuilt by
+    * recursive-CTE closure over the RECOMPUTED dup edges, keep flags
+    * re-derived from the emitted centroid cosines by the same
+    * lowest-cc-then-lowest-id rule. */
+  val dedupSemanticSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/dedup_semantic/*.parquet')
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), pc AS (
+      |  SELECT p.cell, p.vec_a, p.vec_b, p.cc_a, p.cc_b,
+      |    list_cosine_similarity(a.v, b.v) AS cos
+      |  FROM p JOIN e a ON p.vec_a = a.vec_id JOIN e b ON p.vec_b = b.vec_id
+      |), ud AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pc WHERE cos >= 0.4
+      |  UNION ALL SELECT vec_b, vec_a FROM pc WHERE cos >= 0.4
+      |), vc AS (
+      |  -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB gives a
+      |  -- plain UNION recursive-union treatment and does NOT dedup
+      |  SELECT DISTINCT vec_id, cc FROM (
+      |    SELECT vec_a AS vec_id, cc_a AS cc FROM p
+      |    UNION ALL SELECT vec_b, cc_b FROM p)
+      |), reach(vec_id, lab) AS (
+      |  SELECT vec_id, vec_id FROM vc
+      |  UNION
+      |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.vec_id
+      |), cl AS (
+      |  SELECT vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY vec_id
+      |), k AS (
+      |  SELECT vec_id,
+      |    (row_number() OVER (PARTITION BY cl.cluster_id
+      |       ORDER BY vc.cc ASC, vec_id ASC)) = 1 AS keep
+      |  FROM cl JOIN vc USING (vec_id)
+      |)
+      |SELECT pc.cell, pc.vec_a, pc.vec_b, pc.cos, pc.cos >= 0.4 AS is_dup,
+      |  pc.cc_a, pc.cc_b, ka.keep AS keep_a, kb.keep AS keep_b
+      |FROM pc JOIN k ka ON pc.vec_a = ka.vec_id
+      |        JOIN k kb ON pc.vec_b = kb.vec_id""".stripMargin
+
   // ---- dedup_nd_recall: LSH near-dup recall vs the exact baseline ------
   /** Recall quality gate for the bucketed LSH near-dup path: the
     * fraction of true pairs (exact baseline, same sample window) the
@@ -376,6 +481,7 @@ object Curation {
     "dedup_canonical" -> (dedupCanonical _),
     "text_pipeline" -> (textPipeline _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_nd_recall" -> (dedupNdRecall _))
 
   /** Value oracle for the PRODUCTION cluster path: the edge set is
@@ -425,5 +531,6 @@ object Curation {
     "dedup_canonical" -> dedupCanonicalSql,
     "text_pipeline" -> textPipelineSql,
     "dedup_embedding_exact" -> dedupEmbeddingExactSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_nd_recall" -> dedupNdRecallSql)
 }

@@ -222,6 +222,19 @@ object Similarity {
     centroids
   }
 
+  /** (vec_id, v, cell, cc): every vector's k-means cell plus its
+    * cosine to that cell's centroid (cc = the max over centroids,
+    * since assignment IS argmax cosine) — the SemDeDup blocking and
+    * keep-rule inputs (Curation.dedupSemantic). Centroids are the
+    * same deterministic [[centroidSeq]] the IVF family uses, so the
+    * semantic-dedup cells and the ANN index agree. */
+  private[operators] def cellAssignments(e: DataFrame): DataFrame = {
+    val c = centroidArray(e)
+    e.withColumn("cell", nearestCells(col("v"), c, 1).getItem(0))
+      .withColumn("cc", array_max(transform(c,
+        x => VectorFns.cosine(col("v"), x.getField("cv")))))
+  }
+
   /** cell ids of the `n` nearest centroids, by cosine. */
   private def nearestCells(v: Column, centroids: Column, n: Int): Column =
     slice(transform(

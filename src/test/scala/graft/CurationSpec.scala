@@ -160,6 +160,55 @@ class CurationSpec extends SparkSpec {
       "every sampled LSH pair above threshold must appear in the exact baseline")
   }
 
+  test("dedup_semantic: SemDeDup invariants — keeps, clusters, thresholds") {
+    val rows = Curation.dedupSemantic(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // candidate floor and dup threshold are honored on every row
+    rows.foreach { r =>
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= 0.2 - 1e-12)
+      assert(r.getAs[Boolean]("is_dup") == (cos >= 0.4))
+    }
+    // keep flags are consistent per vec across all rows it appears in
+    val keepOf = scala.collection.mutable.Map[Long, Boolean]()
+    val ccOf = scala.collection.mutable.Map[Long, Double]()
+    rows.foreach { r =>
+      for ((idCol, kCol, cCol) <- Seq(("vec_a", "keep_a", "cc_a"),
+                                      ("vec_b", "keep_b", "cc_b"))) {
+        val id = r.getAs[Long](idCol)
+        val k = r.getAs[Boolean](kCol)
+        val c = r.getAs[Double](cCol)
+        assert(keepOf.getOrElseUpdate(id, k) == k, s"inconsistent keep for $id")
+        assert(ccOf.getOrElseUpdate(id, c) == c, s"inconsistent cc for $id")
+      }
+    }
+    // the core SemDeDup guarantee: no semantic-duplicate pair survives
+    // with BOTH members kept
+    rows.filter(_.getAs[Boolean]("is_dup")).foreach { r =>
+      assert(!(r.getAs[Boolean]("keep_a") && r.getAs[Boolean]("keep_b")),
+        s"dup pair ${r.getAs[Long]("vec_a")}-${r.getAs[Long]("vec_b")} fully kept")
+    }
+    // driver flood fill over dup pairs → exactly one keep per cluster,
+    // and it is the farthest-from-centroid member (lowest cc, tie → id)
+    val dupPairs = rows.filter(_.getAs[Boolean]("is_dup"))
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    dupPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = keepOf.keys.filter(id => parent.contains(id))
+      .groupBy(find).values
+    members.foreach { g =>
+      val kept = g.filter(keepOf)
+      assert(kept.size == 1, s"cluster $g kept ${kept.size}")
+      val want = g.minBy(id => (ccOf(id), id))
+      assert(kept.head == want,
+        s"cluster kept ${kept.head}, expected farthest-from-centroid $want")
+    }
+  }
+
   test("text_fingerprint: order-sensitive, deterministic, empty → 0") {
     import spark.implicits._
     val fp = TextAnalysis.textFingerprint(spark, sfDir)
