@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * virtual call per document.)
   */
 case class ChunkDocument(child: Expression,
-                         minSize: Int = 32, maxSize: Int = 256, maskBits: Int = 6)
+                         minSize: Int = 32, maxSize: Int = 256, maskBits: Int = 6,
+                         anchor: String = "buzhash")
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -38,6 +39,9 @@ case class ChunkDocument(child: Expression,
   override def prettyName: String = "graft_chunk"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if !Chunker.Anchors.contains(anchor) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: unknown anchor '$anchor' (expected ${Chunker.Anchors.mkString("/")})")
     case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string or binary column, got ${dt.sql}")
@@ -51,7 +55,7 @@ case class ChunkDocument(child: Expression,
         case s: UTF8String => s.getBytes
         case b: Array[Byte] => b
       }
-      Chunker.chunk(bytes, minSize, maxSize, maskBits).map { c =>
+      Chunker.chunk(bytes, minSize, maxSize, maskBits, anchor).map { c =>
         InternalRow(c.chunk_idx, c.offset, c.length,
           UTF8String.fromString(c.chunk_sha))
       }
@@ -96,11 +100,13 @@ case class CompressedLen(child: Expression, codec: String)
 
 object NativeChunk {
   /** Generator column: use in select() alongside pass-through columns;
-    * output columns are chunk_idx/offset/length/chunk_sha. */
+    * output columns are chunk_idx/offset/length/chunk_sha. `anchor`
+    * picks the boundary fingerprint: buzhash (default) or rabin (the
+    * reference's rabin.c polynomial). */
   def chunks(text: Column, minSize: Int = 32, maxSize: Int = 256,
-             maskBits: Int = 6): Column =
+             maskBits: Int = 6, anchor: String = "buzhash"): Column =
     ColumnBridge.column(
-      ChunkDocument(ColumnBridge.expression(text), minSize, maxSize, maskBits))
+      ChunkDocument(ColumnBridge.expression(text), minSize, maxSize, maskBits, anchor))
 
   /** Compressed byte size of a binary column under `codec`. */
   def compressedLen(bin: Column, codec: String): Column =

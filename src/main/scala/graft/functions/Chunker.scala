@@ -190,8 +190,8 @@ object Chunker {
     *                 hash are all ones → expected chunk ≈ 2^maskBits
     */
   def chunk(bytes: Array[Byte], minSize: Int = 32, maxSize: Int = 256,
-            maskBits: Int = 6): Seq[Chunk] = {
-    val cuts = boundaries(bytes, minSize, maxSize, maskBits)
+            maskBits: Int = 6, anchor: String = "buzhash"): Seq[Chunk] = {
+    val cuts = boundaries(bytes, minSize, maxSize, maskBits, anchor)
     val out = Vector.newBuilder[Chunk]
     var start = 0
     var idx = 0

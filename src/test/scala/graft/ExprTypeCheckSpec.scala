@@ -83,6 +83,26 @@ class ExprTypeCheckSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("null element")))
   }
 
+  test("graft_chunk: rabin anchor cuts match the kernel; unknown anchor rejected") {
+    val doc = ("spark native chunking " * 40).trim
+    val viaGen = Seq(doc).toDF("text")
+      .select(NativeChunk.chunks(col("text"), 32, 256, 6, "rabin"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val viaKernel = graft.functions.Chunker
+      .chunk(doc.getBytes("UTF-8"), 32, 256, 6, "rabin")
+      .map(c => (c.chunk_idx, c.offset, c.length, c.chunk_sha))
+    assert(viaGen == viaKernel && viaGen.nonEmpty)
+    // rabin and buzhash anchors genuinely differ on the same input
+    val buz = graft.functions.Chunker.chunk(doc.getBytes("UTF-8"), 32, 256, 6)
+      .map(c => (c.chunk_idx, c.offset, c.length, c.chunk_sha))
+    assert(buz != viaKernel)
+    val e = intercept[Exception] {
+      Seq(doc).toDF("text")
+        .select(NativeChunk.chunks(col("text"), 32, 256, 6, "gear")).collect()
+    }
+    assert(e.getMessage.contains("anchor"))
+  }
+
   test("graft_pq_adc_dot rejects non-binary codes") {
     import graft.functions.NativePq
     val cb = new Array[Double](2 * 2 * 2)
