@@ -62,18 +62,18 @@ object RefCompare {
     // fingerprint, rabin.c — cuts comparable with the binary's .ddp
     // segmentation)
     val anchor = if (args.length > 5) args(5) else "buzhash"
-    val spark = Sessions.contractLocal("graft-refcompare")
-    spark.sparkContext.setLogLevel("ERROR")
     // harness-local tuning (documented deltas from the contract
     // session, which optimizes for the oracled analytic queries):
     // both jobs here have a fixed two-stage shape over known-tiny
     // shuffles, so AQE's per-stage materialize-and-replan barriers
     // are pure driver latency; and the v1 output committer renames
     // every task file serially on the driver at job commit — v2
-    // commits on task completion (local FS, no speculative tasks)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sparkContext.hadoopConfiguration
-      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+    // commits on task completion (local FS, no speculative tasks).
+    // Routed through Sessions so conf mutation never leaves it.
+    val spark = Sessions.contractLocal("graft-refcompare", overrides = Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2"))
+    spark.sparkContext.setLogLevel("ERROR")
 
     def onePass(tag: String): Map[String, Double] = {
       val out = s"$outDir/$tag"

@@ -28,8 +28,9 @@ object Sessions {
     *     passes (default periodicGC is 30 min — longer than a bench);
     *   - UTC session timezone (oracle parity), UI off.
     */
-  def contract(master: String, cpus: String, appName: String): SparkSession = {
-    val spark = SparkSession.builder()
+  def contract(master: String, cpus: String, appName: String,
+               overrides: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -45,7 +46,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // documented per-harness deltas (RefCompare) — conf mutation
+    // stays HERE so no main ever calls conf.set (r9 advice item 7)
+    val spark = overrides.foldLeft(builder) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
@@ -57,8 +62,9 @@ object Sessions {
     * 74.7 s "full bench" this round turned out to be local[4] with 4
     * shuffle partitions, and a scale smoke OOM'd purely from the
     * 4-partition aggregate granularity. */
-  def contractLocal(appName: String, defaultCpus: String = "32"): SparkSession = {
+  def contractLocal(appName: String, defaultCpus: String = "32",
+                    overrides: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
-    contract(s"local[$cpus]", cpus, appName)
+    contract(s"local[$cpus]", cpus, appName, overrides)
   }
 }
