@@ -98,6 +98,30 @@ class TablesContractSpec extends SparkSpec {
       "label" -> IntegerType)
   }
 
+  test("a deliberately retyped column fails with the drifted column NAMED") {
+    // the point of this suite: the NEXT generator drift must die in
+    // one assertion that names the column, not as 23 scattered
+    // DATATYPE_MISMATCH stack traces
+    val drifted = Tables.documents(spark, sfDir)
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("string"))
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      expect(drifted, "documents",
+        "doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType)
+    }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("drifted"),
+      s"drift failure must name the column: ${e.getMessage}")
+    // a dropped column is likewise named (set/order branch)
+    val e2 = intercept[org.scalatest.exceptions.TestFailedException] {
+      expect(Tables.documents(spark, sfDir).drop("lang"), "documents",
+        "doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType)
+    }
+    assert(e2.getMessage.contains("lang"))
+  }
+
   test("events loader absorbs all three ts vintages") {
     // Synthesize the two non-current vintages in temp dirs and prove
     // the loader normalizes each to TimestampType with equal values.
