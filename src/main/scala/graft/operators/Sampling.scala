@@ -262,7 +262,100 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- mix_temperature: temperature-scaled source mixing weights -------
+  /** The other half of corpus mixing (complement of mix_budget's
+    * within-source admission): ACROSS sources, compute each source's
+    * share of a fixed sampling budget under temperature smoothing —
+    * p_s ∝ n_s^α with α = 1/2 (the standard multilingual-corpus
+    * rebalancing rule: big sources are damped, small sources
+    * up-weighted, exponent via exact integer sqrt so the whole
+    * computation is engine-independent integer arithmetic). The
+    * budget is apportioned by the largest-remainder (Hamilton)
+    * method: base = ⌊B·w_s/W⌋ per source, the leftover seats go to
+    * the largest remainders (source-name tie-break), so Σalloc = B
+    * exactly — no float rounding drift ever reaches the allocation.
+    *
+    * Scale: everything after the one per-source token count (a
+    * partial→final agg over the corpus) operates on the per-SOURCE
+    * table, whose size is the source cardinality — bounded, tiny,
+    * broadcast. The remainder ranking is a broadcast theta-join count
+    * rather than an unpartitioned window, so no single-partition
+    * window stage exists even formally. */
+  private[operators] val MixTempBudget = 4096L
+
+  /** Exact integer sqrt: double sqrt seeded, ±1-corrected by integer
+    * comparisons — bit-exact on both engines for any BIGINT total. */
+  private def isqrt(n: Column): Column = {
+    val g0 = floor(sqrt(n.cast("double"))).cast("long")
+    val g1 = when((g0 + 1) * (g0 + 1) <= n, g0 + 1).otherwise(g0)
+    when(g1 * g1 > n, g1 - 1).otherwise(g1)
+  }
+
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val B = MixTempBudget
+    val per = docs(s, dir).groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("weight", isqrt(col("n_tokens")))
+    val tot = per.agg(sum("weight").as("w_total"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"($B * weight) div w_total"))
+      .withColumn("remainder", expr(s"($B * weight) % w_total"))
+      .drop("w_total")
+    val leftover = based.agg((lit(B) - sum("base_quota")).as("leftover"))
+    val ahead = based.join(
+        broadcast(based.select(col("source").as("s2"), col("remainder").as("r2"))),
+        col("r2") > col("remainder") ||
+          (col("r2") === col("remainder") && col("s2") < col("source")),
+        "left")
+      .groupBy("source", "n_tokens", "weight", "base_quota", "remainder")
+      .agg(count(col("s2")).as("ahead"))
+    ahead.crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("base_quota"), col("remainder"),
+        (col("ahead") + 1L).as("rem_rank"),
+        (col("ahead") < col("leftover")).as("extra"),
+        (col("base_quota") +
+          when(col("ahead") < col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN g1 * g1 > n_tokens THEN g1 - 1 ELSE g1 END AS weight
+      |  FROM (
+      |    SELECT source, n_tokens,
+      |      CASE WHEN (g0 + 1) * (g0 + 1) <= n_tokens THEN g0 + 1 ELSE g0 END AS g1
+      |    FROM (
+      |      SELECT source, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS g0
+      |      FROM per
+      |    )
+      |  )
+      |), t AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total FROM w),
+      |q AS (
+      |  SELECT w.source, w.n_tokens, w.weight,
+      |    CAST(($MixTempBudget * w.weight) // t.w_total AS BIGINT) AS base_quota,
+      |    CAST(($MixTempBudget * w.weight) % t.w_total AS BIGINT) AS remainder
+      |  FROM w, t
+      |), l AS (
+      |  SELECT CAST($MixTempBudget - SUM(base_quota) AS BIGINT) AS leftover FROM q
+      |), r AS (
+      |  SELECT q.*, CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+      |    AS BIGINT) AS rem_rank
+      |  FROM q
+      |)
+      |SELECT source, n_tokens, weight, base_quota, remainder, rem_rank,
+      |  rem_rank <= l.leftover AS extra,
+      |  CAST(base_quota + CASE WHEN rem_rank <= l.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r, l""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_temperature" -> (mixTemperature _),
     "sample_hash" -> (sampleHash _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
@@ -271,6 +364,7 @@ object Sampling {
     "mix_budget" -> (mixBudget _))
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature" -> mixTemperatureSql,
     "sample_hash" -> sampleHashSql,
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -500,7 +500,82 @@ object TextAnalysis {
       |    / CAST(b.n_tokens AS DOUBLE) AS dup_frac
       |FROM sized b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ---- text_paragraph_dedup: cross-doc paragraph-level exact dedup -----
+  /** CCNet/Gopher-style paragraph-level exact deduplication: the
+    * corpus-curation pass that removes paragraphs repeated across
+    * documents (boilerplate, licence headers, nav text) while keeping
+    * each document's unique content. The flat synthetic corpus has no
+    * newlines, so "paragraph" is a deterministic segmentation:
+    * consecutive [[ParaW]]-token windows of the lowercased text (the
+    * tail window may be short). A paragraph is duplicated iff it
+    * occurs verbatim in >= 2 DISTINCT documents; the output is each
+    * doc's paragraph counts, duplicated fraction, and the md5 digest
+    * of the CLEANED document (kept paragraphs re-joined in order) —
+    * the artifact downstream exact dedup would consume.
+    *
+    * Shape at 100 TB: one explode (~n_tokens/12 rows/doc), a
+    * count-distinct per paragraph (partial→final agg), one equi-join
+    * back, one per-doc agg — all keyed shuffles, nothing quadratic.
+    * Like text_crossdup, the join key stays the paragraph STRING here
+    * so the oracle is engine-independent; at scale it becomes
+    * xxhash64(para). */
+  private val ParaW = 12
+
+  def textParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("ts"))
+    val paras = toks
+      .withColumn("nw", expr(s"(size(ts) + ${ParaW - 1}) div $ParaW"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(nw) - 1), i -> array_join(slice(ts, i * $ParaW + 1, $ParaW), ' '))")))
+      .toDF("doc_id", "para_idx", "para")
+    val ndocs = paras.groupBy("para")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val flagged = paras.join(ndocs, "para")
+      .select(col("doc_id"), col("para_idx"), col("para"),
+        (col("nd") >= 2).as("dup"))
+    flagged.groupBy("doc_id").agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+      md5(array_join(transform(
+        array_sort(collect_list(when(not(col("dup")),
+          struct(col("para_idx"), col("para"))))),
+        x => x.getField("para")), " ").cast("binary")).as("kept_digest"))
+      .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),
+        (col("n_dup_paras").cast("double") / col("n_paras").cast("double"))
+          .as("dup_para_fraction"),
+        col("kept_digest"))
+  }
+
+  val textParagraphDedupSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+      |    array_to_string(ts[i * $ParaW + 1 : i * $ParaW + $ParaW], ' ') AS para
+      |  FROM (
+      |    SELECT doc_id, ts,
+      |      unnest(generate_series(0, (CAST(len(ts) AS BIGINT) + ${ParaW - 1}) // $ParaW - 1)) AS i
+      |    FROM t
+      |  )
+      |), d AS (
+      |  SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY para
+      |), j AS (
+      |  SELECT p.doc_id, p.para_idx, p.para, d.nd >= 2 AS dup
+      |  FROM p JOIN d USING (para)
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_para_fraction,
+      |  md5(COALESCE(string_agg(CASE WHEN NOT dup THEN para END, ' '
+      |        ORDER BY para_idx), '')) AS kept_digest
+      |FROM j GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_paragraph_dedup" -> (textParagraphDedup _),
     "text_crossdup" -> (textCrossdup _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
@@ -513,6 +588,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_paragraph_dedup" -> textParagraphDedupSql,
     "text_crossdup" -> textCrossdupSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,

@@ -211,4 +211,47 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("mix_temperature: Hamilton apportionment of isqrt weights, Σalloc = B") {
+    val rows = Sampling.mixTemperature(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    // integer sqrt is exact
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val w = r.getAs[Long]("weight")
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt wrong for $n: $w")
+    }
+    val wTotal = rows.map(_.getAs[Long]("weight")).sum
+    // base quotas + remainders are the exact integer division
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight")
+      assert(r.getAs[Long]("base_quota") == 4096L * w / wTotal)
+      assert(r.getAs[Long]("remainder") == 4096L * w % wTotal)
+    }
+    // allocation sums exactly to the budget; extras go to the largest
+    // remainders in rank order
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 4096L)
+    val leftover = 4096L - rows.map(_.getAs[Long]("base_quota")).sum
+    val byRank = rows.sortBy(r =>
+      (-r.getAs[Long]("remainder"), r.getAs[String]("source")))
+    byRank.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rem_rank") == i + 1, s"rank mismatch at $i")
+      assert(r.getAs[Boolean]("extra") == (i < leftover))
+      assert(r.getAs[Long]("alloc") ==
+        r.getAs[Long]("base_quota") + (if (i < leftover) 1L else 0L))
+    }
+    // temperature actually damps: the biggest source's allocation share
+    // is below its token share (and the smallest's above), unless all
+    // sources are identical
+    val big = rows.maxBy(_.getAs[Long]("n_tokens"))
+    val small = rows.minBy(_.getAs[Long]("n_tokens"))
+    if (big.getAs[Long]("n_tokens") > small.getAs[Long]("n_tokens")) {
+      val tokTotal = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+      assert(big.getAs[Long]("alloc").toDouble / 4096.0 <
+        big.getAs[Long]("n_tokens") / tokTotal + 1.0 / 4096.0)
+      assert(small.getAs[Long]("alloc").toDouble / 4096.0 >
+        small.getAs[Long]("n_tokens") / tokTotal - 1.0 / 4096.0)
+    }
+  }
 }

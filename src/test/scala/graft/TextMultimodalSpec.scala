@@ -309,6 +309,42 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("text_paragraph_dedup: matches a driver-local reference on the corpus") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // local reference: same 12-token window segmentation, cross-doc
+    // dup rule, and cleaned-digest over the sf0.001 corpus
+    val docsLocal = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val paras = docsLocal.toSeq.flatMap { case (id, text) =>
+      text.trim.toLowerCase.split("\\s+").toSeq.grouped(12).zipWithIndex
+        .map { case (w, i) => (id, i, w.mkString(" ")) }
+    }
+    val nd = paras.groupBy(_._3).map { case (p, occ) =>
+      p -> occ.map(_._1).distinct.size
+    }
+    val expect = paras.groupBy(_._1).map { case (id, ps) =>
+      val sorted = ps.sortBy(_._2)
+      val dups = sorted.count(p => nd(p._3) >= 2)
+      val kept = sorted.filter(p => nd(p._3) < 2).map(_._3).mkString(" ")
+      id -> ((sorted.size.toLong, dups.toLong, md5hex(kept)))
+    }
+    val got = operators.TextAnalysis.textParagraphDedup(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_dup_paras"),
+          r.getAs[String]("kept_digest")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // at least one duplicated and one clean paragraph exist at this sf,
+    // or the operator tested nothing
+    assert(expect.values.exists(_._2 > 0), "no duplicated paragraph in corpus")
+    assert(expect.values.exists(v => v._2 < v._1), "every paragraph duplicated")
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
