@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -246,7 +246,175 @@ object OlapExtras {
       .withColumn("rel_err_p90",
         abs(col("approx_p90") - col("exact_p90")) / col("exact_p90"))
 
+  // ---- q_bloom_join: bloom-filter semi-join prefilter (oracled) --------
+  /** The 100 TB join-prefilter pattern made explicit: a fixed-size
+    * bloom bitmap built from the SELECTIVE side of a join (orders
+    * above a price cut) is broadcast to the probe side, which pays
+    * three integer hashes per distinct key instead of a shuffle for
+    * the rows the join would drop anyway — what Spark's
+    * InjectRuntimeFilter automates, here as a first-class operator
+    * with its quality accounting (the false-positive rate decides
+    * whether the prefilter pays for itself). One row out:
+    * build/probe/match counts, bloom passes, FP/FN split, fp_rate.
+    *
+    * Everything is engine-independent integer arithmetic — the hash
+    * family is ((k mod P)·a + b mod P) mod m with P = 2^31−1 (exact
+    * in 64-bit on both engines), the bitmap is 32-bit words held in
+    * BIGINTs (DuckDB's `<<` overflows at bit 63) — so unlike the
+    * HLL/KLL gates the WHOLE sketch is DuckDB-oracled bit-exact,
+    * false_negatives provably 0. The bitmap is m = 2^16 bits (2048
+    * words, broadcast); production sizes m ≈ 10·n_build bits — fixed
+    * here so the oracle stays parameter-free. */
+  private val BloomP = 2147483647L
+  private val BloomM = 65536L
+  private val BloomHashes =
+    Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 362437L))
+  private val BloomCut = 475000.0
+
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    def bit(k: Column, i: Int): Column = {
+      val (a, b) = BloomHashes(i)
+      (((k % BloomP) * a + b) % BloomP) % BloomM
+    }
+    val buildKeys = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > BloomCut)
+      .select(col("o_orderkey").as("k")).distinct()
+    val words = buildKeys
+      .select(explode(array(BloomHashes.indices.map(i => bit(col("k"), i)): _*)).as("h"))
+      .select(expr("h div 32").as("word"),
+        expr("shiftleft(1L, cast(h % 32 as int))").as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    val probeKeys = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k")).distinct()
+    val passed = probeKeys
+      .select(col("k"), explode(array(BloomHashes.indices.map(i => bit(col("k"), i)): _*)).as("h"))
+      .select(col("k"), expr("h div 32").as("word"),
+        expr("shiftleft(1L, cast(h % 32 as int))").as("mask"))
+      .join(broadcast(words), Seq("word"), "left")
+      .select(col("k"),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L).as("hit"))
+      .groupBy("k").agg(min(col("hit")).as("passed"))
+    val flags = passed.join(
+        broadcast(buildKeys.withColumn("matches", lit(true))), Seq("k"), "left")
+      .select(col("k"), col("passed"), coalesce(col("matches"), lit(false)).as("matches"))
+    val nBuild = buildKeys.agg(count(lit(1)).as("n_build_keys"))
+    flags.agg(
+        count(lit(1)).as("n_probe_keys"),
+        sum(when(col("matches"), 1L).otherwise(0L)).as("exact_matches"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("bloom_passed"),
+        sum(when(col("passed") && !col("matches"), 1L).otherwise(0L)).as("false_positives"),
+        sum(when(col("matches") && !col("passed"), 1L).otherwise(0L)).as("false_negatives"))
+      .crossJoin(broadcast(nBuild))
+      .select(col("n_probe_keys"), col("n_build_keys"),
+        col("exact_matches"), col("bloom_passed"),
+        col("false_positives"), col("false_negatives"),
+        (col("false_positives").cast("double") /
+          (col("n_probe_keys") - col("exact_matches")).cast("double")).as("fp_rate"))
+  }
+
+  val qBloomJoinSql: String = {
+    val hv = BloomHashes.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    s"""WITH build AS (
+      |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > $BloomCut
+      |), probe AS (
+      |  SELECT DISTINCT l_orderkey AS k FROM lineitem
+      |), hs(a, b) AS (VALUES $hv),
+      |words AS (
+      |  SELECT h // 32 AS word,
+      |    bit_or(1::BIGINT << CAST(h % 32 AS INTEGER)) AS bits
+      |  FROM (
+      |    SELECT ((k % $BloomP) * a + b) % $BloomP % $BloomM AS h FROM build, hs
+      |  ) GROUP BY 1
+      |), passed AS (
+      |  SELECT k, min(COALESCE(w.bits, 0) &
+      |    (1::BIGINT << CAST(p.h % 32 AS INTEGER)) != 0) AS passed
+      |  FROM (
+      |    SELECT k, ((k % $BloomP) * a + b) % $BloomP % $BloomM AS h FROM probe, hs
+      |  ) p LEFT JOIN words w ON p.h // 32 = w.word
+      |  GROUP BY k
+      |), flags AS (
+      |  SELECT p.k, p.passed, b.k IS NOT NULL AS matches
+      |  FROM passed p LEFT JOIN build b ON p.k = b.k
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build_keys,
+      |  CAST(SUM(CASE WHEN matches THEN 1 ELSE 0 END) AS BIGINT) AS exact_matches,
+      |  CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS bloom_passed,
+      |  CAST(SUM(CASE WHEN passed AND NOT matches THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+      |  CAST(SUM(CASE WHEN matches AND NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+      |  CAST(SUM(CASE WHEN passed AND NOT matches THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) - SUM(CASE WHEN matches THEN 1 ELSE 0 END) AS DOUBLE) AS fp_rate
+      |FROM flags""".stripMargin
+  }
+
+  // ---- q_cms_topk: count-min-sketch heavy-hitter gate (oracled) --------
+  /** Approximate heavy hitters via a count-min sketch with the SAME
+    * engine-independent hash family as q_bloom_join — d = 3 rows ×
+    * w = 1024 counters, built as one grouped count over the exploded
+    * (row, bucket) stream (bounded d·w reduce cardinality, map-side
+    * partials do the heavy lifting — the mergeable-sketch scale
+    * path). The gate: for the exact top-20 part keys, the CMS
+    * estimate (min over rows) vs the exact count — CMS can only
+    * OVERcount, so overestimate >= 0 is a hard invariant, and unlike
+    * the HLL/KLL gates every counter is recomputed bit-exact by
+    * DuckDB. */
+  private val CmsW = 1024L
+  private val CmsTopK = 20
+
+  def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    def bucket(k: Column, i: Int): Column = {
+      val (a, b) = BloomHashes(i)
+      (((k % BloomP) * a + b) % BloomP) % CmsW
+    }
+    val li = Tables.lineitem(s, dir)
+    val counters = li.select(posexplode(
+        array(BloomHashes.indices.map(i => bucket(col("l_partkey"), i)): _*)))
+      .toDF("row_i", "bucket")
+      .groupBy("row_i", "bucket").agg(count(lit(1)).as("cnt"))
+    val top = li.groupBy(col("l_partkey").as("part_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("part_key"))
+      .limit(CmsTopK)
+    val est = top
+      .select(col("part_key"), col("exact_cnt"), posexplode(
+        array(BloomHashes.indices.map(i => bucket(col("part_key"), i)): _*)))
+      .toDF("part_key", "exact_cnt", "row_i", "bucket")
+      .join(broadcast(counters), Seq("row_i", "bucket"))
+      .groupBy("part_key", "exact_cnt")
+      .agg(min(col("cnt")).as("est_cnt"))
+    est.select(col("part_key"), col("exact_cnt"), col("est_cnt"),
+      (col("est_cnt") - col("exact_cnt")).as("overestimate"))
+  }
+
+  val qCmsTopkSql: String = {
+    val hv = BloomHashes.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH hs(i, a, b) AS (VALUES $hv),
+      |counters AS (
+      |  SELECT i AS row_i,
+      |    ((l_partkey % $BloomP) * a + b) % $BloomP % $CmsW AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem, hs GROUP BY 1, 2
+      |), top AS (
+      |  SELECT l_partkey AS part_key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      |  FROM lineitem GROUP BY 1
+      |  ORDER BY exact_cnt DESC, part_key LIMIT $CmsTopK
+      |), est AS (
+      |  SELECT t.part_key, t.exact_cnt, MIN(c.cnt) AS est_cnt
+      |  FROM top t CROSS JOIN hs
+      |  JOIN counters c
+      |    ON c.row_i = hs.i
+      |   AND c.bucket = ((t.part_key % $BloomP) * hs.a + hs.b) % $BloomP % $CmsW
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_key, exact_cnt, est_cnt,
+      |  est_cnt - exact_cnt AS overestimate
+      |FROM est""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_cms_topk" -> (qCmsTopk _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_asof" -> (qAsof _),
     "q_range_join" -> (qRangeJoin _),
@@ -259,6 +427,8 @@ object OlapExtras {
     "q_stream_join" -> (qStreamJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_join" -> qBloomJoinSql,
+    "q_cms_topk" -> qCmsTopkSql,
     "q_asof" -> qAsofSql,
     "q_range_join" -> qRangeJoinSql,
     "q_json" -> qJsonSql,

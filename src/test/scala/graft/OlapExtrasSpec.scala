@@ -52,4 +52,75 @@ class OlapExtrasSpec extends SparkSpec {
       assert(r.getAs[Double]("approx_p90") >= r.getAs[Double]("approx_p50"))
     }
   }
+
+  private val P = 2147483647L
+  private val HashAB = Seq((1103515245L, 12345L), (214013L, 2531011L), (69069L, 362437L))
+
+  test("q_bloom_join: matches a driver-local bloom, no false negatives") {
+    val r = OlapExtras.qBloomJoin(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // structural invariants
+    assert(row.getAs[Long]("false_negatives") == 0L, "bloom dropped a real match")
+    assert(row.getAs[Long]("bloom_passed") ==
+      row.getAs[Long]("exact_matches") + row.getAs[Long]("false_positives"))
+    assert(row.getAs[Double]("fp_rate") >= 0.0 && row.getAs[Double]("fp_rate") <= 0.1)
+    // driver-local reference: rebuild the whole gate from the raw tables
+    val build = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 475000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val probe = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0))
+    def bits(k: Long): Seq[Long] =
+      HashAB.map { case (a, b) => (((k % P) * a + b) % P) % 65536L }
+    val set = build.flatMap(bits)
+    val passed = probe.count(k => bits(k).forall(set.contains))
+    val matches = probe.count(build.contains)
+    assert(row.getAs[Long]("n_build_keys") == build.size)
+    assert(row.getAs[Long]("n_probe_keys") == probe.length)
+    assert(row.getAs[Long]("exact_matches") == matches)
+    assert(row.getAs[Long]("bloom_passed") == passed)
+    assert(build.nonEmpty && matches > 0, "gate tested nothing")
+  }
+
+  test("q_cms_topk: matches a driver-local sketch, never undercounts") {
+    val rows = OlapExtras.qCmsTopk(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L, s"CMS undercounted: $r")
+      assert(r.getAs[Long]("est_cnt") ==
+        r.getAs[Long]("exact_cnt") + r.getAs[Long]("overestimate"))
+    }
+    // driver-local reference sketch over the raw key stream
+    val keys = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+    def bucket(k: Long, i: Int): (Int, Long) = {
+      val (a, b) = HashAB(i)
+      (i, (((k % P) * a + b) % P) % 1024L)
+    }
+    val counters = keys.flatMap(k => (0 until 3).map(i => bucket(k, i)))
+      .groupBy(identity).map { case (c, occ) => c -> occ.length.toLong }
+    val exact = keys.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val expectTop = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(20).toMap
+    assert(rows.map(_.getAs[Long]("part_key")).toSet == expectTop.keySet)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("part_key")
+      assert(r.getAs[Long]("exact_cnt") == expectTop(k))
+      val est = (0 until 3).map(i => counters(bucket(k, i))).min
+      assert(r.getAs[Long]("est_cnt") == est, s"key $k: est mismatch")
+    }
+    // at sf0.001 (200 distinct keys in 1024 buckets, affine hash over a
+    // dense key range) there are deterministically ZERO collisions, so
+    // the spec's real teeth are the exact per-key agreement above; at
+    // sf0.01 all 20 keys overestimate (verified, the DuckDB oracle
+    // covers it) — assert agreement, and vacuity only when collisions
+    // were possible
+    val expectOver = expectTop.keys.map { k =>
+      (0 until 3).map(i => counters(bucket(k, i))).min - expectTop(k)
+    }
+    assert(rows.map(_.getAs[Long]("overestimate")).sum == expectOver.sum)
+    if (exact.size >= 1000)
+      assert(rows.exists(_.getAs[Long]("overestimate") > 0L),
+        "no CMS collision at w=1024 — gate tested nothing")
+  }
 }
