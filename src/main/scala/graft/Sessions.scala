@@ -44,6 +44,11 @@ object Sessions {
       // no-op). Set here so loaders stay pure — no conf.set outside
       // Sessions.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as annotated INT64 micros, not legacy INT96:
+      // INT96 carries NO usable min/max stats, which silently disables
+      // parquet row-group skipping on every time predicate over our own
+      // ingests (q_zorder_skip's box pruning measurably needs ts stats)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // documented per-harness deltas (RefCompare) — conf mutation

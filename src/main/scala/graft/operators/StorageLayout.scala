@@ -185,11 +185,93 @@ object StorageLayout {
       |WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
       |GROUP BY event_type""".stripMargin
 
+  // ---- q_zorder_skip: multi-dimensional z-order clustering -------------
+  /** The data-skipping answer for queries that slice on TWO dimensions
+    * at once (user × time here): hive-partitioning handles one
+    * dimension, but a second predicate still scans every file of the
+    * selected partitions. Z-ordering interleaves the bits of both
+    * dimensions into one sort key and range-partitions the write on
+    * it, so every output file covers a small RECTANGLE of the
+    * (user, time) plane and carries tight parquet min/max stats on
+    * BOTH raw columns — a two-sided box predicate then prunes most
+    * row groups at scan time (the Delta/Iceberg OPTIMIZE ZORDER
+    * pattern; StorageLayoutSpec measures the scan-row reduction).
+    *
+    * The z-key is the classic spread-bits interleave (two 16-bit
+    * dims → one 32-bit key, five mask-shift steps per dim, all
+    * codegen'd integer ops). Dims here are the raw user id and the
+    * minute offset from the corpus epoch — both fit 16 bits at every
+    * test SF and are clamped anyway; a production ingest bins each
+    * dimension by quantile rank first (the prefix-sum machinery this
+    * repo already ships), which is what keeps the interleave
+    * meaningful for arbitrary value ranges. The z-key exists only at
+    * write time (dropped before the write — projection preserves the
+    * sort), so the layout stores nothing extra. Oracled like the
+    * other layout entries: the layout changes the PLAN, never the
+    * answer. */
+  private val ZAnchorUs = 1704067200000000L // 2024-01-01T00:00:00Z
+
+  private def clamp16(c: Column): Column =
+    least(greatest(c, lit(0L)), lit(65535L))
+
+  /** Spread the low 16 bits of x into the even bit positions. */
+  private def spreadBits(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  private[graft] def zkey(userId: Column, ts: Column): Column =
+    spreadBits(clamp16(userId.cast("long"))).bitwiseOR(
+      shiftleft(spreadBits(clamp16(
+        floor((unix_micros(ts) - ZAnchorUs) / 60000000L).cast("long"))), 1))
+
+  private[graft] def zorderPath(s: SparkSession, dir: String): String = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_events_zorder_$suffix"
+    ingestOnce(path) {
+      Tables.events(s, dir)
+        .withColumn("zk", zkey(col("user_id"), col("ts")))
+        .repartitionByRange(16, col("zk"))
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def qZorderSkip(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderPath(s, dir))
+      .filter(col("user_id").between(10L, 19L) &&
+        col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-16").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(decP(col("value")))).as("sum_value"))
+
+  /** Source-table oracle with the equivalent two-sided box predicate —
+    * same answer, layout-free (the q_partition_prune pattern). */
+  val qZorderSkipSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(CAST(SUM(CAST("value" AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 19
+      |  AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_colocated_join" -> (qColocatedJoin _),
-    "q_partition_prune" -> (qPartitionPrune _))
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_zorder_skip" -> (qZorderSkip _))
 
   val oracle: Map[String, String] = Map(
     "q_colocated_join" -> qColocatedJoinSql,
-    "q_partition_prune" -> qPartitionPruneSql)
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_zorder_skip" -> qZorderSkipSql)
 }

@@ -20,6 +20,9 @@ object SparkSpec {
       // Mirror Sessions.contract: lets Tables.events read a
       // TIMESTAMP(NANOS)-vintage events.parquet; no-op on µs vintage.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror Sessions.contract: INT64-micros timestamps carry the
+      // min/max stats row-group skipping needs (INT96 does not)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -85,6 +85,54 @@ class StorageLayoutSpec extends SparkSpec {
       s"pruning must select exactly the one date directory, got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("zkey: bit interleave is exact on known patterns") {
+    import spark.implicits._
+    val rows = Seq(
+      (0xFFFFL, 0L),  // all-user bits -> even positions
+      (0L, 0xFFFFL),  // all-time bits -> odd positions
+      (3L, 1L),       // spread(3)=0b101, spread(1)<<1=0b10 -> 0b111
+      (0L, 0L))
+    val anchor = 1704067200000000L
+    val df = rows.toDF("u", "m")
+      .select(StorageLayout.zkey(col("u"),
+        timestamp_micros(col("m") * 60000000L + anchor)).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(0x55555555L, 0xAAAAAAAAL, 7L, 0L))
+  }
+
+  test("q_zorder_skip: box predicate prunes most row groups at scan") {
+    val df = StorageLayout.qZorderSkip(spark, sfDir)
+    val plan = finalPlan(df)
+    val scans = allNodes(plan).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected one scan, plan:\n$plan")
+    val scan = scans.head
+    // both dimensions must reach the parquet reader as pushed filters
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("user_id") && pushed.contains("ts"),
+      s"both box predicates must be pushed, got: $pushed")
+    // z-clustering gives every file tight min/max on BOTH columns, so
+    // stats skipping drops most row groups before any row is read
+    val scanned = scan.metrics("numOutputRows").value
+    val total = Tables.events(spark, sfDir).count()
+    assert(scanned > 0, "scan read nothing — the box matched no data?")
+    assert(scanned <= total * 2 / 5,
+      s"z-ordered scan read $scanned of $total rows — stats skipping not effective")
+  }
+
+  test("q_zorder_skip: equals the box filter on the source table") {
+    val z = StorageLayout.qZorderSkip(spark, sfDir)
+    val plain = Tables.events(spark, sfDir)
+      .filter(col("user_id").between(10L, 19L) &&
+        col("ts") >= lit("2024-01-15").cast("timestamp") &&
+        col("ts") < lit("2024-01-16").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
+    assert(z.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("q_partition_prune: equals the time-range filter on the source table") {
     val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
     val plain = Tables.events(spark, sfDir)
