@@ -133,6 +133,44 @@ class StorageLayoutSpec extends SparkSpec {
       plain.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("q_incremental_agg: merge equals full recompute, history untouched") {
+    val merged = StorageLayout.qIncrementalAgg(spark, sfDir)
+    // the merged store must equal a one-shot aggregate over all events
+    val full = Tables.events(spark, sfDir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).as("s"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("event_date"), col("event_type"), col("n_events"),
+        col("s").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+    val m = merged.collect().map(_.toString).sorted.toSeq
+    assert(m == full.collect().map(_.toString).sorted.toSeq)
+    // incremental property: every pre-cutoff group is the STORE row,
+    // bit-identical — the merge never recomputes history
+    val preOnly = Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-25").cast("timestamp"))
+    val storePart = preOnly
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).as("s"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .filter(col("event_date") < "2024-01-25")
+      .select(col("event_date"), col("event_type"), col("n_events"),
+        col("s").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+    val mergedPre = merged.filter(col("event_date") < "2024-01-25")
+    assert(mergedPre.collect().map(_.toString).sorted.toSeq ==
+      storePart.collect().map(_.toString).sorted.toSeq)
+    // both eras contribute groups (the merge actually merged)
+    assert(merged.filter(col("event_date") >= "2024-01-25").count() > 0)
+    assert(mergedPre.count() > 0)
+  }
+
   test("q_partition_prune: equals the time-range filter on the source table") {
     val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
     val plain = Tables.events(spark, sfDir)
