@@ -172,8 +172,12 @@ object Similarity {
     asCentroidColumn(centroidSeq(e))
 
   private def centroidSeq(e: DataFrame): IndexedSeq[(Long, IndexedSeq[Double])] = {
+    // seed = the IvfCells LOWEST-ID vectors of e (orderBy+limit, not a
+    // `vec_id < IvfCells` filter: identical on the full corpus, but
+    // still yields IvfCells seeds when e is a subset with id gaps —
+    // ann_ivf_append trains its frozen centroids on the base split)
     var centroids: IndexedSeq[(Long, IndexedSeq[Double])] =
-      e.filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
+      e.orderBy("vec_id").limit(IvfCells).collect()
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toIndexedSeq
     def asColumn(cs: IndexedSeq[(Long, IndexedSeq[Double])]): Column =
@@ -369,6 +373,90 @@ object Similarity {
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= TopK)
+  }
+
+  // ---- ann_ivf_append: incremental index maintenance (delta segment) ---
+  /** The serving-index APPEND path: new vectors arrive after the index
+    * was built, get assigned to the EXISTING (frozen) centroids, and
+    * land in an immutable DELTA segment beside the base segment —
+    * never rewriting a base file (the LSM/Iceberg append contract;
+    * re-training centroids is by definition a rebuild, not an append).
+    * A probe reads base+delta with the same cell partition pruning, so
+    * append cost tracks the batch, probe cost tracks nprobe cells, and
+    * neither ever touches the corpus. The corpus split (1/7 of vectors
+    * arrive late) is deterministic, so the layout is reproducible and
+    * the spec can prove the segmented probe equals the in-memory probe
+    * over the full corpus under the same frozen centroids.
+    * Value-oracled like every ANN variant (cos + rank recomputed by
+    * DuckDB over the emitted candidates). */
+  private def ivfDirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  private def ivfAppendSegments(s: SparkSession, dir: String)
+      : (DataFrame, Column) = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") % 7 =!= 3)
+    val delta = e.filter(col("vec_id") % 7 === 3)
+    // frozen at base-build time: appends assign to these cells
+    val cc = centroidArray(base)
+    val fp = sourceFingerprint(dir)
+    val dirKey = ivfDirKey(dir)
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_${dirKey}_$fp"
+    // stale-fingerprint eviction, same hygiene as annIvfIndexed
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"graft_ivf_app_${dirKey}_") &&
+        f.getName != s"graft_ivf_app_${dirKey}_$fp")
+      .foreach(graft.streaming.StreamingPipelines.deleteRecursively)
+    def segment(name: String, df: DataFrame): Unit =
+      if (!new java.io.File(s"$root/$name/_SUCCESS").isFile)
+        graft.sinks.Sinks.writePartitioned(
+          df.withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0)),
+          s"$root/$name", Seq("cell"))
+    segment("base", base)
+    segment("delta", delta) // the append: a new immutable segment only
+    (s.read.parquet(s"$root/base").unionByName(s.read.parquet(s"$root/delta")),
+      cc)
+  }
+
+  private def ivfProbe(e: DataFrame, index: DataFrame, cc: Column,
+                       pruneCells: Boolean): DataFrame = {
+    val q = queriesDf(e)
+      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(col("probe_cells")).as("cell"))
+    val pruned =
+      if (pruneCells) {
+        val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+        index.filter(col("cell").isin(cells.toIndexedSeq: _*))
+      } else index
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    pruned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
+  def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val (index, cc) = ivfAppendSegments(s, dir)
+    ivfProbe(emb(s, dir), index, cc, pruneCells = true)
+  }
+
+  /** Spec reference: the same probe over an IN-MEMORY assignment of
+    * the full corpus to the base-frozen centroids — what the segmented
+    * layout must reproduce exactly. */
+  private[graft] def ivfAppendReference(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cc = centroidArray(e.filter(col("vec_id") % 7 =!= 3))
+    val assigned = e.withColumn("cell",
+      nearestCells(col("v"), cc, 1).getItem(0))
+    ivfProbe(e, assigned, cc, pruneCells = false)
   }
 
   // ---- ann_pq: IVF-PQ — product-quantized candidate scoring ------------
@@ -797,6 +885,7 @@ object Similarity {
     "ann_depth_sweep" -> (annDepthSweep _),
     "ann_pq" -> (annPq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
+    "ann_ivf_append" -> (annIvfAppend _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _),
     "emd_check" -> (emdCheck _))
@@ -913,6 +1002,7 @@ object Similarity {
     "ann_lsh" -> annValueSql("ann_lsh"),
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
+    "ann_ivf_append" -> annValueSql("ann_ivf_append"),
     "ann_pq" -> annValueSql("ann_pq"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),
     "emd_check" -> emdCheckSql)

@@ -204,6 +204,37 @@ object StreamingPipelines {
       .write.mode("append").parquet(storePath)
   }
 
+  // ---- incremental aggregate maintenance (foreachBatch twin) -----------
+  /** The streaming twin of `StorageLayout.qIncrementalAgg`: each
+    * micro-batch APPENDS its mergeable partial aggregates (count,
+    * DECIMAL sum, min, max — commutative monoids) as an immutable
+    * segment, and the serving view folds all segments with the same
+    * monoid merge. No segment is ever rewritten, so at-least-once
+    * redelivery semantics reduce to idempotent-append concerns (the
+    * five-stage pipeline's txn-partition pattern where that matters)
+    * and compaction — qIncrementalAgg's full-outer merge — is purely
+    * an offline cost optimization: correctness never depends on it. */
+  def aggMaintenance(s: SparkSession, storePath: String)(
+      batch: DataFrame, epoch: Long): Unit =
+    batch
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,4)")).as("sum_value_dec"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .write.mode("append").parquet(storePath)
+
+  /** The serving view over the appended segments: fold the partials
+    * with the same monoid operations. */
+  def aggServe(s: SparkSession, storePath: String): DataFrame =
+    s.read.parquet(storePath)
+      .groupBy("event_date", "event_type")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_value_dec").cast("double").as("sum_value"),
+        min("min_value").as("min_value"),
+        max("max_value").as("max_value"))
+
   // ---- the 5-stage dedup pipeline, composed end to end -----------------
   /** The reference's flagship artifact as ONE streaming pipeline:
     * Fragment→Refine (content-defined chunking, encoder.c:999),

@@ -50,6 +50,38 @@ class SimilaritySpec extends SparkSpec {
       "index scan is not partition-pruned")
   }
 
+  test("ann_ivf_append: segmented probe equals in-memory, delta never rewrites base") {
+    val seg = Similarity.annIvfAppend(spark, sfDir)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ref = Similarity.ivfAppendReference(spark, sfDir)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg == ref,
+      s"segmented probe diverged: ${seg.diff(ref).take(5)} vs ${ref.diff(seg).take(5)}")
+    // the append landed as an immutable DELTA segment: base files
+    // untouched by a re-run (mtimes stable), both segments present,
+    // and together they hold the whole corpus exactly once
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val root = Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ivf_app_"))
+      .maxBy(_.lastModified)
+    def files(seg: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root, seg)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val baseBefore = files("base")
+    assert(baseBefore.nonEmpty && files("delta").nonEmpty)
+    Similarity.annIvfAppend(spark, sfDir).collect() // re-run: segments reused
+    assert(files("base") == baseBefore, "append rewrote base segment files")
+    val total = spark.read.parquet(s"$root/base").count() +
+      spark.read.parquet(s"$root/delta").count()
+    assert(total == Tables.embeddings(spark, sfDir).count())
+  }
+
   test("ann_ivf_indexed: cache survives probes against OTHER datasets") {
     // build-once/probe-many contract: a probe against dataset A must
     // not evict dataset B's live index (the bench alternates its
