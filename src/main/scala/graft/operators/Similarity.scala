@@ -172,14 +172,20 @@ object Similarity {
     asCentroidColumn(centroidSeq(e))
 
   private def centroidSeq(e: DataFrame): IndexedSeq[(Long, IndexedSeq[Double])] = {
-    // seed = the IvfCells LOWEST-ID vectors of e (orderBy+limit, not a
-    // `vec_id < IvfCells` filter: identical on the full corpus, but
-    // still yields IvfCells seeds when e is a subset with id gaps —
-    // ann_ivf_append trains its frozen centroids on the base split)
-    var centroids: IndexedSeq[(Long, IndexedSeq[Double])] =
-      e.orderBy("vec_id").limit(IvfCells).collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toIndexedSeq
+    // seed = the IvfCells LOWEST-ID vectors of e. Fast path: the
+    // pushed-filter scan `vec_id < IvfCells` (no sort, no full pass) —
+    // exact whenever ids 0..IvfCells-1 all exist (every full-corpus
+    // caller). Fallback: orderBy+limit, for subset frames with id gaps
+    // (ann_ivf_append trains its frozen centroids on the base split).
+    // The fallback measurably cost ~2× on the k-means paths when it
+    // was the only path (r10c bench), hence the split.
+    var centroids: IndexedSeq[(Long, IndexedSeq[Double])] = {
+      val fast = e.filter(col("vec_id") < IvfCells).orderBy("vec_id").collect()
+      val rows = if (fast.length == IvfCells) fast
+        else e.orderBy("vec_id").limit(IvfCells).collect()
+      rows.map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq)).toIndexedSeq
+    }
     def asColumn(cs: IndexedSeq[(Long, IndexedSeq[Double])]): Column =
       asCentroidColumn(cs)
     for (_ <- 0 until KMeansIters) {
