@@ -400,6 +400,15 @@ object Similarity {
       .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
 
+  /** Deterministic segment root for this dataset's append index —
+    * exposed so the spec inspects the exact layout it just probed
+    * instead of guessing among cached datasets. */
+  private[graft] def ivfAppendRoot(dir: String): String = {
+    val fp = sourceFingerprint(dir)
+    val dirKey = ivfDirKey(dir)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_${dirKey}_$fp"
+  }
+
   private def ivfAppendSegments(s: SparkSession, dir: String)
       : (DataFrame, Column) = {
     val e = emb(s, dir)
@@ -407,10 +416,7 @@ object Similarity {
     val delta = e.filter(col("vec_id") % 7 === 3)
     // frozen at base-build time: appends assign to these cells
     val cc = centroidArray(base)
-    val fp = sourceFingerprint(dir)
-    val dirKey = ivfDirKey(dir)
-    val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_app_${dirKey}_$fp"
+    val root = ivfAppendRoot(dir)
     // stale-fingerprint eviction, same hygiene as annIvfIndexed
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles).getOrElse(Array.empty)

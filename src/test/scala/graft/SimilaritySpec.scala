@@ -62,10 +62,7 @@ class SimilaritySpec extends SparkSpec {
     // the append landed as an immutable DELTA segment: base files
     // untouched by a re-run (mtimes stable), both segments present,
     // and together they hold the whole corpus exactly once
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val root = Option(tmp.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_ivf_app_"))
-      .maxBy(_.lastModified)
+    val root = new java.io.File(Similarity.ivfAppendRoot(sfDir))
     def files(seg: String): Map[String, Long] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
