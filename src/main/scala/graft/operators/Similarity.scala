@@ -417,12 +417,14 @@ object Similarity {
     // frozen at base-build time: appends assign to these cells
     val cc = centroidArray(base)
     val root = ivfAppendRoot(dir)
+    val rootName = new java.io.File(root).getName
     // stale-fingerprint eviction, same hygiene as annIvfIndexed
+    val dirKey = ivfDirKey(dir)
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s"graft_ivf_app_${dirKey}_") &&
-        f.getName != s"graft_ivf_app_${dirKey}_$fp")
-      .foreach(graft.streaming.StreamingPipelines.deleteRecursively)
+        f.getName != rootName)
+      .foreach(graft.streaming.StreamingPipelines.deleteRecursively(_))
     def segment(name: String, df: DataFrame): Unit =
       if (!new java.io.File(s"$root/$name/_SUCCESS").isFile)
         graft.sinks.Sinks.writePartitioned(
