@@ -51,21 +51,32 @@ object Bench {
           .trim.split("\\s+").drop(1).map(_.toLong)
         f.sum - f(3) - f.lift(4).getOrElse(0L) // total - idle - iowait
       } catch { case _: Throwable => -1L }
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").lift(8).map(_.toLong).getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     def processCpuNanos(): Long =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
         case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
         case _ => -1L
       }
     val jiffyHz = 100.0 // kernel USER_HZ as exposed via /proc/stat
-    case class PassEnv(load: Double, ourCpuSec: Double, otherCpuSec: Double)
+    case class PassEnv(load: Double, ourCpuSec: Double, otherCpuSec: Double,
+                       stealSec: Double)
     def measured(thunk: => Either[String, Double]): (Either[String, Double], PassEnv) = {
       val l0 = loadAvg(); val m0 = machineBusyJiffies(); val p0 = processCpuNanos()
+      val s0 = stealJiffies()
       val r = thunk
       val m1 = machineBusyJiffies(); val p1 = processCpuNanos()
+      val s1 = stealJiffies()
       val ours = if (p0 < 0 || p1 < 0) -1.0 else (p1 - p0) / 1e9
       val machine = if (m0 < 0 || m1 < 0) -1.0 else (m1 - m0) / jiffyHz
       val other = if (ours < 0 || machine < 0) -1.0 else math.max(0.0, machine - ours)
-      (r, PassEnv(l0, ours, other))
+      // hypervisor steal: CPU-seconds the HOST ran other tenants while
+      // this guest wanted the cpu — the contention axis load/other_cpu
+      // cannot see on a VM
+      val steal = if (s0 < 0 || s1 < 0) -1.0 else (s1 - s0) / jiffyHz
+      (r, PassEnv(l0, ours, other, steal))
     }
 
     // Self-measuring streaming HARNESSES report their own items/s and
@@ -130,7 +141,7 @@ object Bench {
     def r2(d: Double): Double = math.round(d * 100) / 100.0
     val spread = results.collect { case (n, Some(t), _, oks, envs) =>
       val env = envs.map(e =>
-        s"""{"load":${r2(e.load)},"our_cpu":${r2(e.ourCpuSec)},"other_cpu":${r2(e.otherCpuSec)}}""")
+        s"""{"load":${r2(e.load)},"our_cpu":${r2(e.ourCpuSec)},"other_cpu":${r2(e.otherCpuSec)},"steal":${r2(e.stealSec)}}""")
         .mkString("[", ",", "]")
       jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max},"env":$env}"""
     }.mkString("{", ",", "}")
