@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -442,20 +443,31 @@ object TextAnalysis {
     * keeps the string and the note stays here. */
   private val CrossW = 8
 
-  private[graft] def crossdupFromDocs(d: DataFrame): DataFrame = {
-    val toks = d.select(col("doc_id"),
+  /** Lowercased whitespace tokens + count — shared by the gram family. */
+  private def lowerToks(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       split(trim(lower(col("text"))), "\\s+").as("ts"))
       .withColumn("n_tokens", size(col("ts")).cast("long"))
-    val grams = toks.filter(col("n_tokens") >= CrossW)
+
+  /** One row per [[CrossW]]-token window start: (doc_id, pos, gram). */
+  private def gramStarts(toks: DataFrame): DataFrame =
+    toks.filter(col("n_tokens") >= CrossW)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), (col("n_tokens") - CrossW).cast("int")),
         i => struct((i + 1).as("pos"),
           array_join(slice(col("ts"), i + 1, lit(CrossW)), " ").as("gram")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val dupGrams = grams.groupBy("gram")
+
+  /** Grams that occur in >= 2 distinct documents (partial→final agg). */
+  private def dupGramSet(grams: DataFrame): DataFrame =
+    grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
-    val covered = grams.join(dupGrams, "gram")
+
+  private[graft] def crossdupFromDocs(d: DataFrame): DataFrame = {
+    val toks = lowerToks(d)
+    val grams = gramStarts(toks)
+    val covered = grams.join(dupGramSet(grams), "gram")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (CrossW - 1))).as("p"))
       .distinct()
@@ -498,6 +510,84 @@ object TextAnalysis {
       |  COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
       |  CAST(COALESCE(a.n_dup_positions, 0) AS DOUBLE)
       |    / CAST(b.n_tokens AS DOUBLE) AS dup_frac
+      |FROM sized b LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // ---- dedup_substring: maximal duplicated-substring runs --------------
+  /** ExactSubstr-style substring-run deduplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * where text_crossdup measures per-POSITION duplicate coverage,
+    * this finds each document's maximal RUNS of consecutive
+    * duplicated [[CrossW]]-token windows. A run of R consecutive
+    * duplicated window starts is a substring of R + W - 1 tokens
+    * shared verbatim with at least one other document; documents
+    * whose longest such substring reaches [[MinDupSubstr]] tokens are
+    * flagged for removal (the scaled-down analog of the paper's
+    * 50-BPE-token cut — the synthetic docs top out near 100 tokens).
+    *
+    * Shape at 100 TB: the shared crossdup gram machinery (explode →
+    * distinct-doc agg → equi-join back) plus gaps-and-islands over a
+    * PARTITIONED per-doc row_number window and two grouped aggs —
+    * no unpartitioned window, nothing quadratic. The paper's
+    * suffix-array formulation is single-machine; windowed grams are
+    * the shuffle-shaped equivalent for duplicated runs >= W tokens. */
+  private val MinDupSubstr = 20
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringFromDocs(docs(s, dir))
+
+  private[graft] def dedupSubstringFromDocs(d: DataFrame): DataFrame = {
+    val toks = lowerToks(d)
+    val grams = gramStarts(toks)
+    val runs = grams.join(dupGramSet(grams), "gram")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_windows"))
+    val perDoc = runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_dup_runs"),
+      max(col("run_windows")).as("max_run_windows"))
+    toks.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_runs"), lit(0L)).as("n_dup_runs"),
+        coalesce(col("max_run_windows") + (CrossW - 1), lit(0L))
+          .as("max_dup_substr_tokens"),
+        (coalesce(col("max_run_windows") + (CrossW - 1), lit(0L)) >=
+          MinDupSubstr).as("drop_doc"))
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |  FROM documents
+      |), sized AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM base
+      |), grams AS (
+      |  SELECT doc_id, pos, array_to_string(ts[pos:pos+${CrossW - 1}], ' ') AS gram
+      |  FROM (
+      |    SELECT doc_id, ts,
+      |      unnest(generate_series(1, CAST(n_tokens - ${CrossW - 1} AS BIGINT))) AS pos
+      |    FROM sized WHERE n_tokens >= $CrossW
+      |  )
+      |), dup AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |), isl AS (
+      |  SELECT g.doc_id,
+      |    g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+      |  FROM grams g JOIN dup d USING (gram)
+      |), runs AS (
+      |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_windows
+      |  FROM isl GROUP BY doc_id, grp
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+      |    MAX(run_windows) AS mx
+      |  FROM runs GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.n_tokens,
+      |  COALESCE(a.n_dup_runs, 0) AS n_dup_runs,
+      |  COALESCE(a.mx + ${CrossW - 1}, 0) AS max_dup_substr_tokens,
+      |  COALESCE(a.mx + ${CrossW - 1}, 0) >= $MinDupSubstr AS drop_doc
       |FROM sized b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   // ---- text_paragraph_dedup: cross-doc paragraph-level exact dedup -----
@@ -576,6 +666,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_paragraph_dedup" -> (textParagraphDedup _),
+    "dedup_substring" -> (dedupSubstring _),
     "text_crossdup" -> (textCrossdup _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
@@ -589,6 +680,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_paragraph_dedup" -> textParagraphDedupSql,
+    "dedup_substring" -> dedupSubstringSql,
     "text_crossdup" -> textCrossdupSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,

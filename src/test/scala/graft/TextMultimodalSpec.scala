@@ -345,6 +345,63 @@ class TextMultimodalSpec extends SparkSpec {
     assert(expect.values.exists(v => v._2 < v._1), "every paragraph duplicated")
   }
 
+  test("dedup_substring: matches a driver-local gaps-and-islands reference") {
+    // local reference: same 8-token windows, cross-doc dup rule,
+    // maximal consecutive runs, over the sf0.001 corpus
+    val W = 8
+    val docsLocal = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val grams = docsLocal.flatMap { case (id, ts) =>
+      ts.sliding(W).filter(_.size == W).zipWithIndex
+        .map { case (w, i) => (id, i + 1, w.mkString(" ")) }
+    }
+    val nd = grams.groupBy(_._3).map { case (g, occ) =>
+      g -> occ.map(_._1).distinct.size
+    }
+    val expect = docsLocal.map { case (id, ts) =>
+      val starts = grams.filter(g => g._1 == id && nd(g._3) >= 2)
+        .map(_._2).sorted
+      // islands: consecutive starts form one run
+      val runs = starts.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.map { case (s, e) => e - s + 1 }
+      val mx = if (runs.isEmpty) 0L else runs.max.toLong + (W - 1)
+      id -> ((ts.size.toLong, runs.size.toLong, mx, mx >= 20))
+    }.toMap
+    val got = TextAnalysis.dedupSubstring(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_runs"),
+          r.getAs[Long]("max_dup_substr_tokens"), r.getAs[Boolean]("drop_doc"))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // the corpus must exercise both drop branches or the spec proved nothing
+    assert(expect.values.exists(_._4), "no doc over the drop threshold")
+    assert(expect.values.exists(v => !v._4), "every doc over the threshold")
+    // gapped runs (no doc at this sf has two separate islands): inject a
+    // doc sharing two NON-adjacent 8-token spans with a second doc —
+    // two runs of one window each, neither reaching the 20-token cut
+    import spark.implicits._
+    val span1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 5).map(i => s"g$i").mkString(" ")
+    val injected = Seq(
+      (1L, s"$span1 $gap $span2"),
+      (2L, s"$span1 x y z $span2"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val inj = TextAnalysis.dedupSubstringFromDocs(injected).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_runs"), r.getAs[Long]("max_dup_substr_tokens"),
+          r.getAs[Boolean]("drop_doc")))).toMap
+    assert(inj(1L) == ((2L, 8L, false)), s"doc 1: ${inj(1L)}")
+    assert(inj(2L) == ((2L, 8L, false)), s"doc 2: ${inj(2L)}")
+    assert(inj(3L) == ((0L, 0L, false)), s"doc 3: ${inj(3L)}")
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
