@@ -98,6 +98,90 @@ object TextAnalysis {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- text_gopher_filter: Gopher rule-based quality gate --------------
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models", Table A1) as a hard per-document gate —
+    * complementary to text_quality, which SCORES: this one applies
+    * the published pass/fail RULES and emits every rule verdict so a
+    * curation run can audit which rule cut each document.
+    * Rules kept (the corpus is single-line, so the line-shape rules —
+    * bullet/ellipsis line fractions — have no domain here and are
+    * documented out):
+    *   1. 50 <= word count <= 100,000
+    *   2. 3 <= mean word length <= 10
+    *   3. symbol-to-word ratio <= 0.1 ('#' or '...' occurrences)
+    *   4. >= 80% of words contain at least one alphabetic character
+    *   5. >= 2 distinct stop words present — the paper's rule over
+    *      its 8-word list (the/be/to/of/and/that/have/with); the
+    *      synthetic corpus vocabulary only contains "the" of those,
+    *      so the LIST is adapted to the corpus language profile
+    *      (the same stop inventory text_quality scores with) while
+    *      the >= 2-distinct RULE stays the paper's
+    * keep = all five. Pure map stage over the corpus — array-local
+    * expressions, no shuffle, embarrassingly parallel at 100 TB; all
+    * arithmetic integer-seeded so the doubles are bit-identical
+    * cross-engine. */
+  private val GopherStops = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "for", "on", "with", "as")
+
+  def textGopherFilter(s: SparkSession, dir: String): DataFrame =
+    gopherFromDocs(docs(s, dir))
+
+  private[graft] def gopherFromDocs(d: DataFrame): DataFrame = {
+    val ts = split(trim(lower(col("text"))), "\\s+")
+    val nWords = size(ts).cast("long")
+    val sumLen = aggregate(ts, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = sumLen.cast("double") / nWords.cast("double")
+    val nSymbols = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val symbolRatio = nSymbols.cast("double") / nWords.cast("double")
+    val nAlphaWords = size(filter(ts, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val alphaFrac = nAlphaWords.cast("double") / nWords.cast("double")
+    val nStops = size(array_intersect(array_distinct(ts),
+      array(GopherStops.map(lit): _*))).cast("long")
+    d.select(col("doc_id"), nWords.as("n_words"),
+      meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"), nStops.as("n_stop_types"))
+      .withColumn("ok_word_count", col("n_words").between(50L, 100000L))
+      .withColumn("ok_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("ok_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_alpha_words", col("alpha_word_frac") >= 0.8)
+      .withColumn("ok_stop_words", col("n_stop_types") >= 2L)
+      .withColumn("keep", col("ok_word_count") && col("ok_mean_word_len") &&
+        col("ok_symbol_ratio") && col("ok_alpha_words") && col("ok_stop_words"))
+  }
+
+  val textGopherFilterSql: String = {
+    val stops = GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+      |      / CAST(len(ts) AS BIGINT) AS mean_word_len,
+      |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+      |      / CAST(len(ts) AS BIGINT) AS symbol_ratio,
+      |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+      |      / CAST(len(ts) AS BIGINT) AS alpha_word_frac,
+      |    CAST(len(list_intersect(list_distinct(ts), [$stops])) AS BIGINT)
+      |      AS n_stop_types
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |    FROM documents
+      |  )
+      |)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+      |  n_stop_types,
+      |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+      |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+      |  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+      |  alpha_word_frac >= 0.8 AS ok_alpha_words,
+      |  n_stop_types >= 2 AS ok_stop_words,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+      |    AND n_stop_types >= 2 AS keep
+      |FROM m""".stripMargin
+  }
+
   // ---- text_langid: marker-word heuristic language ID ------------------
   private val LangMarkers: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of|is|to|in|that|it|was|for)\\b",
@@ -671,6 +755,7 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_gopher_filter" -> (textGopherFilter _),
     "text_langid" -> (textLangid _),
     "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _),
@@ -685,6 +770,7 @@ object TextAnalysis {
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
+    "text_gopher_filter" -> textGopherFilterSql,
     "text_langid" -> textLangidSql,
     "text_tfidf" -> textTfidfSql,
     "text_fingerprint" -> textFingerprintSql,

@@ -402,6 +402,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(inj(3L) == ((0L, 0L, false)), s"doc 3: ${inj(3L)}")
   }
 
+  test("text_gopher_filter: each rule isolated by an injected doc; corpus sane") {
+    import spark.implicits._
+    val stops = "the be to of and that have with"        // 8 stop types, 24 chars
+    val filler = (1 to 52).map(i => f"word$i%02d").mkString(" ") // 52 × 6 chars
+    val injected = Seq(
+      (1L, s"$stops $filler"),                           // 60 words, all rules pass
+      (2L, s"$stops again again"),                       // 10 words: word-count fails
+      (3L, (1 to 60).map(_ => "12345").mkString(" ")),   // numeric: alpha + stops fail
+      (4L, s"$stops ${(1 to 45).map(i => f"word$i%02d").mkString(" ")} " +
+        (1 to 7).map(_ => "#").mkString(" ")),           // 60 words, 7 '#': symbol fails
+      (5L, (1 to 60).map(_ => "abcdefghijkl").mkString(" "))) // mean len 12: fails
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFromDocs(injected).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def flags(id: Long): (Boolean, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val x = r(id)
+      (x.getAs[Boolean]("ok_word_count"), x.getAs[Boolean]("ok_mean_word_len"),
+        x.getAs[Boolean]("ok_symbol_ratio"), x.getAs[Boolean]("ok_alpha_words"),
+        x.getAs[Boolean]("ok_stop_words"), x.getAs[Boolean]("keep"))
+    }
+    assert(flags(1L) == ((true, true, true, true, true, true)))
+    assert(flags(2L) == ((false, true, true, true, true, false)))
+    assert(flags(3L) == ((true, true, true, false, false, false)))
+    assert(flags(4L) == ((true, true, false, true, true, false)),
+      s"doc 4: ${flags(4L)}")
+    assert(flags(5L) == ((true, false, true, true, false, false)))
+    assert(r(1L).getAs[Long]("n_words") == 60L)
+    assert(r(4L).getAs[Double]("symbol_ratio") > 0.1)
+    // corpus: one row per doc, both keep branches exercised
+    val corpus = TextAnalysis.textGopherFilter(spark, sfDir).cache()
+    assert(corpus.count() == Tables.documents(spark, sfDir).count())
+    assert(corpus.filter(col("keep")).count() > 0, "no doc keeps")
+    assert(corpus.filter(!col("keep")).count() > 0, "every doc keeps")
+    corpus.unpersist()
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
