@@ -330,15 +330,101 @@ object StorageLayout {
       |  MAX("value") AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q_delta_upsert: MERGE-style latest-wins dimension maintenance ---
+  /** Keyed upsert maintenance — Delta/Iceberg `MERGE INTO ... WHEN
+    * MATCHED UPDATE / WHEN NOT MATCHED INSERT` semantics built from
+    * Spark primitives: a persisted per-(user_id, event_type)
+    * LATEST-EVENT snapshot (the dimension a serving layer reads) is
+    * maintained against a bounded batch slice. Batch rows win on key
+    * collision (`update`), new keys land (`insert`), untouched store
+    * rows pass through (`keep`), and every output row carries its
+    * MERGE action for audit. "Latest" is the total order
+    * (ts, event_id), so the pick is deterministic on both engines.
+    *
+    * Shape at 100 TB: per-key top-1 on each side is a PARTITIONED
+    * window (and the store side is a stored table in production —
+    * only the batch pays its window per run), then ONE keyed
+    * full-outer join with both sides dimension-sized (distinct keys),
+    * never event-sized. Oracled against DuckDB's one-shot
+    * latest-per-key over the same event range with the action
+    * re-derived from pre/post existence — the merge must reproduce
+    * the full recompute exactly. */
+  private val UpsertStoreCutoff = "2024-01-05"
+  private val UpsertBatchEnd = "2024-01-08"
+
+  private def latestPerKey(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .select("user_id", "event_type", "ts", "event_id", "value")
+
+  def qDeltaUpsert(s: SparkSession, dir: String): DataFrame = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_dimstore_$suffix"
+    val cutoff = lit(UpsertStoreCutoff).cast("timestamp")
+    val batchEnd = lit(UpsertBatchEnd).cast("timestamp")
+    ingestOnce(path) {
+      latestPerKey(Tables.events(s, dir).filter(col("ts") < cutoff))
+        .write.mode("overwrite").parquet(path)
+    }
+    val store = s.read.parquet(path)
+    val batch = latestPerKey(Tables.events(s, dir)
+      .filter(col("ts") >= cutoff && col("ts") < batchEnd))
+    store.select(col("user_id"), col("event_type"), col("ts").as("ts_a"),
+        col("event_id").as("id_a"), col("value").as("v_a"))
+      .join(batch.select(col("user_id"), col("event_type"), col("ts").as("ts_b"),
+        col("event_id").as("id_b"), col("value").as("v_b")),
+        Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        date_format(coalesce(col("ts_b"), col("ts_a")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_ts"),
+        coalesce(col("id_b"), col("id_a")).as("last_event_id"),
+        coalesce(col("v_b"), col("v_a")).as("last_value"),
+        when(col("ts_a").isNotNull && col("ts_b").isNotNull, "update")
+          .when(col("ts_a").isNull, "insert")
+          .otherwise("keep").as("action"))
+  }
+
+  /** Full recompute: latest-per-key over the whole [min, batchEnd)
+    * range, action re-derived from pre/post-cutoff existence. Equal
+    * because every batch ts >= cutoff > every store ts, so
+    * batch-wins-on-collision IS global latest. */
+  val qDeltaUpsertSql: String =
+    s"""WITH ranged AS (
+      |  SELECT user_id, event_type, ts, event_id, "value"
+      |  FROM events WHERE ts < TIMESTAMP '$UpsertBatchEnd'
+      |), latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ranged
+      |  ) WHERE rn = 1
+      |), flags AS (
+      |  SELECT user_id, event_type,
+      |    max(CASE WHEN ts < TIMESTAMP '$UpsertStoreCutoff' THEN 1 ELSE 0 END) AS pre,
+      |    max(CASE WHEN ts >= TIMESTAMP '$UpsertStoreCutoff' THEN 1 ELSE 0 END) AS post
+      |  FROM ranged GROUP BY 1, 2
+      |)
+      |SELECT l.user_id, l.event_type,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+      |  l.event_id AS last_event_id, l."value" AS last_value,
+      |  CASE WHEN f.pre = 1 AND f.post = 1 THEN 'update'
+      |       WHEN f.pre = 0 THEN 'insert' ELSE 'keep' END AS action
+      |FROM latest l JOIN flags f USING (user_id, event_type)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_colocated_join" -> (qColocatedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_delta_upsert" -> (qDeltaUpsert _),
     "q_zorder_skip" -> (qZorderSkip _))
 
   val oracle: Map[String, String] = Map(
     "q_colocated_join" -> qColocatedJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_incremental_agg" -> qIncrementalAggSql,
+    "q_delta_upsert" -> qDeltaUpsertSql,
     "q_zorder_skip" -> qZorderSkipSql)
 }

@@ -171,6 +171,38 @@ class StorageLayoutSpec extends SparkSpec {
     assert(mergedPre.count() > 0)
   }
 
+  test("q_delta_upsert: merge equals one-shot latest-per-key, all actions occur") {
+    val merged = StorageLayout.qDeltaUpsert(spark, sfDir).cache()
+    // one-shot recompute: latest (ts, event_id) per key over the full range
+    val ranged = Tables.events(spark, sfDir)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val full = ranged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("event_id").as("last_event_id"), col("value").as("last_value"))
+    assert(merged.drop("action").collect().map(_.toString).sorted.toSeq ==
+      full.collect().map(_.toString).sorted.toSeq)
+    // one output row per distinct key in range
+    assert(merged.count() ==
+      ranged.select("user_id", "event_type").distinct().count())
+    // the corpus exercises every MERGE action at this sf
+    val actions = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("update", "insert", "keep").subsetOf(actions.keySet),
+      s"missing actions: $actions")
+    // keep rows are the store rows untouched: their ts predates the cutoff
+    assert(merged.filter(col("action") === "keep" &&
+      col("last_ts") >= "2024-01-05").count() == 0)
+    // insert rows carry only batch-era timestamps
+    assert(merged.filter(col("action") === "insert" &&
+      col("last_ts") < "2024-01-05").count() == 0)
+    merged.unpersist()
+  }
+
   test("q_partition_prune: equals the time-range filter on the source table") {
     val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
     val plain = Tables.events(spark, sfDir)
