@@ -49,6 +49,53 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_filtered: metadata-predicate-constrained vector search ------
+  /** Filtered vector search — the serving-layer verb every vector
+    * store exposes ("top-k nearest WHERE label = X"): each query's
+    * candidate pool is PRE-FILTERED to its own label before exact
+    * cosine ranking, the strategy that keeps recall exact under a
+    * selective predicate (post-filtering an unfiltered top-k loses
+    * results whenever fewer than k survive the filter).
+    *
+    * The predicate is expressed as the JOIN KEY (label = qlabel), so
+    * Spark plans a keyed join instead of a scan-everything-and-test:
+    * with the broadcast query batch only matching-label rows score at
+    * all. At 100 TB the same query rides the label-partitioned IVF
+    * index (ann_ivf_indexed's layout with label as a partition
+    * column) — the filter becomes partition pruning and the cosine
+    * work drops by the predicate's selectivity; this entry is that
+    * path's exact ground truth, and unlike the learned-structure
+    * variants it is FULLY oracled (the filter is SQL-expressible). */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+  }
+
+  val annFilteredSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+      |             CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, q.qlabel, e.vec_id,
+      |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings e JOIN q
+      |    ON e.label = q.qlabel AND e.vec_id <> q.query_id)
+      |SELECT * FROM (
+      |  SELECT query_id, qlabel, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
   // ---- ann_lsh: sketch probe + over-fetch + exact re-rank --------------
   private val LshTables = 16
   private val LshBits = 4
@@ -892,6 +939,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
@@ -1011,6 +1059,7 @@ object Similarity {
     "ferret_emd" -> ferretEmdSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_depth_picks" -> annDepthPicksSql,
     "ann_depth_sweep" -> annDepthSweepSql,
     "ann_lsh" -> annValueSql("ann_lsh"),

@@ -18,6 +18,41 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ann_filtered: label-constrained top-k, pre-filter beats post-filter") {
+    val res = Similarity.annFiltered(spark, sfDir).cache()
+    // exactly K rows per query (every label has > K members at this sf)
+    assert(res.count() == Similarity.NQueries.toLong * Similarity.TopK)
+    assert(res.filter(col("query_id") === col("vec_id")).count() == 0)
+    // every returned candidate actually carries the query's label
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    assert(res.join(emb, "vec_id")
+      .filter(col("label") =!= col("qlabel")).count() == 0)
+    // within-label ranking agrees with the unfiltered exact ranking:
+    // the filtered top-k is the same-label prefix of the full ordering,
+    // so any bruteforce row with the query's label must appear here
+    // with rank <= its unfiltered same-label position
+    val bf = Similarity.annBruteforce(spark, sfDir)
+      .join(emb, "vec_id")
+      .select(col("query_id").as("bq"), col("vec_id").as("bv"), col("label"))
+    val qlabels = res.select("query_id", "qlabel").distinct()
+    val bfSameLabel = bf.join(qlabels,
+      col("bq") === col("query_id") && col("label") === col("qlabel"))
+    val missing = bfSameLabel.join(res.select(col("query_id").as("rq"),
+        col("vec_id").as("rv")),
+      col("bq") === col("rq") && col("bv") === col("rv"), "left_anti")
+    assert(missing.count() == 0,
+      "a same-label global-top-k neighbor is absent from the filtered top-k")
+    // the filter matters: some filtered pick is NOT in the global top-k
+    // (post-filtering the unfiltered top-k would have lost it)
+    val extra = res.join(
+      Similarity.annBruteforce(spark, sfDir)
+        .select(col("query_id").as("bq"), col("vec_id").as("bv")),
+      col("query_id") === col("bq") && col("vec_id") === col("bv"), "left_anti")
+    assert(extra.count() > 0, "filtered == unfiltered: predicate tested nothing")
+    res.unpersist()
+  }
+
   test("ann_lsh: at most K per query, results are real neighbors") {
     val res = Similarity.annLsh(spark, sfDir).cache()
     assert(res.count() > 0)
