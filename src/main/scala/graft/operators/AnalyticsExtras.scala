@@ -613,7 +613,114 @@ object AnalyticsExtras {
       |FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
       |JOIN nation n ON n.n_nationkey = COALESCE(c.nationkey, s.nationkey)""".stripMargin
 
+  // ---- q_retention: cohort retention matrix over events ----------------
+  /** Classic cohort retention: users are cohorted by first-activity
+    * date; for each (cohort, day-offset) cell, the count and fraction
+    * of the cohort active that day. Three grouped aggregations and
+    * one dimension-sized join (cohort table is user-cardinality, the
+    * output is days × offsets) — every shuffle is keyed, nothing
+    * windows globally, so the shape is flat at any event volume. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = activity.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    val cohortSize = cohort.groupBy("cohort_d")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    activity.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("d"), col("cohort_d")))
+      .groupBy(col("cohort_d"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(cohortSize, "cohort_d")
+      .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention_rate"))
+  }
+
+  val qRetentionSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_d FROM a GROUP BY 1),
+      |cs AS (SELECT cohort_d, COUNT(DISTINCT user_id) AS cohort_size FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT c.cohort_d,
+      |    CAST(date_diff('day', c.cohort_d, a.d) AS INT) AS day_offset,
+      |    COUNT(DISTINCT a.user_id) AS n_active
+      |  FROM a JOIN c USING (user_id) GROUP BY 1, 2
+      |)
+      |SELECT strftime(r.cohort_d, '%Y-%m-%d') AS cohort_date, r.day_offset,
+      |  r.n_active, cs.cohort_size,
+      |  CAST(r.n_active AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention_rate
+      |FROM r JOIN cs USING (cohort_d)""".stripMargin
+
+  // ---- q_funnel: ordered event funnel within a time window -------------
+  /** Conversion-funnel depth (the windowFunnel verb): per user, the
+    * deepest prefix of view → click → purchase completed with the
+    * click and purchase both inside [[FunnelWindowUs]] of the view,
+    * each step strictly after the previous. Two window passes over
+    * user-partitioned event time — no self-join, nothing quadratic:
+    *   pass 1 (ROWS following, total order (us, event_id)): each
+    *     event's earliest strictly-later purchase timestamp;
+    *   pass 2 (RANGE (us, us+T]): per view, the earliest
+    *     purchase-after-a-click over clicks in the window — if that
+    *     lands inside the window the chain closed.
+    * "After" is the (us, event_id) lexicographic order on ties,
+    * identical in both engines, so the result is deterministic. */
+  private val FunnelWindowUs = 24L * 3600L * 1000000L
+
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val wRows = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(1L, FunnelWindowUs)
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("fp_after",
+        min(when(col("event_type") === "purchase", col("us"))).over(wRows))
+      .withColumn("click_in_w",
+        min(when(col("event_type") === "click", col("us"))).over(wRange))
+      .withColumn("chain_p",
+        min(when(col("event_type") === "click", col("fp_after"))).over(wRange))
+    staged.filter(col("event_type") === "view")
+      .select(col("user_id"),
+        when(col("chain_p") <= col("us") + FunnelWindowUs, 3)
+          .when(col("click_in_w").isNotNull, 2)
+          .otherwise(1).as("depth"))
+      .groupBy("user_id")
+      .agg(max(col("depth")).as("funnel_depth"),
+        sum(when(col("depth") === 3, 1L).otherwise(0L)).as("n_full_chains"))
+  }
+
+  val qFunnelSql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), staged AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fp_after
+      |  FROM e
+      |), scoped AS (
+      |  SELECT user_id, event_type, us,
+      |    min(CASE WHEN event_type = 'click' THEN us END) OVER w AS click_in_w,
+      |    min(CASE WHEN event_type = 'click' THEN fp_after END) OVER w AS chain_p
+      |  FROM staged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 1 FOLLOWING AND $FunnelWindowUs FOLLOWING)
+      |)
+      |SELECT user_id, MAX(depth) AS funnel_depth,
+      |  SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS n_full_chains
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN chain_p <= us + $FunnelWindowUs THEN 3
+      |         WHEN click_in_w IS NOT NULL THEN 2 ELSE 1 END AS depth
+      |  FROM scoped WHERE event_type = 'view'
+      |) GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (qRetention _),
+    "q_funnel" -> (qFunnel _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_cube" -> (qCube _),
     "q_string_agg" -> (qStringAgg _),
@@ -636,6 +743,8 @@ object AnalyticsExtras {
     "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_retention" -> qRetentionSql,
+    "q_funnel" -> qFunnelSql,
     "q_moving_avg" -> qMovingAvgSql,
     "q_cube" -> qCubeSql,
     "q_string_agg" -> qStringAggSql,

@@ -229,4 +229,64 @@ class AnalyticsExtrasSpec extends SparkSpec {
       .select(col("s_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(rows.length == (cust ++ supp).size)
   }
+
+  test("q_retention: offset-0 is the full cohort, counts bounded by cohort size") {
+    val r = AnalyticsExtras.qRetention(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // day 0: every cohort member is active by definition
+    assert(r.filter(col("day_offset") === 0 &&
+      col("n_active") =!= col("cohort_size")).count() == 0)
+    assert(r.filter(col("day_offset") === 0 &&
+      col("retention_rate") =!= 1.0).count() == 0)
+    // no cell exceeds its cohort, offsets are non-negative
+    assert(r.filter(col("n_active") > col("cohort_size")).count() == 0)
+    assert(r.filter(col("day_offset") < 0).count() == 0)
+    // cohort sizes partition the user population
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val sumCohorts = r.filter(col("day_offset") === 0)
+      .agg(sum(col("cohort_size"))).collect()(0).getLong(0)
+    assert(sumCohorts == users)
+    r.unpersist()
+  }
+
+  test("q_funnel: depths match a driver-local quadratic reference") {
+    val T = 24L * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2)).toIndexedSeq
+      val depths = sorted.zipWithIndex.collect {
+        case ((_, _, "view", vUs), i) =>
+          val inWin = sorted.drop(i + 1).filter(r => r._4 > vUs && r._4 <= vUs + T)
+          // O(n^2) reference: any click with a later purchase, both in window
+          val full = inWin.exists { case (_, cid, cty, cUs) =>
+            cty == "click" && sorted.exists { case (_, pid, pty, pUs) =>
+              pty == "purchase" && pUs <= vUs + T &&
+                (pUs > cUs || (pUs == cUs && pid > cid))
+            }
+          }
+          if (full) 3
+          else if (inWin.exists(_._3 == "click")) 2
+          else 1
+      }
+      u -> ((if (depths.isEmpty) None else Some(depths.max),
+        depths.count(_ == 3).toLong))
+    }
+    val got = AnalyticsExtras.qFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("funnel_depth"), r.getAs[Long]("n_full_chains")))).toMap
+    // one output row per user WITH at least one view
+    assert(got.keySet == expect.filter(_._2._1.isDefined).keySet)
+    expect.foreach {
+      case (u, (Some(d), nf)) =>
+        assert(got(u) == ((d, nf)), s"user $u: got ${got(u)}, expected ($d, $nf)")
+      case _ => ()
+    }
+    // the corpus exercises the full funnel and at least one shallower depth
+    assert(got.values.exists(_._1 == 3), "no user completed the funnel")
+  }
 }
