@@ -235,6 +235,38 @@ object StreamingPipelines {
         min("min_value").as("min_value"),
         max("max_value").as("max_value"))
 
+  // ---- latest-wins upsert maintenance (foreachBatch twin) --------------
+  /** The streaming twin of `StorageLayout.qDeltaUpsert`: each
+    * micro-batch reduces to its per-(user_id, event_type) latest row
+    * and APPENDS it as an immutable segment (the LSM memtable-flush
+    * contract — no stored file is ever rewritten); the serving view
+    * merges segments by taking the per-key (ts, event_id)-max row.
+    * Batch-wins-on-collision is therefore not a special merge rule
+    * but a consequence of event-time order, late/redelivered rows are
+    * absorbed because the fold is an idempotent max over a set, and
+    * compaction — qDeltaUpsert's full-outer merge — stays an offline
+    * cost optimization that correctness never depends on. */
+  def upsertMaintenance(s: SparkSession, storePath: String)(
+      batch: DataFrame, epoch: Long): Unit =
+    batch.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .write.mode("append").parquet(storePath)
+
+  /** Serving view over the upsert segments: per-key latest under the
+    * same (ts, event_id) total order. */
+  def upsertServe(s: SparkSession, storePath: String): DataFrame =
+    s.read.parquet(storePath)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
   // ---- the 5-stage dedup pipeline, composed end to end -----------------
   /** The reference's flagship artifact as ONE streaming pipeline:
     * Fragment→Refine (content-defined chunking, encoder.c:999),

@@ -205,6 +205,62 @@ class StreamingSpec extends SparkSpec {
     StreamingPipelines.deleteRecursively(dir)
   }
 
+  test("upsert maintenance: serve view is latest-per-key, late rows absorbed") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_store").toFile
+    val storePath = new java.io.File(dir, "store").getAbsolutePath
+    val source = MemoryStream[(Long, String, Long, String, Double)]
+    val q = source.toDF().toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch(StreamingPipelines.upsertMaintenance(spark, storePath) _)
+      .outputMode(OutputMode.Append()).start()
+    // batch 2 updates a key from batch 1; batch 3 redelivers an OLDER
+    // row for that key (late data) which must NOT displace the newer
+    // stored row, plus a same-ts tie broken by event_id
+    val batches = Seq(
+      Seq((1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+        (2L, "2024-01-01 11:00:00", 7L, "click", 2.0),
+        (3L, "2024-01-01 12:00:00", 8L, "view", 3.0)),
+      Seq((4L, "2024-01-02 09:00:00", 7L, "view", 4.0),
+        (5L, "2024-01-02 10:00:00", 9L, "buy", 5.0)),
+      Seq((6L, "2024-01-01 08:00:00", 7L, "view", 6.0),
+        (7L, "2024-01-02 10:00:00", 9L, "buy", 7.0)))
+    var fed = Seq.empty[(Long, String, Long, String, Double)]
+    batches.foreach { b =>
+      source.addData(b)
+      q.processAllAvailable()
+      fed = fed ++ b
+      val mirror = fed.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(_.toString).sorted.toSeq
+      val served = StreamingPipelines.upsertServe(spark, storePath)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect().map(_.toString).sorted.toSeq
+      assert(served == mirror, s"serve view diverged after ${fed.size} rows")
+    }
+    q.stop()
+    // the late row (event 6) lost to the stored newer row (event 4),
+    // and the same-ts tie (7 vs 5) resolved to the higher event_id
+    val kept = StreamingPipelines.upsertServe(spark, storePath)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("event_id")).toMap
+    assert(kept((7L, "view")) == 4L, s"late row displaced the newer one: $kept")
+    assert(kept((9L, "buy")) == 7L, s"same-ts tie not broken by event_id: $kept")
+    // segments are immutable: more stored rows than live keys
+    assert(spark.read.parquet(storePath).count() >
+      StreamingPipelines.upsertServe(spark, storePath).count())
+    StreamingPipelines.deleteRecursively(dir)
+  }
+
   test("incremental ingest: digest store converges to earliest-arrival uniques") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
