@@ -153,6 +153,39 @@ object OlapExtras {
       |  COALESCE(CAST(CAST(SUM(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(12,4)) END) AS VARCHAR) AS DOUBLE), 0.0) AS qty_p
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- q_unpivot: wide-to-long reshaping (the pivot inverse) -----------
+  /** UNPIVOT: the four lineitem measures reshaped to (measure, value)
+    * rows — the wide-to-long verb feeding any generic per-metric
+    * pipeline (profiling, drift monitors, sparse ML feature rows).
+    * Spark's `unpivot` plans ONE scan with an Expand (each input row
+    * fans to 4 tagged copies map-side, no shuffle anywhere) where the
+    * naive UNION-ALL formulation the oracle uses pays 4 scans — the
+    * same trade q_multi_distinct documents for Expand on the agg
+    * side. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "value")
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+      |  CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'extendedprice',
+      |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'discount',
+      |  CAST(l_discount AS DOUBLE) FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'tax',
+      |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin
+
   // ---- q_scalar_subq: correlated-scalar-subquery semantics -------------
   /** Customers above their nation's average balance — the correlated
     * scalar subquery, expressed as the decorrelated broadcast join
@@ -423,6 +456,7 @@ object OlapExtras {
     "q_wordcount" -> (qWordcount _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_scalar_subq" -> (qScalarSubq _),
     "q_stream_join" -> (qStreamJoin _))
 
@@ -435,6 +469,7 @@ object OlapExtras {
     "q_percentile" -> qPercentileSql,
     "q_wordcount" -> qWordcountSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_scalar_subq" -> qScalarSubqSql,
     "q_stream_join" -> qStreamJoinSql)
 }

@@ -123,4 +123,27 @@ class OlapExtrasSpec extends SparkSpec {
       assert(rows.exists(_.getAs[Long]("overestimate") > 0L),
         "no CMS collision at w=1024 — gate tested nothing")
   }
+
+  test("q_unpivot: 4x fan-out, values round-trip, one scan via Expand") {
+    val res = OlapExtras.qUnpivot(spark, sfDir).cache()
+    val li = Tables.lineitem(spark, sfDir)
+    assert(res.count() == 4L * li.count())
+    // every measure exactly once per source row — as a MULTISET match,
+    // because the synthetic lineitem repeats (orderkey, linenumber) keys
+    def multiset(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for (m <- Seq("quantity", "tax")) {
+      val got = multiset(res.filter(col("measure") === m)
+        .select("l_orderkey", "l_linenumber", "value"))
+      val want = multiset(li.select(col("l_orderkey"), col("l_linenumber"),
+        col(s"l_$m").cast("double").as("value")))
+      assert(got == want, s"$m rows diverge from the source")
+    }
+    // the whole reshape is ONE scan + Expand (not a 4-scan union)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in plan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "unpivot must read the table exactly once")
+    res.unpersist()
+  }
 }
