@@ -274,6 +274,160 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 3])) AS BIGINT) AS b_sum
       |FROM px""".stripMargin
 
+  // ---- mm_phash: perceptual-hash image near-dup ------------------------
+  /** Image near-duplicate detection by perceptual average-hash
+    * (aHash): decode → per-pixel luma (r+g+b) → one bit per pixel
+    * (luma strictly above the image mean, integer cross-multiplied so
+    * no division is involved) → geometry-blocked banded candidate
+    * pairs → exact Hamming verify. The banding is the dedup_simhash
+    * machinery (3 × 14-bit slices, covering the ≤ 42-pixel hash)
+    * with the (width, height) block as an extra join key — different
+    * geometries are never compared, and nothing is all-pairs at
+    * scale: full-size images hash to 64-bit grids where the bands
+    * discriminate exactly as SimHash's do.
+    *
+    * The image column is synthesized like mm_features' (no image
+    * files in this sandbox) but from a LOCALITY-SENSITIVE source —
+    * pixels render the doc's 32-bucket word-shape histogram — so
+    * near-duplicate documents produce near-duplicate IMAGES and the
+    * Hamming spectrum is real (0..n across the corpus), not the
+    * degenerate all-far field a cryptographic-digest source gives.
+    * The decode is REAL (ImageCodec.decodeBmp) and every hash bit is
+    * computed from the decoder's output; the whole chain — histogram,
+    * pixels, luma, hash bits, bands, Hamming — is integer arithmetic
+    * DuckDB recomputes from the documents table alone, so unlike
+    * simhash (seeded xxhash64) this near-dup path is FULLY oracled. */
+  private val PhashBands = 3
+  private val PhashBandBits = 14
+  private val PhashDupMax = 2
+
+  private[graft] def synthesizePhashBmp(text: String): Array[Byte] = {
+    val nb = text.getBytes("UTF-8").length
+    val width = (2 + nb % 6).toInt
+    val height = (2 + (nb / 6) % 5).toInt
+    val cnt = new Array[Int](32)
+    text.trim.toLowerCase.split("\\s+").foreach { w =>
+      val b = if (w.isEmpty) 0 else (w.length * 7 + w.head.toInt) % 32
+      cnt(b) += 1
+    }
+    val rgb = Array.tabulate(width * height * 3)(j =>
+      ((cnt(j % 32) * 37 + j) % 256).toByte)
+    graft.functions.ImageCodec.encodeBmp(
+      graft.functions.ImageCodec.Image(width, height, rgb))
+  }
+
+  /** aHash bits of a decoded image: bit i set iff pixel i's luma is
+    * strictly above the mean (luma_i * n > sum, integer-exact). */
+  private[graft] def phashBits(img: graft.functions.ImageCodec.Image): Long = {
+    val n = img.width * img.height
+    val luma = Array.tabulate(n)(i =>
+      (img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+        (img.rgb(3 * i + 2) & 0xff))
+    val sum = luma.map(_.toLong).sum
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (luma(i).toLong * n > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  case class MMPHashRow(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val img = graft.functions.ImageCodec.decodeBmp(synthesizePhashBmp(text))
+        MMPHashRow(id, img.width, img.height, phashBits(img))
+      })
+      .toDF()
+    // only bands that cover >= 1 real hash bit participate (band k
+    // exists iff 14k < n): a hash narrower than a band would make the
+    // all-zero top slice a universal collision key and silently turn
+    // the geometry block into all-pairs. Oversized buckets are dropped
+    // by the shared LSH cap (Dedup.capBuckets), same as every other
+    // banded path.
+    val bands = Dedup.capBuckets(
+      t.select(col("doc_id"), col("width"), col("height"), col("phash"),
+        posexplode(array((0 until PhashBands).map(k =>
+          shiftright(col("phash"), PhashBandBits * k)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
+        .toDF("doc_id", "width", "height", "phash", "band", "bv")
+        .filter(col("band") * PhashBandBits < col("width") * col("height")),
+      Seq("width", "height", "band", "bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.width") === col("b.width") && col("a.height") === col("b.height") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.width").as("width"), col("a.height").as("height"),
+        col("a.phash").as("phash_a"), col("b.phash").as("phash_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"), col("width"), col("height"),
+        col("phash_a"), col("phash_b"),
+        bit_count(col("phash_a").bitwiseXOR(col("phash_b"))).as("hamming"))
+      .withColumn("is_dup", col("hamming") <= PhashDupMax)
+  }
+
+  /** DuckDB recomputes the ENTIRE chain from documents: word-shape
+    * histogram → pixel bytes → luma → hash bits → bands → candidate
+    * join → Hamming — all integer arithmetic, no seeded hash. */
+  val mmPhashSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb,
+      |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(2 + nb % 6 AS INT) AS width,
+      |    CAST(2 + (nb // 6) % 5 AS INT) AS height,
+      |    list_transform(range(0, 32), b ->
+      |      len(list_filter(ws, w ->
+      |        (length(w) * 7 + ascii(substr(w, 1, 1))) % 32 = b))) AS cnt
+      |  FROM base
+      |), lum AS (
+      |  SELECT doc_id, width, height, width * height AS n,
+      |    list_transform(range(0, width * height), i ->
+      |      (cnt[(3*i) % 32 + 1] * 37 + (3*i)) % 256
+      |      + (cnt[(3*i+1) % 32 + 1] * 37 + (3*i+1)) % 256
+      |      + (cnt[(3*i+2) % 32 + 1] * 37 + (3*i+2)) % 256) AS luma
+      |  FROM g
+      |), hsh AS (
+      |  SELECT doc_id, width, height,
+      |    CAST(list_sum(list_transform(range(0, n), i ->
+      |      CASE WHEN luma[i+1] * n > list_sum(luma)
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS phash
+      |  FROM lum
+      |), bands0 AS (
+      |  SELECT doc_id, width, height, phash, k AS band,
+      |    (phash >> (${PhashBandBits} * k)) & ${(1L << PhashBandBits) - 1} AS bv
+      |  FROM hsh, unnest([0, 1, 2]) AS t(k)
+      |  WHERE ${PhashBandBits} * k < width * height
+      |), oversized AS (
+      |  SELECT width, height, band, bv FROM bands0
+      |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 4096
+      |), bands AS (
+      |  SELECT * FROM bands0 b WHERE NOT EXISTS (
+      |    SELECT 1 FROM oversized o
+      |    WHERE o.width = b.width AND o.height = b.height
+      |      AND o.band = b.band AND o.bv = b.bv)
+      |)
+      |SELECT doc_a, doc_b, width, height, phash_a, phash_b,
+      |  CAST(bit_count(xor(phash_a, phash_b)) AS INT) AS hamming,
+      |  bit_count(xor(phash_a, phash_b)) <= $PhashDupMax AS is_dup
+      |FROM (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.width AS width, a.height AS height,
+      |    a.phash AS phash_a, b.phash AS phash_b
+      |  FROM bands a JOIN bands b
+      |    ON a.width = b.width AND a.height = b.height
+      |    AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
   // ---- mm_segment: SRM segmentation + per-region descriptors ----------
   /** The ferret front-end's t_seg + t_extract stages
     * (ferret-pthreads.c:468,514) as a Spark operator: decode → SRM
@@ -743,6 +897,7 @@ object Multimodal {
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_phash" -> (mmPhash _),
     "mm_audio" -> (mmAudio _),
     "mm_segment" -> (mmSegment _),
     "mm_segment_check" -> (mmSegmentCheck _),
@@ -788,6 +943,7 @@ object Multimodal {
     "mm_features" -> mmFeaturesSql,
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_phash" -> mmPhashSql,
     "mm_audio" -> mmAudioSql,
     "mm_segment_check" -> mmSegmentCheckSql,
     "mm_jpeg" -> mmJpegSql,

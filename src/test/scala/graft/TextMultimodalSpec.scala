@@ -438,6 +438,44 @@ class TextMultimodalSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("mm_phash: hash bits exact on a crafted image; corpus pairs verified") {
+    import graft.functions.ImageCodec
+    // 2x2 image, lumas (10, 10, 10, 100): mean 32.5 → only pixel 3 above
+    val rgb = Array[Byte](4, 3, 3, 5, 2, 3, 0, 0, 10, 50, 30, 20)
+    val img = ImageCodec.Image(2, 2, rgb)
+    assert(Multimodal.phashBits(img) == 8L, "expected only bit 3 set")
+    // all-equal lumas: STRICTLY above mean never fires → hash 0
+    val flat = ImageCodec.Image(2, 2, Array.fill[Byte](12)(7))
+    assert(Multimodal.phashBits(flat) == 0L)
+    // synthesis is deterministic and the real decode round-trips it
+    val bmp = Multimodal.synthesizePhashBmp("hello world the end")
+    assert(bmp.sameElements(Multimodal.synthesizePhashBmp("hello world the end")))
+    val dec = ImageCodec.decodeBmp(bmp)
+    assert(dec.width >= 2 && dec.height >= 2)
+    // corpus: every pair re-verified driver-side from the emitted hashes
+    val rows = Multimodal.mmPhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("phash_a"); val b = r.getAs[Long]("phash_b")
+      val ham = java.lang.Long.bitCount(a ^ b)
+      assert(r.getAs[Int]("hamming") == ham)
+      assert(r.getAs[Boolean]("is_dup") == (ham <= 2))
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val n = r.getAs[Int]("width") * r.getAs[Int]("height")
+      // every pair shares an informative band (the candidate contract)
+      val shares = (0 until 3).exists(k => 14 * k < n &&
+        ((a >> (14 * k)) & 0x3FFF) == ((b >> (14 * k)) & 0x3FFF))
+      assert(shares, s"pair without a shared informative band: $r")
+      // no bit above the pixel count is ever set
+      if (n < 64) {
+        assert((a >> n) == 0L && (b >> n) == 0L, s"hash bits beyond n=$n: $r")
+      }
+    }
+    // both verify branches live on the corpus
+    assert(rows.exists(_.getAs[Boolean]("is_dup")), "no near-dup image pair")
+    assert(rows.exists(!_.getAs[Boolean]("is_dup")), "every candidate a dup")
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
