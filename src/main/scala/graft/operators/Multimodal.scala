@@ -892,7 +892,131 @@ object Multimodal {
       |  CAST(list_max(list_transform(s, v -> abs(v))) AS INT) AS peak_abs
       |FROM sm""".stripMargin
 
+  // ---- mm_audio_vad: frame-energy voice-activity detection -------------
+  /** Energy-gated VAD over the real WAV decode — the silence-trimming
+    * pass a speech-corpus pipeline runs before transcription: samples
+    * frame into [[VadFrame]]-sample windows (full frames only), a
+    * frame is VOICED iff its absolute-amplitude energy is strictly
+    * above the per-document frame mean (integer cross-multiplied:
+    * e_f × n_frames > total_e — the mm_phash rule on the time axis),
+    * and the emitted shape is what trimming consumes: voiced count,
+    * the longest voiced run, and the leading-silence frame count.
+    * All per-document LOCAL work inside the partition iterator (one
+    * payload never spans tasks), zero shuffle; the oracle re-derives
+    * the samples from the digest, re-frames them, and re-finds the
+    * runs with the dedup_substring gaps-and-islands SQL.
+    *
+    * The synthesis differs from mm_audio's in one term: sample i
+    * reads digest index (2i + 7·(i div 16)) — mm_audio's plain 2i mod
+    * 32 cycles with period 16 samples = exactly one frame, which
+    * makes every frame identical and the strict energy gate
+    * degenerate to all-silent; the frame-dependent stride (the
+    * mm_frame_sample trick on the time axis) gives every frame its
+    * own energy. */
+  private val VadFrame = 16
+
+  private def synthesizeVadWav(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val n = (64 + payload.length % 192).toInt
+    val rate = (8000 + (docId % 8) * 1000).toInt
+    val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    val samples = Array.tabulate(n) { i =>
+      val base = 2 * i + 7 * (i / VadFrame)
+      (((digest(base % 32) & 0xff) << 8 |
+        (digest((base + 1) % 32) & 0xff)) - 32768).toShort
+    }
+    graft.functions.WavCodec.encodeWav(
+      graft.functions.WavCodec.Wav(rate, samples))
+  }
+
+  case class MMVad(doc_id: Long, n_samples: Int, n_frames: Int,
+                   n_voiced: Int, longest_voiced_run: Int, lead_silence: Int)
+
+  def mmAudioVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val wav = graft.functions.WavCodec.decodeWav(synthesizeVadWav(id, payload))
+        val nf = wav.samples.length / VadFrame
+        val energy = Array.tabulate(nf) { f =>
+          var e = 0L
+          var i = f * VadFrame
+          while (i < (f + 1) * VadFrame) {
+            e += math.abs(wav.samples(i).toInt).toLong
+            i += 1
+          }
+          e
+        }
+        val total = energy.sum
+        val voiced = energy.map(e => e * nf > total)
+        var nv = 0; var run = 0; var best = 0; var lead = nf; var f = 0
+        while (f < nf) {
+          if (voiced(f)) {
+            nv += 1; run += 1
+            if (run > best) best = run
+            if (lead == nf) lead = f
+          } else run = 0
+          f += 1
+        }
+        MMVad(id, wav.samples.length, nf, nv, best, lead)
+      })
+      .toDF()
+  }
+
+  /** DuckDB re-derives the PCM16 samples from the digest byte pairs
+    * (the mm_audio technique), re-frames and re-gates them with the
+    * same integer arithmetic, and re-finds the voiced runs with the
+    * gaps-and-islands window over unnested frame indices. */
+  val mmAudioVadSql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(64 + nb % 192 AS INT) AS n, h FROM m
+      |), sm AS (
+      |  SELECT doc_id, n, n // $VadFrame AS nf,
+      |    list_transform(range(0, n), i ->
+      |      ((strpos('0123456789abcdef', substr(h, 2*((2*i + 7*(i // $VadFrame)) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*((2*i + 7*(i // $VadFrame)) % 32) + 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(h, 2*((2*i + 7*(i // $VadFrame) + 1) % 32) + 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(h, 2*((2*i + 7*(i // $VadFrame) + 1) % 32) + 2, 1)) - 1
+      |      - 32768) AS s
+      |  FROM g
+      |), fr AS (
+      |  SELECT doc_id, n, nf,
+      |    list_transform(range(0, nf), f ->
+      |      list_sum(list_transform(range($VadFrame * f, $VadFrame * f + $VadFrame),
+      |        i -> abs(s[i + 1])))) AS e
+      |  FROM sm
+      |), voiced AS (
+      |  SELECT doc_id, n, nf,
+      |    list_transform(range(0, nf), f ->
+      |      CASE WHEN e[f + 1] * nf > list_sum(e) THEN 1 ELSE 0 END) AS v
+      |  FROM fr
+      |), vf AS (
+      |  SELECT doc_id, CAST(f AS INT) AS f
+      |  FROM (SELECT doc_id, unnest(range(0, nf)) AS f, v FROM voiced)
+      |  WHERE v[f + 1] = 1
+      |), runs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS run_len
+      |  FROM (
+      |    SELECT doc_id, f,
+      |      f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      |    FROM vf
+      |  ) GROUP BY doc_id, grp
+      |)
+      |SELECT b.doc_id, b.n AS n_samples, CAST(b.nf AS INT) AS n_frames,
+      |  COALESCE((SELECT CAST(COUNT(*) AS INT) FROM vf WHERE vf.doc_id = b.doc_id), 0)
+      |    AS n_voiced,
+      |  COALESCE((SELECT MAX(run_len) FROM runs WHERE runs.doc_id = b.doc_id), 0)
+      |    AS longest_voiced_run,
+      |  COALESCE((SELECT MIN(f) FROM vf WHERE vf.doc_id = b.doc_id),
+      |    CAST(b.nf AS INT)) AS lead_silence
+      |FROM voiced b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_vad" -> (mmAudioVad _),
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
@@ -944,6 +1068,7 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_phash" -> mmPhashSql,
+    "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio" -> mmAudioSql,
     "mm_segment_check" -> mmSegmentCheckSql,
     "mm_jpeg" -> mmJpegSql,

@@ -476,6 +476,48 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("is_dup")), "every candidate a dup")
   }
 
+  test("mm_audio_vad: matches a driver-local reference over the corpus") {
+    // local reference: same synthesis (digest byte pairs), framing,
+    // strict-above-mean gate, and run finding
+    val docsLocal = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docsLocal.map { case (id, text) =>
+      val payload = text.getBytes("UTF-8")
+      val n = 64 + payload.length % 192
+      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      val samples = Array.tabulate(n) { i =>
+        val base = 2 * i + 7 * (i / 16)
+        (((digest(base % 32) & 0xff) << 8 |
+          (digest((base + 1) % 32) & 0xff)) - 32768)
+      }
+      val nf = n / 16
+      val e = Array.tabulate(nf)(f =>
+        (f * 16 until (f + 1) * 16).map(i => math.abs(samples(i)).toLong).sum)
+      val total = e.sum
+      val v = e.map(x => x * nf > total)
+      val runs = v.foldLeft(List.empty[Int] -> 0) {
+        case ((acc, cur), true) => acc -> (cur + 1)
+        case ((acc, cur), false) => (if (cur > 0) cur :: acc else acc) -> 0
+      } match { case (acc, cur) => if (cur > 0) cur :: acc else acc }
+      id -> ((n, nf, v.count(identity), if (runs.isEmpty) 0 else runs.max,
+        v.indexWhere(identity) match { case -1 => nf; case i => i }))
+    }.toMap
+    val got = Multimodal.mmAudioVad(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_samples"), r.getAs[Int]("n_frames"),
+          r.getAs[Int]("n_voiced"), r.getAs[Int]("longest_voiced_run"),
+          r.getAs[Int]("lead_silence")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // sane + non-degenerate: voiced and silent frames both occur
+    assert(expect.values.exists(_._3 > 0), "no voiced frame anywhere")
+    assert(expect.values.exists(v => v._3 < v._2), "every frame voiced")
+    assert(expect.values.forall(v => v._4 <= v._3 && v._5 <= v._2))
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
