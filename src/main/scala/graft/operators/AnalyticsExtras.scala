@@ -718,7 +718,49 @@ object AnalyticsExtras {
       |  FROM scoped WHERE event_type = 'view'
       |) GROUP BY user_id""".stripMargin
 
+  // ---- q_skyline: Pareto frontier (skyline query) ----------------------
+  /** The skyline operator (Börzsönyi et al., ICDE 2001): orders on
+    * the Pareto frontier of (price ↓, order date ↓) — no other order
+    * is at-most-equal on both axes and strictly better on one.
+    * Exact duplicates merge first (a keyed agg emitting n_orders), so
+    * the remaining points form a total order and the classic x-sorted
+    * scan applies: a point survives iff its date is STRICTLY below
+    * the minimum date of every preceding point in (price, date)
+    * order. That global running minimum is the scale trap — Spark
+    * plans it as ONE sorted task — so it rides
+    * [[PrefixSum.runningMinExclusive]]: range-partition, #partitions
+    * partial minima to the driver, broadcast exclusive prefix-min
+    * offsets, PARTITIONED exclusive window. Oracled against DuckDB's
+    * single-window formulation (fine at oracle scale, never shipped). */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(s, dir)
+      .groupBy(col("o_totalprice"), to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("dday", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+    PrefixSum.runningMinExclusive(pts,
+        Seq(col("o_totalprice").asc, col("dday").asc), "dday", "min_prev_day")
+      .filter(col("min_prev_day").isNull || col("dday") < col("min_prev_day"))
+      .select(col("o_totalprice").as("price"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        col("n_orders"))
+  }
+
+  val qSkylineSql: String =
+    """WITH p AS (
+      |  SELECT o_totalprice AS price, CAST(o_orderdate AS DATE) AS d FROM orders
+      |), g AS (
+      |  SELECT price, d, CAST(COUNT(*) AS BIGINT) AS n_orders FROM p GROUP BY 1, 2
+      |), s AS (
+      |  SELECT price, d, n_orders,
+      |    min(d) OVER (ORDER BY price, d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |  FROM g
+      |)
+      |SELECT price, strftime(d, '%Y-%m-%d') AS order_date, n_orders
+      |FROM s WHERE mp IS NULL OR d < mp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (qSkyline _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_moving_avg" -> (qMovingAvg _),
@@ -743,6 +785,7 @@ object AnalyticsExtras {
     "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
     "q_moving_avg" -> qMovingAvgSql,

@@ -41,6 +41,44 @@ private[graft] object PrefixSum {
                  cumName: String): DataFrame =
     runningSumWithTotal(df, sortCols, weightCol, cumName)._1
 
+  /** Appends `minName` = EXCLUSIVE running minimum of `valueCol` (a
+    * LongType column) over all strictly-preceding rows in `sortCols`
+    * order (null for the global first row) — the running-min monoid on
+    * the same 3-step scheme as [[runningSum]]: range-partition,
+    * #partitions partial minima to the driver, broadcast exclusive
+    * prefix-min offsets back, and a PARTITIONED exclusive-frame window
+    * combined with `least` (which skips nulls). Consumer:
+    * [[AnalyticsExtras.qSkyline]] — the skyline scan is a global
+    * running min that must never plan as one sorted task. */
+  def runningMinExclusive(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                          minName: String): DataFrame = {
+    val parts = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partials = parts.groupBy("__pid")
+      .agg(min(col(valueCol)).as("m"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val offsets = partials.map { case (pid, m) =>
+      val o = acc
+      acc = (acc, m) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      (pid, o)
+    }
+    val s = df.sparkSession
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__minoff")
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = parts.join(broadcast(offDf), "__pid")
+      .withColumn(minName, least(min(col(valueCol)).over(w), col("__minoff")))
+      .drop("__pid", "__minoff")
+    out
+  }
+
   /** [[runningSum]] plus the GRAND TOTAL of the weight column, which
     * the per-partition partials already compute — callers needing N
     * (equi-depth bucketing, normalized ranks) get it for free instead

@@ -249,6 +249,33 @@ class AnalyticsExtrasSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q_skyline: equals a quadratic dominance reference, no global window") {
+    val sky = AnalyticsExtras.qSkyline(spark, sfDir)
+    // quadratic reference: distinct points not dominated by any other
+    val pts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_totalprice").as("price"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getDouble(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val expect = pts.filter { case (x, y, _) =>
+      !pts.exists { case (qx, qy, _) =>
+        qx <= x && qy <= y && (qx < x || qy < y)
+      }
+    }.map { case (x, y, n) =>
+      (x, java.time.LocalDate.ofEpochDay(y).toString, n)
+    }.toSet
+    val got = sky.collect().map(r => (r.getAs[Double]("price"),
+      r.getAs[String]("order_date"), r.getAs[Long]("n_orders"))).toSet
+    assert(got == expect, s"skyline mismatch: got $got expected $expect")
+    assert(got.nonEmpty)
+    // the shipped plan must not contain an UNPARTITIONED window
+    val plan = sky.queryExecution.executedPlan.toString
+    val badWindow = plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(__pid"))
+    assert(!badWindow, s"unpartitioned window in skyline plan:\n$plan")
+  }
+
   test("q_funnel: depths match a driver-local quadratic reference") {
     val T = 24L * 3600L * 1000000L
     val ev = Tables.events(spark, sfDir)
