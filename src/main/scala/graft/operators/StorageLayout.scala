@@ -414,11 +414,65 @@ object StorageLayout {
       |       WHEN f.pre = 0 THEN 'insert' ELSE 'keep' END AS action
       |FROM latest l JOIN flags f USING (user_id, event_type)""".stripMargin
 
+  // ---- q_hll_store: mergeable distinct-count sketch store --------------
+  /** The COUNT(DISTINCT) maintenance answer q_incremental_agg
+    * documents out: exact distinct counts are not mergeable, but
+    * their HLL SKETCHES are — so the store persists one DataSketches
+    * HLL of user_id per day (hll_sketch_agg), and any rollup window
+    * (here ISO weeks, date_trunc semantics shared by both engines)
+    * is hll_union_agg over the STORED sketches — never a re-scan of
+    * raw events. At 100 TB the store is day-count-sized and a year's
+    * distinct-users query unions 365 sketches instead of re-reading
+    * the corpus. Output per week: merged estimate, the exact
+    * recompute (the audit column this test-scale entry can afford),
+    * relative error, and the 5% gate.
+    *
+    * Value-oracled emd_check-style: the estimate is sketch-internal
+    * (not SQL-derivable), so DuckDB recomputes the EXACT side
+    * bit-exact from raw events and re-derives rel_error/ok from the
+    * dumped estimate — a forged estimate, exact, or gate breaks the
+    * hash. */
+  def qHllStore(s: SparkSession, dir: String): DataFrame = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_hllstore_$suffix"
+    ingestOnce(path) {
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val weekOf = (d: Column) => date_format(date_trunc("week", d), "yyyy-MM-dd")
+    val est = s.read.parquet(path)
+      .groupBy(weekOf(to_date(col("event_date"))).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Tables.events(s, dir)
+      .groupBy(weekOf(col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    est.join(exact, "week")
+      .withColumn("rel_error",
+        abs(col("est") - col("exact")).cast("double") / col("exact").cast("double"))
+      .withColumn("ok", col("rel_error") <= 0.05)
+  }
+
+  val qHllStoreSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/q_hll_store/*.parquet')
+      |), ex AS (
+      |  SELECT strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT d.week, d.est, ex.exact,
+      |  CAST(abs(d.est - ex.exact) AS DOUBLE) / CAST(ex.exact AS DOUBLE) AS rel_error,
+      |  CAST(abs(d.est - ex.exact) AS DOUBLE) / CAST(ex.exact AS DOUBLE) <= 0.05 AS ok
+      |FROM dump d JOIN ex USING (week)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_colocated_join" -> (qColocatedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_delta_upsert" -> (qDeltaUpsert _),
+    "q_hll_store" -> (qHllStore _),
     "q_zorder_skip" -> (qZorderSkip _))
 
   val oracle: Map[String, String] = Map(
@@ -426,5 +480,6 @@ object StorageLayout {
     "q_partition_prune" -> qPartitionPruneSql,
     "q_incremental_agg" -> qIncrementalAggSql,
     "q_delta_upsert" -> qDeltaUpsertSql,
+    "q_hll_store" -> qHllStoreSql,
     "q_zorder_skip" -> qZorderSkipSql)
 }

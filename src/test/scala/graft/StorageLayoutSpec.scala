@@ -203,6 +203,38 @@ class StorageLayoutSpec extends SparkSpec {
     merged.unpersist()
   }
 
+  test("q_hll_store: merged day sketches track exact weekly distincts") {
+    val r = StorageLayout.qHllStore(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // every weekly estimate inside the 5% gate, flags consistent
+    r.collect().foreach { row =>
+      val est = row.getAs[Long]("est"); val exact = row.getAs[Long]("exact")
+      val rel = math.abs(est - exact).toDouble / exact.toDouble
+      assert(row.getAs[Double]("rel_error") == rel)
+      assert(row.getAs[Boolean]("ok") == (rel <= 0.05))
+      assert(row.getAs[Boolean]("ok"), s"week ${row.getString(0)}: est $est vs exact $exact")
+    }
+    // exact side equals a direct recompute per week
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.collect().foreach { row =>
+      assert(row.getAs[Long]("exact") == direct(row.getString(0)))
+    }
+    // mergeability: unioned day sketches give the same estimate as a
+    // single-pass weekly sketch over raw events
+    val onePass = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est1"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.collect().foreach { row =>
+      assert(row.getAs[Long]("est") == onePass(row.getString(0)),
+        s"union-of-days diverged from one-pass for ${row.getString(0)}")
+    }
+    r.unpersist()
+  }
+
   test("q_partition_prune: equals the time-range filter on the source table") {
     val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
     val plain = Tables.events(spark, sfDir)
