@@ -186,6 +186,83 @@ object OlapExtras {
       |SELECT l_orderkey, l_linenumber, 'tax',
       |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin
 
+  // ---- q_bitmap_index: exact bitmap-index set algebra ------------------
+  /** The bitmap-index accelerator (the roaring-bitmap pattern in its
+    * exact packed form): per event_type, user membership compressed
+    * to one bit per user — 32-bit words held in BIGINTs (the
+    * q_bloom_join packing; DuckDB's `<<` overflows at bit 63) keyed
+    * by word index. Audience-overlap questions then never touch raw
+    * events: n_both is Σ popcount(a AND b) over the word-aligned
+    * join of two INDEX columns, n_either comes free by
+    * inclusion-exclusion (|A|+|B|−|A∩B| — no outer join needed), and
+    * jaccard follows. At 100 TB the index is (users/32) words per
+    * type — thousands of times smaller than the event table it
+    * answers for, and the word-aligned AND is the fastest set
+    * intersection that exists. Unlike the bloom gate this index is
+    * EXACT, and the whole chain (packing, AND, popcount,
+    * inclusion-exclusion) is integer arithmetic DuckDB recomputes
+    * bit-for-bit. */
+  /** Membership window: the index covers the first two days — over
+    * the full 30-day synthetic range every user touches every type
+    * and all jaccards degenerate to 1.0, which would verify the
+    * arithmetic but not the set algebra. */
+  private val BitmapCutoff = "2024-01-03"
+
+  def qBitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    val membership = Tables.events(s, dir)
+      .filter(col("ts") < lit(BitmapCutoff).cast("timestamp"))
+      .select(col("event_type"), col("user_id")).distinct()
+    val words = membership
+      .select(col("event_type"), expr("user_id div 32").as("word"),
+        expr("shiftleft(1L, cast(user_id % 32 as int))").as("mask"))
+      .groupBy("event_type", "word").agg(bit_or(col("mask")).as("bits"))
+    val counts = words.groupBy("event_type")
+      .agg(sum(bit_count(col("bits"))).as("n_users"))
+    val both = words.select(col("event_type").as("ta"), col("word"), col("bits").as("ba"))
+      .join(words.select(col("event_type").as("tb"), col("word"), col("bits").as("bb")),
+        "word")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(sum(bit_count(col("ba").bitwiseAND(col("bb")))).as("n_both"))
+    counts.select(col("event_type").as("ta"), col("n_users").as("n_users_a"))
+      .join(counts.select(col("event_type").as("tb"), col("n_users").as("n_users_b")),
+        col("ta") < col("tb"))
+      .join(both, Seq("ta", "tb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_users_a"), col("n_users_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (col("n_users_a") + col("n_users_b") - coalesce(col("n_both"), lit(0L)))
+          .as("n_either"))
+      .withColumn("jaccard", col("n_both").cast("double") / col("n_either").cast("double"))
+  }
+
+  val qBitmapIndexSql: String =
+    s"""WITH m AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |  WHERE ts < TIMESTAMP '$BitmapCutoff'
+      |), words AS (
+      |  SELECT event_type, user_id // 32 AS word,
+      |    bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+      |  FROM m GROUP BY 1, 2
+      |), counts AS (
+      |  SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+      |  FROM words GROUP BY 1
+      |), bt AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+      |  FROM words a JOIN words b
+      |    ON a.word = b.word AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+      |  ca.n_users AS n_users_a, cb.n_users AS n_users_b,
+      |  COALESCE(bo.n_both, 0) AS n_both,
+      |  ca.n_users + cb.n_users - COALESCE(bo.n_both, 0) AS n_either,
+      |  CAST(COALESCE(bo.n_both, 0) AS DOUBLE)
+      |    / CAST(ca.n_users + cb.n_users - COALESCE(bo.n_both, 0) AS DOUBLE) AS jaccard
+      |FROM counts ca JOIN counts cb ON ca.event_type < cb.event_type
+      |LEFT JOIN bt bo ON bo.ta = ca.event_type AND bo.tb = cb.event_type""".stripMargin
+
   // ---- q_scalar_subq: correlated-scalar-subquery semantics -------------
   /** Customers above their nation's average balance — the correlated
     * scalar subquery, expressed as the decorrelated broadcast join
@@ -447,6 +524,7 @@ object OlapExtras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_join" -> (qBloomJoin _),
+    "q_bitmap_index" -> (qBitmapIndex _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_asof" -> (qAsof _),
@@ -462,6 +540,7 @@ object OlapExtras {
 
   val oracle: Map[String, String] = Map(
     "q_bloom_join" -> qBloomJoinSql,
+    "q_bitmap_index" -> qBitmapIndexSql,
     "q_cms_topk" -> qCmsTopkSql,
     "q_asof" -> qAsofSql,
     "q_range_join" -> qRangeJoinSql,

@@ -124,6 +124,35 @@ class OlapExtrasSpec extends SparkSpec {
         "no CMS collision at w=1024 — gate tested nothing")
   }
 
+  test("q_bitmap_index: popcount algebra equals direct set intersections") {
+    val r = OlapExtras.qBitmapIndex(spark, sfDir).cache()
+    // one row per unordered type pair
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(r.count() == types.length.toLong * (types.length - 1) / 2)
+    // direct recompute: per-type user sets on the driver (same window)
+    val sets = types.map { t =>
+      t -> Tables.events(spark, sfDir)
+        .filter(col("event_type") === t &&
+          col("ts") < lit("2024-01-03").cast("timestamp"))
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    }.toMap
+    r.collect().foreach { row =>
+      val a = sets(row.getAs[String]("type_a"))
+      val b = sets(row.getAs[String]("type_b"))
+      assert(row.getAs[Long]("n_users_a") == a.size.toLong)
+      assert(row.getAs[Long]("n_users_b") == b.size.toLong)
+      assert(row.getAs[Long]("n_both") == (a & b).size.toLong, s"bad AND: $row")
+      assert(row.getAs[Long]("n_either") == (a | b).size.toLong, s"bad OR: $row")
+      assert(row.getAs[Double]("jaccard") ==
+        (a & b).size.toDouble / (a | b).size.toDouble)
+    }
+    // the windowed membership keeps the algebra non-degenerate
+    assert(r.filter(col("jaccard") > 0 && col("jaccard") < 1).count() > 0,
+      "all jaccards degenerate — the window stopped discriminating")
+    r.unpersist()
+  }
+
   test("q_unpivot: 4x fan-out, values round-trip, one scan via Expand") {
     val res = OlapExtras.qUnpivot(spark, sfDir).cache()
     val li = Tables.lineitem(spark, sfDir)
