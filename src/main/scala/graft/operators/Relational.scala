@@ -256,6 +256,35 @@ object Relational {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  // ---- q_hop_window: hopping (sliding) time-window agg -----------------
+  /** The overlapping-window aggregation tumbling can't express: a
+    * 60-minute window hopping every 15 minutes, each event counted
+    * in the 4 windows covering it — Spark's
+    * `window(ts, "60 minutes", "15 minutes")` TVF, the same operator
+    * the streaming pipelines use for sliding metrics. The engine
+    * plans ONE Expand (4 tagged copies per row, map-side) feeding
+    * the grouped aggregate — the q_unpivot trade again: scan count
+    * stays 1 at any scale, the fan-out is the window overlap factor.
+    * The oracle reproduces the assignment with integer 15-minute
+    * bucket arithmetic (window_start = (bucket−k)·900 s, k ∈ 0..3),
+    * exact on epoch-microsecond integers in both engines. */
+  def qHopWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dbl(sum(col("value").cast(DecimalType(18, 6)))).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+
+  val qHopWindowSql: String =
+    """SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000),
+      |    '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---- q_sessionize: gaps-and-islands (batch mirror of streaming) ------
   /** 30-minute-gap sessionization. Batch mirror of the streaming
     * flatMapGroupsWithState pipeline; microsecond-exact gap arithmetic
@@ -307,6 +336,7 @@ object Relational {
     "q_antijoin" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
     "q_events_window" -> (qEventsWindow _),
+    "q_hop_window" -> (qHopWindow _),
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
@@ -321,5 +351,6 @@ object Relational {
     "q_antijoin" -> qAntiJoinSql,
     "q_rollup" -> qRollupSql,
     "q_events_window" -> qEventsWindowSql,
+    "q_hop_window" -> qHopWindowSql,
     "q_sessionize" -> qSessionizeSql)
 }

@@ -78,4 +78,20 @@ class RelationalSpec extends SparkSpec {
     val total = df.agg(sum("n_events")).collect().head.getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
+
+  test("q_hop_window: every event lands in exactly 4 windows, cells exact") {
+    val r = Relational.qHopWindow(spark, sfDir).cache()
+    val total = r.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total == 4L * Tables.events(spark, sfDir).count())
+    // spot-check cells against direct range filters
+    r.orderBy(col("win_start"), col("event_type")).collect().take(8).foreach { row =>
+      val start = lit(row.getAs[String]("win_start")).cast("timestamp")
+      val cnt = Tables.events(spark, sfDir).filter(
+        col("event_type") === row.getAs[String]("event_type") &&
+          col("ts") >= start &&
+          col("ts") < start + expr("interval 60 minutes")).count()
+      assert(cnt == row.getAs[Long]("n_events"), s"cell mismatch: $row")
+    }
+    r.unpersist()
+  }
 }
