@@ -42,6 +42,17 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
 
+  /** Sliding-window twin of [[windowAgg]] — the streaming side of
+    * `q_hop_window`: 60-minute windows hopping every 15 minutes, each
+    * event feeding the 4 windows covering it. The same watermark
+    * bounds state; the overlap factor multiplies state rows, not
+    * scans (one Expand per micro-batch, map-side). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
   case class SessState(sessId: Long, startUs: Long, endUs: Long, nEvents: Long)
 

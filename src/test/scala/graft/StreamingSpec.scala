@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     assert(sink.count() == batchGroups)
   }
 
+  test("streaming slidingAgg matches batch q_hop_window cell-for-cell") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = loadEvents()
+    val source = MemoryStream[Ev]
+    val q = StreamingPipelines.slidingAgg(source.toDF())
+      .writeStream.format("memory").queryName("sa_sink")
+      .outputMode(OutputMode.Update()).start()
+    evs.grouped(300).foreach(source.addData(_))
+    q.processAllAvailable()
+    val sink = spark.table("sa_sink")
+      .groupBy("window", "event_type")
+      .agg(last("n_events").as("n_events"), last("sum_value").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val stream = sink.collect().map(_.toString).sorted.toSeq
+    q.stop()
+    val batch = operators.Relational.qHopWindow(spark, sfDir)
+      .drop("n_users") // countDistinct is not allowed in streaming agg
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch, "streaming sliding agg diverged from batch mirror")
+  }
+
   test("streaming dedup emits one row per (user_id, event_type) key") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
