@@ -60,4 +60,33 @@ class PrefixSumSpec extends SparkSpec {
     assert(totalNull == 0L)
     assert(gotNull.count() == 2)
   }
+
+  private def checkMin(rows: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("id", "key", "v")
+    val got = PrefixSum.runningMinExclusive(df,
+        Seq(col("key"), col("id")), "v", "mn")
+      .select("id", "mn").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val expected = sorted.zipWithIndex.map { case ((id, _, _), i) =>
+      val prev = sorted.take(i).map(_._3)
+      id -> (if (prev.isEmpty) None else Some(prev.min))
+    }.toMap
+    assert(got == expected, s"exclusive running min diverged for ${rows.take(5)}...")
+  }
+
+  test("runningMinExclusive: matches an in-memory scan on random shapes") {
+    val rnd = new scala.util.Random(1234)
+    // uniform keys, heavy ties, all-equal keys, descending values,
+    // min-at-front (every later row sees it)
+    checkMin((1L to 500L).map(i => (i, rnd.nextLong(), rnd.nextInt(1000).toLong)))
+    checkMin((1L to 300L).map(i => (i, (rnd.nextInt(5) + 1).toLong, rnd.nextInt(50).toLong)))
+    checkMin((1L to 100L).map(i => (i, 9L, rnd.nextInt(10).toLong)))
+    checkMin((1L to 200L).map(i => (i, i, 1000L - i)))
+    checkMin((1L to 200L).map(i => (i, i, if (i == 1) 0L else 500L + i)))
+    // edge: single row has a null exclusive min
+    checkMin(Seq((1L, 1L, 42L)))
+  }
 }
