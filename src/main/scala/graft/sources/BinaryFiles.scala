@@ -47,6 +47,12 @@ object BinaryFiles {
         .filter(p => matcher.matches(p.getFileName))
         .map(_.toString).toArray.sorted
       finally listing.close()
+    // fail fast with the pattern in hand: an empty match otherwise
+    // surfaces as a NULL-aggregate crash deep in the consumer (a
+    // shell-quoted glob like '*.bin' reaching the JVM verbatim did
+    // exactly that)
+    require(paths.nonEmpty,
+      s"readDirDirect: no file in $path matches glob '$glob'")
     val slices = math.max(1, math.min(paths.length,
       spark.sparkContext.defaultParallelism))
     import spark.implicits._

@@ -63,6 +63,12 @@ class ApiSpec extends SparkSpec {
           .regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content")))
       assert(direct == hadoop)
       assert(direct.map(_._1) == (0 until 5).map(i => f"d$i%02d.bin"))
+      // a glob matching nothing fails fast with the pattern named,
+      // not as a NULL-aggregate crash in the consumer
+      val e = intercept[IllegalArgumentException] {
+        BinaryFiles.readDirDirect(spark, tmp.toString, "'*.bin'")
+      }
+      assert(e.getMessage.contains("'*.bin'"), e.getMessage)
     } finally {
       graft.streaming.StreamingPipelines.deleteRecursively(tmp)
     }
