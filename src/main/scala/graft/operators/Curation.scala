@@ -475,7 +475,44 @@ object Curation {
       .toDF("n_exact", "n_lsh", "n_hit", "recall")
   }
 
+  // ---- dedup_hubs: duplicate-graph hub diagnostics ---------------------
+  /** Boilerplate-hub detection: the docs with the highest DEGREE in
+    * the near-dup graph are the templates/licence headers/nav shells
+    * a curation run wants to inspect before bulk-dropping — a cluster
+    * hides them (one component can be a chain or a star; only degree
+    * separates those), so the degree view is its own diagnostic. The
+    * edge list is the fully-oracled n-gram Jaccard pair table; the
+    * top-20 cut is the deterministic (degree DESC, doc_id) order.
+    * Shape: one union + one keyed count + TakeOrdered — at 100 TB
+    * degrees come from the same banded-LSH edge list the cluster path
+    * uses, never an all-pairs stage. */
+  def dedupHubs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_degree"))
+      .orderBy(col("dup_degree").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Degrees + top-20 recomputed by DuckDB from the (fully oracled)
+    * dedup_ngram_jaccard dump. */
+  val dedupHubsSql: String =
+    """WITH p AS (
+      |  SELECT doc_a, doc_b
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+      |), d AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_degree FROM (
+      |    SELECT doc_a AS doc_id FROM p
+      |    UNION ALL
+      |    SELECT doc_b FROM p
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT doc_id, dup_degree FROM d
+      |ORDER BY dup_degree DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_hubs" -> (dedupHubs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -526,6 +563,7 @@ object Curation {
        |FROM n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_hubs" -> dedupHubsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,
     "dedup_canonical" -> dedupCanonicalSql,

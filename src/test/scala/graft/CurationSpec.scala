@@ -6,6 +6,19 @@ import graft.operators.{AnalyticsExtras, Curation, Dedup, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
 
+  test("dedup_hubs: top-20 degrees match a driver recompute from the pair table") {
+    val hubs = Curation.dedupHubs(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_degree"))
+    val pairs = graft.operators.Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (d, o) => d -> o.length.toLong }
+    val expect = deg.toSeq.sortBy { case (d, n) => (-n, d) }.take(20)
+    assert(hubs.toSeq == expect, s"hubs ${hubs.take(3).toSeq}... vs ${expect.take(3)}")
+    assert(hubs.nonEmpty && hubs.forall(_._2 >= 1L))
+  }
+
   test("dedup_clusters: labels are component minima and edges never straddle clusters") {
     val labels = Curation.dedupClusters(spark, sfDir)
     val nDocs = graft.Tables.documents(spark, sfDir).count()
