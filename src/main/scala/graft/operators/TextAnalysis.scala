@@ -674,6 +674,71 @@ object TextAnalysis {
       |  COALESCE(a.mx + ${CrossW - 1}, 0) >= $MinDupSubstr AS drop_doc
       |FROM sized b LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ---- text_source_overlap: source-pair contamination matrix -----------
+  /** Dataset-level leakage diagnostics: where text_contamination
+    * checks documents against one benchmark set, this measures every
+    * SOURCE PAIR's 8-gram overlap — the matrix a corpus assembler
+    * reads before declaring two sources independent (train/test
+    * splits drawn from overlapping crawls is the classic silent
+    * contamination). Per source: its distinct gram set; per pair:
+    * |A∩B| by a gram equi-join, |A∪B| by inclusion-exclusion (the
+    * q_bitmap_index identity — no outer join), gram-Jaccard.
+    *
+    * Shape at 100 TB: distinct (source, gram) is one grouped pass
+    * over the window explode; the pair stage joins that table to
+    * itself ON THE GRAM KEY — cost tracks cross-source gram sharing
+    * (the thing being measured), never |A|×|B|; output is
+    * source-pair-cardinality. Gram key becomes xxhash64 at scale
+    * (the crossdup note). */
+  def textSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("source"), col("doc_id"), col("text"))
+    val grams = gramStarts(lowerToks(d))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("gram")).distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.select(col("source").as("sa"), col("gram"))
+      .join(grams.select(col("source").as("sb"), col("gram")), "gram")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("source").as("sa"), col("n_grams").as("n_a"))
+      .join(sizes.select(col("source").as("sb"), col("n_grams").as("n_b")),
+        col("sa") < col("sb"))
+      .join(shared, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("gram_jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+  }
+
+  val textSourceOverlapSql: String =
+    s"""WITH base AS (
+      |  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT source,
+      |    array_to_string(ts[pos:pos+${CrossW - 1}], ' ') AS gram
+      |  FROM (
+      |    SELECT source, ts,
+      |      unnest(generate_series(1, CAST(len(ts) - ${CrossW - 1} AS BIGINT))) AS pos
+      |    FROM base WHERE len(ts) >= $CrossW
+      |  )
+      |), sizes AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+      |), shared AS (
+      |  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |  x.n_grams AS n_a, y.n_grams AS n_b,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+      |    / CAST(x.n_grams + y.n_grams - COALESCE(s.n_shared, 0) AS DOUBLE)
+      |    AS gram_jaccard
+      |FROM sizes x JOIN sizes y ON x.source < y.source
+      |LEFT JOIN shared s ON s.sa = x.source AND s.sb = y.source""".stripMargin
+
   // ---- text_paragraph_dedup: cross-doc paragraph-level exact dedup -----
   /** CCNet/Gopher-style paragraph-level exact deduplication: the
     * corpus-curation pass that removes paragraphs repeated across
@@ -751,6 +816,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "dedup_substring" -> (dedupSubstring _),
+    "text_source_overlap" -> (textSourceOverlap _),
     "text_crossdup" -> (textCrossdup _),
     "text_normalize" -> (textNormalize _),
     "text_tokens" -> (textTokens _),
@@ -766,6 +832,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "dedup_substring" -> dedupSubstringSql,
+    "text_source_overlap" -> textSourceOverlapSql,
     "text_crossdup" -> textCrossdupSql,
     "text_normalize" -> textNormalizeSql,
     "text_tokens" -> textTokensSql,

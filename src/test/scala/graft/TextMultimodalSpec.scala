@@ -518,6 +518,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(expect.values.forall(v => v._4 <= v._3 && v._5 <= v._2))
   }
 
+  test("text_source_overlap: matrix matches driver-local gram sets") {
+    val docsLocal = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val gsets = docsLocal.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap { case (_, text) =>
+        text.trim.toLowerCase.split("\\s+").toSeq.sliding(8)
+          .filter(_.size == 8).map(_.mkString(" "))
+      }.toSet
+    }
+    val expect = (for {
+      a <- gsets.keys; b <- gsets.keys if a < b
+      sh = (gsets(a) & gsets(b)).size.toLong
+    } yield (a, b) -> ((gsets(a).size.toLong, gsets(b).size.toLong, sh,
+      sh.toDouble / (gsets(a).size + gsets(b).size - sh).toDouble))).toMap
+    val got = TextAnalysis.textSourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("gram_jaccard")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) =>
+      assert(got(k) == e, s"pair $k: got ${got(k)}, expected $e")
+    }
+    // the matrix must measure something: some pair overlaps, none is identical
+    assert(expect.values.exists(_._3 > 0), "no cross-source overlap anywhere")
+    assert(expect.values.forall(v => v._4 < 1.0))
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
