@@ -151,6 +151,40 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- shard_manifest: per-shard training-data manifest ----------------
+  /** The manifest a training loader consumes alongside the packed
+    * shards: per shard, its document count, token total, global
+    * prefix-sum span, and an md5 over the member list in pack order —
+    * the integrity line that catches a dropped/reordered document at
+    * load time without re-reading shard payloads. One grouped pass
+    * over the shard_pack assignment (shard-cardinality output); the
+    * member digest folds the collect_list AFTER array_sort on the
+    * (cum, doc) struct, so it is partition-order-independent. */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardPack(s, dir).groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("shard_tokens"),
+      min(col("cum_tokens")).as("first_cum"),
+      max(col("cum_tokens")).as("last_cum"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("cum_tokens"), col("doc_id")))),
+        x => x.getField("doc_id").cast("string")), ":").cast("binary"))
+        .as("members_md5"))
+
+  /** Every manifest line recomputed by DuckDB from the (fully
+    * oracled) shard_pack dump — the same group pass, the same
+    * pack-order digest. */
+  val shardManifestSql: String =
+    """SELECT shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+      |  CAST(MIN(cum_tokens) AS BIGINT) AS first_cum,
+      |  CAST(MAX(cum_tokens) AS BIGINT) AS last_cum,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ':' ORDER BY cum_tokens))
+      |    AS members_md5
+      |FROM read_parquet('{VERIFY_OUT}/shard_pack/*.parquet')
+      |GROUP BY shard_id""".stripMargin
+
   // ---- sample_pps: probability-proportional-to-size sampling -----------
   /** Systematic PPS sampling over the token stream: lay a fixed grid
     * of sample points (anchor [[PpsOff]], step [[PpsStep]]) over the
@@ -360,6 +394,7 @@ object Sampling {
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
     "shard_pack" -> (shardPack _),
+    "shard_manifest" -> (shardManifest _),
     "sample_pps" -> (samplePps _),
     "mix_budget" -> (mixBudget _))
 
@@ -369,6 +404,7 @@ object Sampling {
     "sample_split" -> sampleSplitSql,
     "sample_stratified" -> sampleStratifiedSql,
     "shard_pack" -> shardPackSql,
+    "shard_manifest" -> shardManifestSql,
     "sample_pps" -> samplePpsSql,
     "mix_budget" -> mixBudgetSql)
 }

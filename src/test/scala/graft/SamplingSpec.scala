@@ -254,4 +254,34 @@ class SamplingSpec extends SparkSpec {
         small.getAs[Long]("n_tokens") / tokTotal - 1.0 / 4096.0)
     }
   }
+
+  test("shard_manifest: lines match a driver recompute from the assignment") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val assign = Sampling.shardPack(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    val expect = assign.groupBy(_._1).map { case (sid, rows) =>
+      val ordered = rows.sortBy(_._4)
+      sid -> ((ordered.length.toLong, ordered.map(_._3).sum,
+        ordered.map(_._4).min, ordered.map(_._4).max,
+        md5hex(ordered.map(_._2).mkString(":"))))
+    }
+    val got = Sampling.shardManifest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Long]("first_cum"), r.getAs[Long]("last_cum"),
+          r.getAs[String]("members_md5")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (sid, e) =>
+      assert(got(sid) == e, s"shard $sid: got ${got(sid)}, expected $e")
+    }
+    // shards are contiguous prefix-sum spans: no overlap between shards
+    val spans = got.toSeq.sortBy(_._1).map { case (_, v) => (v._3, v._4) }
+    spans.sliding(2).foreach {
+      case Seq((_, lastA), (firstB, _)) => assert(lastA < firstB)
+      case _ => ()
+    }
+  }
 }
