@@ -414,6 +414,72 @@ object StorageLayout {
       |       WHEN f.pre = 0 THEN 'insert' ELSE 'keep' END AS action
       |FROM latest l JOIN flags f USING (user_id, event_type)""".stripMargin
 
+  // ---- q_store_compact: LSM segment compaction -------------------------
+  /** The third maintenance verb, closing the store trilogy (upsert,
+    * incremental aggregate, COMPACTION): the latest-event dimension
+    * accumulates as immutable per-epoch segments (the streaming
+    * twin's LSM contract — three slice appends here), and compaction
+    * folds them into ONE segment by the same per-key (ts, event_id)
+    * max. Associativity of the max fold is the entire correctness
+    * argument: latest-of-segment-latests IS the global latest, so
+    * the serve view is bit-identical before and after — compaction
+    * is purely a read-amplification optimization, never a semantic
+    * event (the spec pins view equality and the file-count drop).
+    * The emitted frame is the SAME merge q_delta_upsert ships
+    * (compacted store ⋈ batch slice), so the oracle is
+    * qDeltaUpsertSql verbatim — the strongest possible cross-check:
+    * a compaction bug breaks a bit-exact full-recompute oracle. */
+  def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val tmp = System.getProperty("java.io.tmpdir")
+    val segPath = s"$tmp/graft_events_segstore_$suffix"
+    val compactPath = s"$tmp/graft_events_segstore_compacted_$suffix"
+    val cutoff = lit(UpsertStoreCutoff).cast("timestamp")
+    val batchEnd = lit(UpsertBatchEnd).cast("timestamp")
+    ingestOnce(segPath) {
+      // three immutable epoch segments appended in order
+      val edges = Seq("2024-01-01", "2024-01-03", "2024-01-04", UpsertStoreCutoff)
+      edges.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          latestPerKey(Tables.events(s, dir).filter(
+              col("ts") >= lit(lo).cast("timestamp") &&
+                col("ts") < lit(hi).cast("timestamp")))
+            .write.mode("append").parquet(segPath)
+        case _ => ()
+      }
+    }
+    ingestOnce(compactPath) {
+      latestPerKey(s.read.parquet(segPath))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(compactPath)
+    }
+    val store = s.read.parquet(compactPath)
+    val batch = latestPerKey(Tables.events(s, dir)
+      .filter(col("ts") >= cutoff && col("ts") < batchEnd))
+    store.select(col("user_id"), col("event_type"), col("ts").as("ts_a"),
+        col("event_id").as("id_a"), col("value").as("v_a"))
+      .join(batch.select(col("user_id"), col("event_type"), col("ts").as("ts_b"),
+        col("event_id").as("id_b"), col("value").as("v_b")),
+        Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        date_format(coalesce(col("ts_b"), col("ts_a")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("last_ts"),
+        coalesce(col("id_b"), col("id_a")).as("last_event_id"),
+        coalesce(col("v_b"), col("v_a")).as("last_value"),
+        when(col("ts_a").isNotNull && col("ts_b").isNotNull, "update")
+          .when(col("ts_a").isNull, "insert")
+          .otherwise("keep").as("action"))
+  }
+
+  /** Exposed for the spec: the two store locations of the current
+    * session/dataset, to count files and compare serve views. */
+  private[graft] def compactPaths(s: SparkSession, dir: String): (String, String) = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val tmp = System.getProperty("java.io.tmpdir")
+    (s"$tmp/graft_events_segstore_$suffix",
+      s"$tmp/graft_events_segstore_compacted_$suffix")
+  }
+
   // ---- q_hll_store: mergeable distinct-count sketch store --------------
   /** The COUNT(DISTINCT) maintenance answer q_incremental_agg
     * documents out: exact distinct counts are not mergeable, but
@@ -473,6 +539,7 @@ object StorageLayout {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_delta_upsert" -> (qDeltaUpsert _),
     "q_hll_store" -> (qHllStore _),
+    "q_store_compact" -> (qStoreCompact _),
     "q_zorder_skip" -> (qZorderSkip _))
 
   val oracle: Map[String, String] = Map(
@@ -481,5 +548,6 @@ object StorageLayout {
     "q_incremental_agg" -> qIncrementalAggSql,
     "q_delta_upsert" -> qDeltaUpsertSql,
     "q_hll_store" -> qHllStoreSql,
+    "q_store_compact" -> qDeltaUpsertSql,
     "q_zorder_skip" -> qZorderSkipSql)
 }

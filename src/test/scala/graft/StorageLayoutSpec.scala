@@ -235,6 +235,31 @@ class StorageLayoutSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q_store_compact: serve view identical pre/post, fewer files after") {
+    val compacted = StorageLayout.qStoreCompact(spark, sfDir)
+    // the compacted merge is bit-identical to the direct upsert merge
+    val direct = StorageLayout.qDeltaUpsert(spark, sfDir)
+    assert(compacted.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+    // compaction reduced the file count and preserved the store view
+    val (segPath, compactPath) = StorageLayout.compactPaths(spark, sfDir)
+    def partFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles).getOrElse(Array.empty)
+        .count(f => f.getName.startsWith("part-") && f.length > 0)
+    assert(partFiles(segPath) > partFiles(compactPath),
+      s"compaction did not reduce files: ${partFiles(segPath)} vs ${partFiles(compactPath)}")
+    assert(partFiles(compactPath) == 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val segServe = spark.read.parquet(segPath)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .collect().map(_.toString).sorted.toSeq
+    val compactServe = spark.read.parquet(compactPath)
+      .collect().map(_.toString).sorted.toSeq
+    assert(segServe == compactServe, "compacted store diverged from segment fold")
+  }
+
   test("q_partition_prune: equals the time-range filter on the source table") {
     val pruned = StorageLayout.qPartitionPrune(spark, sfDir)
     val plain = Tables.events(spark, sfDir)
