@@ -274,6 +274,89 @@ object Multimodal {
       |  CAST(list_sum(list_transform(range(0, npx), k -> p[3*k + 3])) AS BIGINT) AS b_sum
       |FROM px""".stripMargin
 
+  // ---- mm_video_scene: frame-difference scene-cut detection ------------
+  /** Temporal video segmentation — the shot-boundary pass a video
+    * ingest runs before per-shot sampling: consecutive frames'
+    * absolute luma difference, a CUT where the difference is strictly
+    * above the per-video mean (the integer cross-multiplied gate
+    * mm_audio_vad applies on the time axis and mm_phash on the pixel
+    * grid), shots = the segments between cuts. Every frame pays the
+    * real encode→decode round trip; all work is per-payload local in
+    * the partition iterator (zero shuffle). The oracle re-derives
+    * every frame's pixels from the digest-offset formula and re-finds
+    * cuts and the longest shot with pure LIST arithmetic — no window,
+    * no unnest-join, one row per video either side. */
+  case class MMScene(doc_id: Long, n_frames: Int, n_cuts: Int,
+                     n_shots: Int, longest_shot: Int)
+
+  def mmVideoScene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val nFrames = (4 + id % 5).toInt
+        val lumas = (0 until nFrames).map { f =>
+          val img = graft.functions.ImageCodec.decodeBmp(
+            synthesizeFrame(id, payload, f))
+          Array.tabulate(img.width * img.height)(i =>
+            (img.rgb(3 * i) & 0xff) + (img.rgb(3 * i + 1) & 0xff) +
+              (img.rgb(3 * i + 2) & 0xff))
+        }
+        val diffs = (1 until nFrames).map { f =>
+          lumas(f).indices.map(i =>
+            math.abs(lumas(f)(i) - lumas(f - 1)(i)).toLong).sum
+        }
+        val m = diffs.length
+        val total = diffs.sum
+        val cuts = (1 until nFrames).filter(f => diffs(f - 1) * m > total)
+        val bounds = 0 +: cuts :+ nFrames
+        val shotLens = bounds.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+        MMScene(id, nFrames, cuts.length, cuts.length + 1, shotLens.max)
+      })
+      .toDF()
+  }
+
+  val mmVideoSceneSql: String = {
+    def bv(idx: String): String =
+      s"((strpos('0123456789abcdef', substr(h, 2*(($idx) % 32) + 1, 1)) - 1) * 16" +
+        s" + strpos('0123456789abcdef', substr(h, 2*(($idx) % 32) + 2, 1)) - 1)"
+    def lum(frame: String, k: String): String =
+      s"(${bv(s"3*($k) + 7*($frame)")} + ${bv(s"3*($k) + 1 + 7*($frame)")}" +
+        s" + ${bv(s"3*($k) + 2 + 7*($frame)")})"
+    s"""WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, h,
+      |    (CAST(2 + doc_id % 6 AS INT) * CAST(2 + nb % 5 AS INT)) AS npx,
+      |    CAST(4 + doc_id % 5 AS INT) AS nf
+      |  FROM m
+      |), d AS (
+      |  SELECT doc_id, nf,
+      |    list_transform(range(1, nf), f ->
+      |      list_sum(list_transform(range(0, npx), k ->
+      |        abs(${lum("f", "k")} - ${lum("f - 1", "k")})))) AS diffs
+      |  FROM g
+      |), c AS (
+      |  SELECT doc_id, nf,
+      |    list_filter(range(1, nf), f ->
+      |      diffs[f] * (nf - 1) > list_sum(diffs)) AS cuts
+      |  FROM d
+      |), b AS (
+      |  SELECT doc_id, nf, cuts,
+      |    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+      |      [CAST(nf AS BIGINT)]) AS bounds
+      |  FROM c
+      |)
+      |SELECT doc_id, nf AS n_frames,
+      |  CAST(len(cuts) AS INT) AS n_cuts,
+      |  CAST(len(cuts) + 1 AS INT) AS n_shots,
+      |  CAST(list_max(list_transform(range(1, len(bounds)), i ->
+      |    bounds[i + 1] - bounds[i])) AS INT) AS longest_shot
+      |FROM b""".stripMargin
+  }
+
   // ---- mm_phash: perceptual-hash image near-dup ------------------------
   /** Image near-duplicate detection by perceptual average-hash
     * (aHash): decode → per-pixel luma (r+g+b) → one bit per pixel
@@ -1022,6 +1105,7 @@ object Multimodal {
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash" -> (mmPhash _),
+    "mm_video_scene" -> (mmVideoScene _),
     "mm_audio" -> (mmAudio _),
     "mm_segment" -> (mmSegment _),
     "mm_segment_check" -> (mmSegmentCheck _),
@@ -1068,6 +1152,7 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_phash" -> mmPhashSql,
+    "mm_video_scene" -> mmVideoSceneSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio" -> mmAudioSql,
     "mm_segment_check" -> mmSegmentCheckSql,

@@ -546,6 +546,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(expect.values.forall(v => v._4 < 1.0))
   }
 
+  test("mm_video_scene: matches a driver-local reference over the corpus") {
+    val docsLocal = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docsLocal.map { case (id, text) =>
+      val payload = text.getBytes("UTF-8")
+      val nf = (4 + id % 5).toInt
+      val w = (2 + id % 6).toInt
+      val h = (2 + payload.length % 5).toInt
+      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+      def luma(f: Int): IndexedSeq[Int] = (0 until w * h).map { k =>
+        (0 to 2).map(c => digest((3 * k + c + 7 * f) % 32) & 0xff).sum
+      }
+      val diffs = (1 until nf).map { f =>
+        val (la, lb) = (luma(f), luma(f - 1))
+        la.indices.map(k => math.abs(la(k) - lb(k)).toLong).sum
+      }
+      val total = diffs.sum
+      val cuts = (1 until nf).filter(f => diffs(f - 1) * diffs.length > total)
+      val bounds = 0 +: cuts :+ nf
+      id -> ((nf, cuts.length, cuts.length + 1,
+        bounds.sliding(2).map(p => p(1) - p(0)).max))
+    }.toMap
+    val got = Multimodal.mmVideoScene(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_frames"), r.getAs[Int]("n_cuts"),
+          r.getAs[Int]("n_shots"), r.getAs[Int]("longest_shot")))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // cuts exist somewhere and no video is all-cuts
+    assert(expect.values.exists(_._2 > 0), "no scene cut in corpus")
+    assert(expect.values.forall(v => v._4 >= 1))
+  }
+
   test("graft_nfc: canonical composition matches composed forms") {
     import spark.implicits._
     val composed = "café"                 // é as one code point
