@@ -92,6 +92,11 @@ class RelationalSpec extends SparkSpec {
           col("ts") < start + expr("interval 60 minutes")).count()
       assert(cnt == row.getAs[Long]("n_events"), s"cell mismatch: $row")
     }
+    // plan shape: one scan + map-side Expand, not a per-window re-scan
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"no Expand in hop-window plan:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      "hop window must read the events table exactly once")
     r.unpersist()
   }
 }
