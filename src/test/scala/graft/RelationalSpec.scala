@@ -92,11 +92,24 @@ class RelationalSpec extends SparkSpec {
           col("ts") < start + expr("interval 60 minutes")).count()
       assert(cnt == row.getAs[Long]("n_events"), s"cell mismatch: $row")
     }
-    // plan shape: one scan + map-side Expand, not a per-window re-scan
-    val plan = r.queryExecution.executedPlan.toString
-    assert(plan.contains("Expand"), s"no Expand in hop-window plan:\n$plan")
-    assert("Scan parquet".r.findAllIn(plan).length == 1,
+    // plan shape: one scan + map-side Expand, not a per-window re-scan.
+    // Counted over the FINAL plan's actual nodes — the AQE wrapper's
+    // toString prints initial+final plans and a cached frame embeds
+    // its child plan twice, so string-counting overshoots on both.
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    r.unpersist(blocking = true) // or the fresh frame below hits the cache
+    val fresh = Relational.qHopWindow(spark, sfDir)
+    fresh.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other.children.flatMap(nodes)
+    }) :+ p
+    val all = nodes(fresh.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[ExpandExec]),
+      s"no Expand in hop-window plan: ${all.map(_.getClass.getSimpleName).mkString(", ")}")
+    assert(all.count(_.isInstanceOf[FileSourceScanExec]) == 1,
       "hop window must read the events table exactly once")
-    r.unpersist()
   }
 }
