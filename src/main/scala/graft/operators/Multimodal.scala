@@ -363,11 +363,16 @@ object Multimodal {
     * (luma strictly above the image mean, integer cross-multiplied so
     * no division is involved) → geometry-blocked banded candidate
     * pairs → exact Hamming verify. The banding is the dedup_simhash
-    * machinery (3 × 14-bit slices, covering the ≤ 42-pixel hash)
-    * with the (width, height) block as an extra join key — different
-    * geometries are never compared, and nothing is all-pairs at
-    * scale: full-size images hash to 64-bit grids where the bands
-    * discriminate exactly as SimHash's do.
+    * machinery with the (width, height) block as an extra join key —
+    * different geometries are never compared — and the hash splits
+    * into 3 bands of the ACTUAL n = width×height bits (floor(n/3)
+    * each, remainder on the top band), so every geometry has 3
+    * non-empty bands and the pigeonhole guarantee holds universally:
+    * a pair within the [[PhashDupMax]] = 2 Hamming radius cannot
+    * corrupt all 3 bands, hence candidate recall for true near-dups
+    * is exactly 1 (fixed-position 14-bit slices, the first attempt,
+    * left small geometries with 1-2 informative bands and silently
+    * missed most true pairs — measured 52 vs 450 found at sf0.01).
     *
     * The image column is synthesized like mm_features' (no image
     * files in this sandbox) but from a LOCALITY-SENSITIVE source —
@@ -380,9 +385,7 @@ object Multimodal {
     * pixels, luma, hash bits, bands, Hamming — is integer arithmetic
     * DuckDB recomputes from the documents table alone, so unlike
     * simhash (seeded xxhash64) this near-dup path is FULLY oracled. */
-  private val PhashBands = 3
-  private val PhashBandBits = 14
-  private val PhashDupMax = 2
+  private val PhashDupMax = 2 // < 3 bands ⇒ pigeonhole recall guarantee
 
   private[graft] def synthesizePhashBmp(text: String): Array[Byte] = {
     val nb = text.getBytes("UTF-8").length
@@ -428,19 +431,20 @@ object Multimodal {
         MMPHashRow(id, img.width, img.height, phashBits(img))
       })
       .toDF()
-    // only bands that cover >= 1 real hash bit participate (band k
-    // exists iff 14k < n): a hash narrower than a band would make the
-    // all-zero top slice a universal collision key and silently turn
-    // the geometry block into all-pairs. Oversized buckets are dropped
-    // by the shared LSH cap (Dedup.capBuckets), same as every other
-    // banded path.
+    // 3 bands over the ACTUAL n bits: floor(n/3) each, remainder on
+    // the top band — every band non-empty for every geometry (n >= 4),
+    // which is what makes the <=2-Hamming recall guarantee hold.
+    // Oversized buckets are dropped by the shared LSH cap
+    // (Dedup.capBuckets), same as every other banded path.
+    val slices = Seq(
+      expr("phash & (shiftleft(1L, int((width * height) div 3)) - 1)"),
+      expr("shiftright(phash, int((width * height) div 3))" +
+        " & (shiftleft(1L, int((width * height) div 3)) - 1)"),
+      expr("shiftright(phash, int(2 * ((width * height) div 3)))"))
     val bands = Dedup.capBuckets(
       t.select(col("doc_id"), col("width"), col("height"), col("phash"),
-        posexplode(array((0 until PhashBands).map(k =>
-          shiftright(col("phash"), PhashBandBits * k)
-            .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
-        .toDF("doc_id", "width", "height", "phash", "band", "bv")
-        .filter(col("band") * PhashBandBits < col("width") * col("height")),
+        posexplode(array(slices: _*)))
+        .toDF("doc_id", "width", "height", "phash", "band", "bv"),
       Seq("width", "height", "band", "bv"))
     bands.as("a").join(bands.as("b"),
         col("a.width") === col("b.width") && col("a.height") === col("b.height") &&
@@ -487,9 +491,11 @@ object Multimodal {
       |  FROM lum
       |), bands0 AS (
       |  SELECT doc_id, width, height, phash, k AS band,
-      |    (phash >> (${PhashBandBits} * k)) & ${(1L << PhashBandBits) - 1} AS bv
+      |    CASE WHEN k = 2 THEN phash >> (2 * ((width * height) // 3))
+      |         ELSE (phash >> (k * ((width * height) // 3)))
+      |           & ((CAST(1 AS BIGINT) << ((width * height) // 3)) - 1)
+      |    END AS bv
       |  FROM hsh, unnest([0, 1, 2]) AS t(k)
-      |  WHERE ${PhashBandBits} * k < width * height
       |), oversized AS (
       |  SELECT width, height, band, bv FROM bands0
       |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) > 4096

@@ -462,10 +462,13 @@ class TextMultimodalSpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_dup") == (ham <= 2))
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
       val n = r.getAs[Int]("width") * r.getAs[Int]("height")
-      // every pair shares an informative band (the candidate contract)
-      val shares = (0 until 3).exists(k => 14 * k < n &&
-        ((a >> (14 * k)) & 0x3FFF) == ((b >> (14 * k)) & 0x3FFF))
-      assert(shares, s"pair without a shared informative band: $r")
+      // every pair shares a band under the floor(n/3) split
+      def slices(h: Long): Seq[Long] = {
+        val w = n / 3
+        Seq(h & ((1L << w) - 1), (h >> w) & ((1L << w) - 1), h >> (2 * w))
+      }
+      assert(slices(a).zip(slices(b)).exists(p => p._1 == p._2),
+        s"pair without a shared band: $r")
       // no bit above the pixel count is ever set
       if (n < 64) {
         assert((a >> n) == 0L && (b >> n) == 0L, s"hash bits beyond n=$n: $r")
@@ -474,6 +477,23 @@ class TextMultimodalSpec extends SparkSpec {
     // both verify branches live on the corpus
     assert(rows.exists(_.getAs[Boolean]("is_dup")), "no near-dup image pair")
     assert(rows.exists(!_.getAs[Boolean]("is_dup")), "every candidate a dup")
+    // RECALL guarantee: every same-geometry pair within the Hamming
+    // radius appears as a candidate (pigeonhole: <=2 errors cannot
+    // corrupt all 3 non-empty bands) — checked exhaustively driver-side
+    val table = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { rr =>
+        val img = graft.functions.ImageCodec.decodeBmp(
+          Multimodal.synthesizePhashBmp(rr.getString(1)))
+        (rr.getLong(0), img.width, img.height, Multimodal.phashBits(img))
+      }
+    val emitted = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    for {
+      pair <- table.sortBy(_._1).toSeq.combinations(2)
+      Seq((da, wa, ha, pa), (db, wb, hb, pb)) = pair
+      if wa == wb && ha == hb && java.lang.Long.bitCount(pa ^ pb) <= 2
+    } assert(emitted.contains((da, db)),
+      s"true near-dup pair ($da,$db) missing from candidates")
   }
 
   test("mm_audio_vad: matches a driver-local reference over the corpus") {
