@@ -624,8 +624,10 @@ object AnalyticsExtras {
     val activity = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
     val cohort = activity.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    // cohort has one row per user by construction — a plain count is
+    // the same value without a second distinct-aggregate pass
     val cohortSize = cohort.groupBy("cohort_d")
-      .agg(countDistinct(col("user_id")).as("cohort_size"))
+      .agg(count(lit(1)).as("cohort_size"))
     activity.join(cohort, "user_id")
       .withColumn("day_offset", datediff(col("d"), col("cohort_d")))
       .groupBy(col("cohort_d"), col("day_offset"))

@@ -180,7 +180,7 @@ object Sampling {
       |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
       |  CAST(MIN(cum_tokens) AS BIGINT) AS first_cum,
       |  CAST(MAX(cum_tokens) AS BIGINT) AS last_cum,
-      |  md5(string_agg(CAST(doc_id AS VARCHAR), ':' ORDER BY cum_tokens))
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ':' ORDER BY cum_tokens, doc_id))
       |    AS members_md5
       |FROM read_parquet('{VERIFY_OUT}/shard_pack/*.parquet')
       |GROUP BY shard_id""".stripMargin

@@ -360,18 +360,11 @@ object StorageLayout {
       .filter(col("rn") === 1).drop("rn")
       .select("user_id", "event_type", "ts", "event_id", "value")
 
-  def qDeltaUpsert(s: SparkSession, dir: String): DataFrame = {
-    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_dimstore_$suffix"
-    val cutoff = lit(UpsertStoreCutoff).cast("timestamp")
-    val batchEnd = lit(UpsertBatchEnd).cast("timestamp")
-    ingestOnce(path) {
-      latestPerKey(Tables.events(s, dir).filter(col("ts") < cutoff))
-        .write.mode("overwrite").parquet(path)
-    }
-    val store = s.read.parquet(path)
-    val batch = latestPerKey(Tables.events(s, dir)
-      .filter(col("ts") >= cutoff && col("ts") < batchEnd))
+  /** The MERGE projection both upsert entries ship: batch wins on
+    * key collision, absent sides coalesce, every row carries its
+    * action. ONE copy — qDeltaUpsert and qStoreCompact must stay
+    * bit-identical (they share the full-recompute oracle). */
+  private def mergeWithBatch(store: DataFrame, batch: DataFrame): DataFrame =
     store.select(col("user_id"), col("event_type"), col("ts").as("ts_a"),
         col("event_id").as("id_a"), col("value").as("v_a"))
       .join(batch.select(col("user_id"), col("event_type"), col("ts").as("ts_b"),
@@ -385,6 +378,19 @@ object StorageLayout {
         when(col("ts_a").isNotNull && col("ts_b").isNotNull, "update")
           .when(col("ts_a").isNull, "insert")
           .otherwise("keep").as("action"))
+
+  def qDeltaUpsert(s: SparkSession, dir: String): DataFrame = {
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_dimstore_$suffix"
+    val cutoff = lit(UpsertStoreCutoff).cast("timestamp")
+    val batchEnd = lit(UpsertBatchEnd).cast("timestamp")
+    ingestOnce(path) {
+      latestPerKey(Tables.events(s, dir).filter(col("ts") < cutoff))
+        .write.mode("overwrite").parquet(path)
+    }
+    mergeWithBatch(s.read.parquet(path),
+      latestPerKey(Tables.events(s, dir)
+        .filter(col("ts") >= cutoff && col("ts") < batchEnd)))
   }
 
   /** Full recompute: latest-per-key over the whole [min, batchEnd)
@@ -430,21 +436,25 @@ object StorageLayout {
     * qDeltaUpsertSql verbatim — the strongest possible cross-check:
     * a compaction bug breaks a bit-exact full-recompute oracle. */
   def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
-    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
-    val tmp = System.getProperty("java.io.tmpdir")
-    val segPath = s"$tmp/graft_events_segstore_$suffix"
-    val compactPath = s"$tmp/graft_events_segstore_compacted_$suffix"
+    val (segPath, compactPath) = compactPaths(s, dir)
     val cutoff = lit(UpsertStoreCutoff).cast("timestamp")
     val batchEnd = lit(UpsertBatchEnd).cast("timestamp")
     ingestOnce(segPath) {
-      // three immutable epoch segments appended in order
-      val edges = Seq("2024-01-01", "2024-01-03", "2024-01-04", UpsertStoreCutoff)
+      // three immutable epoch segments appended in order; the FIRST
+      // slice is unbounded below so the segment union covers exactly
+      // ts < cutoff, the same range qDeltaUpsert's store and the
+      // shared full-recompute oracle cover (a hard-coded lower edge
+      // would silently drop pre-range events if the generator's
+      // anchor ever moved)
+      val edges = Seq(None, Some("2024-01-03"), Some("2024-01-04"),
+        Some(UpsertStoreCutoff))
       edges.sliding(2).foreach {
-        case Seq(lo, hi) =>
-          latestPerKey(Tables.events(s, dir).filter(
-              col("ts") >= lit(lo).cast("timestamp") &&
-                col("ts") < lit(hi).cast("timestamp")))
-            .write.mode("append").parquet(segPath)
+        case Seq(lo, Some(hi)) =>
+          val upper = col("ts") < lit(hi).cast("timestamp")
+          latestPerKey(Tables.events(s, dir).filter(lo match {
+            case Some(l) => col("ts") >= lit(l).cast("timestamp") && upper
+            case None => upper
+          })).write.mode("append").parquet(segPath)
         case _ => ()
       }
     }
@@ -453,22 +463,9 @@ object StorageLayout {
         .coalesce(1)
         .write.mode("overwrite").parquet(compactPath)
     }
-    val store = s.read.parquet(compactPath)
-    val batch = latestPerKey(Tables.events(s, dir)
-      .filter(col("ts") >= cutoff && col("ts") < batchEnd))
-    store.select(col("user_id"), col("event_type"), col("ts").as("ts_a"),
-        col("event_id").as("id_a"), col("value").as("v_a"))
-      .join(batch.select(col("user_id"), col("event_type"), col("ts").as("ts_b"),
-        col("event_id").as("id_b"), col("value").as("v_b")),
-        Seq("user_id", "event_type"), "full_outer")
-      .select(col("user_id"), col("event_type"),
-        date_format(coalesce(col("ts_b"), col("ts_a")), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("last_ts"),
-        coalesce(col("id_b"), col("id_a")).as("last_event_id"),
-        coalesce(col("v_b"), col("v_a")).as("last_value"),
-        when(col("ts_a").isNotNull && col("ts_b").isNotNull, "update")
-          .when(col("ts_a").isNull, "insert")
-          .otherwise("keep").as("action"))
+    mergeWithBatch(s.read.parquet(compactPath),
+      latestPerKey(Tables.events(s, dir)
+        .filter(col("ts") >= cutoff && col("ts") < batchEnd)))
   }
 
   /** Exposed for the spec: the two store locations of the current

@@ -691,10 +691,17 @@ object TextAnalysis {
     * source-pair-cardinality. Gram key becomes xxhash64 at scale
     * (the crossdup note). */
   def textSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("source"), col("doc_id"), col("text"))
-    val grams = gramStarts(lowerToks(d))
-      .join(d.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("gram")).distinct()
+    // source rides the explode directly — joining the gram table (the
+    // largest intermediate) back to the doc list just to recover a
+    // column the input already had would shuffle gram-cardinality rows
+    val toks = docs(s, dir).select(col("source"),
+      split(trim(lower(col("text"))), "\\s+").as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= CrossW)
+      .select(col("source"), explode(transform(
+        sequence(lit(0), (col("n_tokens") - CrossW).cast("int")),
+        i => array_join(slice(col("ts"), i + 1, lit(CrossW)), " "))).as("gram"))
+      .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val shared = grams.select(col("source").as("sa"), col("gram"))
       .join(grams.select(col("source").as("sb"), col("gram")), "gram")

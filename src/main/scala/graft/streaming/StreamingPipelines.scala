@@ -257,26 +257,27 @@ object StreamingPipelines {
     * absorbed because the fold is an idempotent max over a set, and
     * compaction — qDeltaUpsert's full-outer merge — stays an offline
     * cost optimization that correctness never depends on. */
-  def upsertMaintenance(s: SparkSession, storePath: String)(
-      batch: DataFrame, epoch: Long): Unit =
-    batch.select(col("user_id"), col("event_type"), col("ts"),
-        col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(
+  /** Per-key latest under the (ts, event_id) total order — the ONE
+    * definition both the flush and the serve fold use (a tie-break
+    * change in only one of them would silently diverge the serve
+    * view from the store contract). */
+  private def upsertLatest(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") === 1).drop("rn")
+
+  def upsertMaintenance(s: SparkSession, storePath: String)(
+      batch: DataFrame, epoch: Long): Unit =
+    upsertLatest(batch.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value")))
       .write.mode("append").parquet(storePath)
 
   /** Serving view over the upsert segments: per-key latest under the
     * same (ts, event_id) total order. */
   def upsertServe(s: SparkSession, storePath: String): DataFrame =
-    s.read.parquet(storePath)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("event_type"))
-          .orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("rn") === 1).drop("rn")
+    upsertLatest(s.read.parquet(storePath))
 
   // ---- the 5-stage dedup pipeline, composed end to end -----------------
   /** The reference's flagship artifact as ONE streaming pipeline:
