@@ -712,7 +712,7 @@ object AnalyticsExtras {
       |    RANGE BETWEEN 1 FOLLOWING AND $FunnelWindowUs FOLLOWING)
       |)
       |SELECT user_id, MAX(depth) AS funnel_depth,
-      |  SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS n_full_chains
+      |  CAST(SUM(CASE WHEN depth = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_chains
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN chain_p <= us + $FunnelWindowUs THEN 3
