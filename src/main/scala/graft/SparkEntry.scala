@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsExtras, Curation, Dedup, Multimodal, OlapExtras, Relational, Sampling, Similarity, StorageLayout, StreamingOps, TextAnalysis}
+import graft.operators.{AnalyticsExtras, Curation, Dedup, Diagnostics, GraphOps, Multimodal, OlapExtras, Relational, Sampling, Similarity, StorageLayout, StreamingOps, TextAnalysis}
 import graft.sources.BinaryFiles
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ StreamingOps.queries ++
       BinaryFiles.queries ++ OlapExtras.queries ++ AnalyticsExtras.queries ++
-      Curation.queries ++ Sampling.queries ++ StorageLayout.queries
+      Curation.queries ++ Sampling.queries ++ StorageLayout.queries ++
+      GraphOps.queries ++ Diagnostics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Multimodal.oracle ++ StreamingOps.oracle ++
       BinaryFiles.oracle ++ OlapExtras.oracle ++ AnalyticsExtras.oracle ++
-      Curation.oracle ++ Sampling.oracle ++ StorageLayout.oracle
+      Curation.oracle ++ Sampling.oracle ++ StorageLayout.oracle ++
+      GraphOps.oracle ++ Diagnostics.oracle
 }

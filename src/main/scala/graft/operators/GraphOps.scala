@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the duplicate graph (SURVEY.md §2.B
+  * extension) — the iterative and combinatorial verbs a curation run
+  * applies AFTER the near-dup edge list exists: importance ranking
+  * (which boilerplate hub contaminates the most corpus?) and triangle
+  * counting (is this component a dense template cluster or a thin
+  * chain of borderline pairs?). dedup_hubs gives degrees; PageRank
+  * weighs a node by its neighbors' weight, and triangles measure
+  * local closure — three different answers to "how duplicated is this
+  * document, really".
+  *
+  * Both operators consume the fully-oracled exact n-gram Jaccard edge
+  * list ([[Dedup.dedupNgramJaccard]]), so the whole chain stays
+  * cross-engine-checkable; at 100 TB the same code runs over the
+  * banded-LSH edge list (the edge table is just a DataFrame
+  * parameter), exactly like the cluster path.
+  *
+  * Scale posture: every per-iteration stage is a keyed equi-join +
+  * grouped aggregation on the edge partitioning — no all-pairs, no
+  * driver-side graph. PageRank arithmetic is ALL integer (scaled
+  * units with floor division), so the fixpoint trajectory is
+  * bit-identical on any engine — the reason the oracle can replay it.
+  */
+object GraphOps {
+
+  // ---- graph_pagerank: integer-arithmetic PageRank ---------------------
+  /** Rank scale: each node starts with [[PrInit]] units; one iteration
+    * sends floor(85·r / (100·deg)) units along every out-edge and
+    * every node collects [[PrBase]] = floor(0.15·PrInit) teleport
+    * units plus its in-flow. Damping 0.85 as the exact rational 85/100
+    * under floor division — no floating point anywhere, so K
+    * iterations are deterministic integer recurrences both engines
+    * replay bit-exactly ([[PrIters]] fixed, convergence not required:
+    * the RANKING stabilizes long before the units do). */
+  private[operators] val PrInit = 1000000000L
+  private[operators] val PrBase = 150000000L
+  private[operators] val PrIters = 6
+
+  /** PageRank over an undirected edge list (canonical a<b pairs).
+    * Each round: per-node contribution (one projection of the rank
+    * table — the floor split is per SOURCE, so it's computed once per
+    * node, not once per edge), an edge join on the pre-partitioned
+    * edge table, and a grouped sum per destination. The symmetric
+    * edge list guarantees every node has in-degree ≥ 1, so the inner
+    * re-join loses nobody. Rounds are eagerly checkpointed (bounded
+    * plan depth) and every intermediate block is freed on exit —
+    * the clustersFromPairs lifecycle discipline. */
+  private[graft] def pagerankFromPairs(pairs: DataFrame): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val created = scala.collection.mutable.Set[Int]()
+    def ck(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true)
+      c.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => created += l.rdd.id
+      }
+      c
+    }
+    val p = pairs.toDF("doc_a", "doc_b")
+    val edges = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src")))
+    val deg = ck(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    var ranks = ck(deg.select(col("src").as("doc_id"), col("deg"),
+      lit(PrInit).as("rank")))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks.select(col("doc_id").as("src"),
+        expr(s"(${85}L * rank) DIV (${100}L * deg)").as("c"))
+      ranks = ck(edges.join(contrib, "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum("c").as("inflow"))
+        .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+        .select(col("doc_id"), col("deg"),
+          (lit(PrBase) + col("inflow")).as("rank")))
+    }
+    val res = ranks.localCheckpoint(true)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (created.contains(id)) rdd.unpersist(blocking = false)
+    }
+    res
+  }
+
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+
+  /** The oracle replays all [[PrIters]] integer iterations as unrolled
+    * CTE blocks over the (fully oracled) dedup_ngram_jaccard dump —
+    * same floor division, same BIGINT arithmetic, so the final units
+    * must match bit-for-bit. */
+  val graphPagerankSql: String = {
+    val blocks = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.doc_id, d.deg,
+         |    CAST($PrBase + SUM((CAST(85 AS BIGINT) * r.rank)
+         |      // (CAST(100 AS BIGINT) * r.deg)) AS BIGINT) AS rank
+         |  FROM ud e JOIN r${i - 1} r ON e.src = r.doc_id
+         |            JOIN deg d ON e.dst = d.doc_id
+         |  GROUP BY d.doc_id, d.deg
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT doc_a, doc_b
+       |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+       |), ud AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), deg AS (
+       |  SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM ud GROUP BY src
+       |), r0 AS (
+       |  SELECT doc_id, deg, CAST($PrInit AS BIGINT) AS rank FROM deg
+       |),
+       |$blocks
+       |SELECT doc_id, deg, rank FROM r$PrIters""".stripMargin
+  }
+
+  // ---- graph_triangles: per-node triangle counts -----------------------
+  /** Triangle participation per node over the same canonical (a<b)
+    * edge list: enumerate each triangle exactly once as an ordered
+    * triple a<b<c (wedge join on the middle node + closing-edge
+    * equi-join), then credit all three corners. Nodes in no triangle
+    * still appear (degree table left-joined, zero-filled) — the
+    * diagnostic wants "thin chain" to show as n_tri = 0, not as an
+    * absent row.
+    *
+    * Scale: the wedge join's cost is Σ deg(v)² on the middle node; at
+    * 100 TB the standard degree-orientation bound applies (orient
+    * each edge low-degree → high-degree before the wedge join, cost
+    * drops to O(m^1.5)) — with the canonical doc_id ordering kept
+    * here because the oracle must replay the exact same enumeration
+    * and the dup graph's degree cap (the 4096 LSH bucket cap) already
+    * bounds the wedge fan-out. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true) // three consumers; the Jaccard join must not re-run
+    val wedges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(p.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+    val tris = wedges.join(
+      p.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+    val corners = tris.select(explode(array(col("a"), col("b"), col("c")))
+      .as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    deg.join(corners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  val graphTrianglesSql: String =
+    """WITH p AS (
+      |  SELECT doc_a, doc_b
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+      |), t AS (
+      |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |  FROM p e1
+      |  JOIN p e2 ON e2.doc_a = e1.doc_b
+      |  JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+      |), tc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS doc_id FROM t
+      |    UNION ALL SELECT b FROM t
+      |    UNION ALL SELECT c FROM t
+      |  ) GROUP BY doc_id
+      |), deg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT doc_a AS doc_id FROM p
+      |    UNION ALL SELECT doc_b FROM p
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT deg.doc_id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri
+      |FROM deg LEFT JOIN tc USING (doc_id)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
+}

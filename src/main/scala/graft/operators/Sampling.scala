@@ -246,6 +246,66 @@ object Sampling {
       |) WHERE ${grid("cum_tokens")} - ${grid("(cum_tokens - n_tokens)")} >= 1""".stripMargin
   }
 
+  // ---- seq_pack: fixed-length training-sequence packing ----------------
+  /** The step between shard_pack and the trainer: concatenate the
+    * token stream in deterministic hash order and cut it into
+    * FIXED-LENGTH sequences of [[SeqLen]] tokens (the context-window
+    * packing every pretraining loader performs). Unlike shards —
+    * where a document always lands whole — a document here SPANS
+    * sequence boundaries, so the output is one row per (sequence,
+    * document) SEGMENT: which slice of the doc ([doc_offset,
+    * doc_offset + n_tok)) lands at which position of which sequence
+    * (seq_offset). Every sequence is exactly full (the last one
+    * excepted), every doc is tiled exactly once — SamplingSpec proves
+    * both.
+    *
+    * All arithmetic is integer (floor division on the global token
+    * prefix sum), riding the same distributed prefix sum as
+    * shard_pack; the per-doc fan-out is ceil(n/L)+1 segments, so the
+    * explode is bounded and the whole operator is a map stage after
+    * the prefix sum. */
+  private[operators] val SeqLen = 2048L
+
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      hashKey(col("doc_id"), "seqpack").as("key"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    PrefixSum.runningSum(base, Seq(col("key"), col("doc_id")), "n_tokens", "cum_tokens")
+      .withColumn("start", col("cum_tokens") - col("n_tokens"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start DIV $SeqLen"), expr(s"(cum_tokens - 1L) DIV $SeqLen"))))
+      .withColumn("seg_start", greatest(col("start"), col("seq_id") * SeqLen))
+      .withColumn("seg_end", least(col("cum_tokens"), (col("seq_id") + 1L) * SeqLen))
+      .select(col("seq_id"), col("doc_id"), col("n_tokens"),
+        (col("seg_start") - col("start")).as("doc_offset"),
+        (col("seg_start") - col("seq_id") * SeqLen).as("seq_offset"),
+        (col("seg_end") - col("seg_start")).as("n_tok"))
+  }
+
+  /** Semantics-stating oracle (global window + generate_series); the
+    * Spark side must merely never PLAN the window that way. */
+  val seqPackSql: String =
+    s"""SELECT seq_id, doc_id, n_tokens,
+      |  greatest(start, seq_id * $SeqLen) - start AS doc_offset,
+      |  greatest(start, seq_id * $SeqLen) - seq_id * $SeqLen AS seq_offset,
+      |  least(cum_tokens, (seq_id + 1) * $SeqLen)
+      |    - greatest(start, seq_id * $SeqLen) AS n_tok
+      |FROM (
+      |  SELECT doc_id, n_tokens, cum_tokens, cum_tokens - n_tokens AS start,
+      |    unnest(generate_series((cum_tokens - n_tokens) // $SeqLen,
+      |      (cum_tokens - 1) // $SeqLen)) AS seq_id
+      |  FROM (
+      |    SELECT doc_id, n_tokens,
+      |      CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |    FROM (
+      |      SELECT doc_id, ${hashKeySql("doc_id", "seqpack")} AS key,
+      |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |      FROM documents
+      |    )
+      |  )
+      |)""".stripMargin
+
   // ---- mix_budget: per-source quality-ordered token budget --------------
   /** The data-mixing primitive of corpus assembly: within each source,
     * admit documents best-quality-first until the source's token
@@ -396,6 +456,7 @@ object Sampling {
     "shard_pack" -> (shardPack _),
     "shard_manifest" -> (shardManifest _),
     "sample_pps" -> (samplePps _),
+    "seq_pack" -> (seqPack _),
     "mix_budget" -> (mixBudget _))
 
   val oracle: Map[String, String] = Map(
@@ -406,5 +467,6 @@ object Sampling {
     "shard_pack" -> shardPackSql,
     "shard_manifest" -> shardManifestSql,
     "sample_pps" -> samplePpsSql,
+    "seq_pack" -> seqPackSql,
     "mix_budget" -> mixBudgetSql)
 }

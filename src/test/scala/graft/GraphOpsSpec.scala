@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, GraphOps}
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local replay of the integer PageRank recurrence — independent of
+    * every Spark kernel (plain Scala maps). */
+  private def pagerankReference(pairs: Seq[(Long, Long)])
+    : Map[Long, (Long, Long)] = {
+    val ud = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = ud.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.map { case (n, _) => n -> 1000000000L }
+    for (_ <- 1 to 6) {
+      val inflow = ud.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          (85L * rank(src)) / (100L * deg(src))
+        }.sum
+      }
+      rank = deg.map { case (n, _) => n -> (150000000L + inflow(n)) }
+    }
+    deg.map { case (n, d) => n -> (d, rank(n)) }
+  }
+
+  test("graph_pagerank: matches the local integer replay on a synthetic graph") {
+    // a chain, a triangle, and a star — distinct shapes with known
+    // rank orderings (hub > leaves, triangle symmetric, chain middle
+    // > ends)
+    val pairs = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L),                     // chain 1-2-3
+      (10L, 11L), (11L, 12L), (10L, 12L),     // triangle
+      (20L, 21L), (20L, 22L), (20L, 23L))     // star around 20
+    val got = GraphOps.pagerankFromPairs(
+      pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("rank"))).toMap
+    assert(got == pagerankReference(pairs))
+    // shape sanity: the star hub outranks its leaves, the chain middle
+    // its ends, and the triangle is exactly symmetric
+    assert(got(20L)._2 > got(21L)._2)
+    assert(got(2L)._2 > got(1L)._2)
+    assert(got(10L)._2 == got(11L)._2 && got(11L)._2 == got(12L)._2)
+  }
+
+  test("graph_pagerank: corpus run matches the replay over the real edge list") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val want = pagerankReference(pairs)
+    val got = GraphOps.graphPagerank(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("rank"))).toMap
+    assert(got == want)
+    // every node keeps at least the teleport mass
+    got.values.foreach { case (_, r) => assert(r >= 150000000L) }
+  }
+
+  test("graph_triangles: matches a brute-force count over the real edge list") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      (a, b) <- pairs
+      c <- nodes if c > b
+      if edgeSet.contains((b, c)) && edgeSet.contains((a, c))
+    } {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val degRef = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.graphTriangles(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"))).toMap
+    assert(got.keySet == degRef.keySet)
+    got.foreach { case (n, (d, t)) =>
+      assert(d == degRef(n), s"degree mismatch at $n")
+      assert(t == triCount(n), s"triangle count mismatch at $n")
+    }
+    // the near-dup graph is clique-heavy: triangles must exist
+    assert(got.values.map(_._2).sum > 0)
+  }
+}

@@ -111,6 +111,46 @@ class SamplingSpec extends SparkSpec {
     }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in sample_pps"))
   }
 
+  test("seq_pack: segments tile every doc once and fill every sequence exactly") {
+    val rows = Sampling.seqPack(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per doc: segments cover [0, n_tokens) contiguously, in seq order
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, segs) =>
+      val n = segs.head.getAs[Long]("n_tokens")
+      val sorted = segs.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.map(_.getAs[Long]("n_tok")).sum == n, s"doc $doc not tiled")
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("doc_offset") == off, s"gap in doc $doc")
+        off += r.getAs[Long]("n_tok")
+      }
+    }
+    // per sequence: exactly 2048 tokens (the trailing sequence may be
+    // short), segments tile [0, 2048) contiguously
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id"))
+    val lastSeq = bySeq.keySet.max
+    assert(bySeq.keySet == (0L to lastSeq).toSet, "sequence ids not contiguous")
+    bySeq.foreach { case (sid, segs) =>
+      val sorted = segs.sortBy(_.getAs[Long]("seq_offset"))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("seq_offset") == off, s"gap in sequence $sid")
+        off += r.getAs[Long]("n_tok")
+      }
+      if (sid != lastSeq) assert(off == 2048L, s"sequence $sid not full: $off")
+      else assert(off <= 2048L)
+    }
+    // total conservation: Σ n_tok = Σ doc tokens
+    val total = Tables.documents(spark, sfDir)
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == total)
+    // scale posture: only PARTITIONED windows in the shipped plan
+    Sampling.seqPack(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in seq_pack"))
+  }
+
   // local reference implementation of the PPS arithmetic (hash order,
   // prefix sums, grid counting) — independent of every Spark kernel
   private def ppsReference(docs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
