@@ -522,7 +522,90 @@ object OlapExtras {
       |FROM est""".stripMargin
   }
 
+  // ---- q_theta_sets: intersectable distinct-count sketch algebra -------
+  /** The set-OPERATION sketch completing the approximate family
+    * (HLL unions only; bitmap is exact but user-cardinality-sized):
+    * one Theta sketch of distinct user_id per event_type via the
+    * native [[graft.functions.ThetaSketchAgg]] TypedImperativeAggregate
+    * (map-side partials update raw longs, shuffle moves ≤8·k-byte
+    * compact sketches), then every type pair's shared/total distinct
+    * users by sketch INTERSECTION/union over the aggregated bytes —
+    * at 100 TB the sketches come from a store like q_hll_store's and
+    * the pair algebra never re-touches raw events. The driver-side
+    * pair combination is bounded by the TYPE cardinality (5 sketches
+    * → 10 pairs), the k-means-partials collect pattern.
+    *
+    * Value-oracled like q_hll_store: estimates are sketch-internal,
+    * so DuckDB recomputes the EXACT intersections/unions from raw
+    * events and re-derives rel_error and the gate from the dumped
+    * estimates — at test scale the sketches are in exact mode
+    * (150 users << k=4096), so the gate also proves the estimates
+    * agree with the exact sets outright. */
+  def qThetaSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ThetaFns
+    val ev = Tables.events(s, dir)
+    // distributed: one sketch per type; bounded collect (#types rows)
+    val sketches = ev.groupBy("event_type")
+      .agg(ThetaFns.thetaSketchAgg(col("user_id")).as("sk"))
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    val pairs = for {
+      (ta, ska) <- sketches; (tb, skb) <- sketches if ta < tb
+    } yield (ta, tb, ThetaFns.estimate(ska), ThetaFns.estimate(skb),
+      ThetaFns.intersectEstimate(ska, skb), ThetaFns.unionEstimate(ska, skb))
+    val est = pairs.toSeq.toDF(
+      "type_a", "type_b", "est_a", "est_b", "est_inter", "est_union")
+    // exact audit (test-scale affordance, the q_hll_store pattern)
+    val tu = ev.select("event_type", "user_id").distinct()
+      .localCheckpoint(true) // three consumers below
+    val cnt = tu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ix = tu.toDF("ta", "user_id")
+      .join(tu.toDF("tb", "user_id"), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(cnt.select(col("event_type").as("type_a"), col("n").as("na")), "type_a")
+      .join(cnt.select(col("event_type").as("type_b"), col("n").as("nb")), "type_b")
+      .join(ix.select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("exact_inter")), Seq("type_a", "type_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+      .withColumn("rel_err",
+        abs(col("est_inter") - col("exact_inter").cast("double"))
+          / greatest(col("exact_inter"), lit(1L)).cast("double"))
+      .withColumn("ok", col("rel_err") <= 0.05)
+      .select("type_a", "type_b", "est_a", "est_b", "est_inter", "est_union",
+        "exact_inter", "exact_union", "rel_err", "ok")
+  }
+
+  val qThetaSetsSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/q_theta_sets/*.parquet')
+      |), tu AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), cnt AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1
+      |), ix AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+      |  FROM tu a JOIN tu b USING (user_id)
+      |  WHERE a.event_type < b.event_type GROUP BY 1, 2
+      |)
+      |SELECT d.type_a, d.type_b, d.est_a, d.est_b, d.est_inter, d.est_union,
+      |  COALESCE(ix.exact_inter, 0) AS exact_inter,
+      |  ca.n + cb.n - COALESCE(ix.exact_inter, 0) AS exact_union,
+      |  abs(d.est_inter - CAST(COALESCE(ix.exact_inter, 0) AS DOUBLE))
+      |    / CAST(greatest(COALESCE(ix.exact_inter, 0), 1) AS DOUBLE) AS rel_err,
+      |  abs(d.est_inter - CAST(COALESCE(ix.exact_inter, 0) AS DOUBLE))
+      |    / CAST(greatest(COALESCE(ix.exact_inter, 0), 1) AS DOUBLE) <= 0.05 AS ok
+      |FROM dump d
+      |JOIN cnt ca ON ca.event_type = d.type_a
+      |JOIN cnt cb ON cb.event_type = d.type_b
+      |LEFT JOIN ix ON ix.ta = d.type_a AND ix.tb = d.type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_sets" -> (qThetaSets _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_bitmap_index" -> (qBitmapIndex _),
     "q_cms_topk" -> (qCmsTopk _),
@@ -539,6 +622,7 @@ object OlapExtras {
     "q_stream_join" -> (qStreamJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_theta_sets" -> qThetaSetsSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_bitmap_index" -> qBitmapIndexSql,
     "q_cms_topk" -> qCmsTopkSql,
