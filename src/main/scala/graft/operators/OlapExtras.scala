@@ -317,11 +317,13 @@ object OlapExtras {
       | AND epoch_us(p.ts) >= epoch_us(v.ts)
       | AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000""".stripMargin
 
-  // ---- q_approx_distinct: HLL sketch vs exact (rows-only) --------------
+  // ---- q_approx_distinct: HLL sketch vs exact (value-oracled) ----------
   /** HLL++ register-max merge is commutative, so the sketch estimate
-    * is deterministic under any partitioning — but engine-specific,
-    * hence no cross-engine oracle. Exact values ride along as the
-    * quality reference. */
+    * is deterministic under any partitioning — but engine-specific.
+    * Value-oracled via the echo gate (q_hll_store pattern): DuckDB
+    * recomputes the EXACT side bit-exact from raw events and
+    * re-derives rel_err from the dumped estimate — a forged estimate,
+    * exact count, or error breaks the hash. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
@@ -331,13 +333,15 @@ object OlapExtras {
         abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users").cast("double"))
 
-  // ---- q_approx_percentile: quantile sketch vs exact (rows-only) -------
+  // ---- q_approx_percentile: quantile sketch vs exact (value-oracled) ---
   /** The quantile twin of q_approx_distinct: approx_percentile's
     * bounded-memory mergeable sketch (the 100 TB path for
     * high-cardinality groups) against the exact buffered percentile,
     * with the relative error riding along as the quality gate. Sketch
-    * internals are engine-specific → rows-only; the EXACT side is
-    * already oracled via q_percentile. */
+    * internals are engine-specific; the EXACT side is recomputed by
+    * DuckDB (quantile_cont — the interpolation parity q_percentile
+    * proves) and rel_err re-derived from the dumped approx values:
+    * the echo gate again. */
   def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -355,6 +359,32 @@ object OlapExtras {
         abs(col("approx_p50") - col("exact_p50")) / col("exact_p50"))
       .withColumn("rel_err_p90",
         abs(col("approx_p90") - col("exact_p90")) / col("exact_p90"))
+
+  val qApproxDistinctSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/q_approx_distinct/*.parquet')
+      |), ex AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT d.event_type, d.approx_users, ex.exact_users,
+      |  CAST(abs(d.approx_users - ex.exact_users) AS DOUBLE)
+      |    / CAST(ex.exact_users AS DOUBLE) AS rel_err
+      |FROM dump d JOIN ex USING (event_type)""".stripMargin
+
+  val qApproxPercentileSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/q_approx_percentile/*.parquet')
+      |), ex AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |    quantile_cont(l_extendedprice, 0.9) AS exact_p90
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT d.l_returnflag, ex.exact_p50, d.approx_p50, ex.exact_p90, d.approx_p90,
+      |  abs(d.approx_p50 - ex.exact_p50) / ex.exact_p50 AS rel_err_p50,
+      |  abs(d.approx_p90 - ex.exact_p90) / ex.exact_p90 AS rel_err_p90
+      |FROM dump d JOIN ex USING (l_returnflag)""".stripMargin
 
   // ---- q_bloom_join: bloom-filter semi-join prefilter (oracled) --------
   /** The 100 TB join-prefilter pattern made explicit: a fixed-size
@@ -623,6 +653,8 @@ object OlapExtras {
 
   val oracle: Map[String, String] = Map(
     "q_theta_sets" -> qThetaSetsSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
+    "q_approx_percentile" -> qApproxPercentileSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_bitmap_index" -> qBitmapIndexSql,
     "q_cms_topk" -> qCmsTopkSql,
