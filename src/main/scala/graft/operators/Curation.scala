@@ -46,24 +46,9 @@ object Curation {
     * proof; [[dedupClustersLsh]] (the 100 TB path) feeds it
     * LSH-banded near-dup pairs plus exact-content stitching edges,
     * so no all-pairs generator is anywhere in the production plan. */
-  private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame = {
-    val sc = nodes.sparkSession.sparkContext
-    // self-cleaning: every localCheckpoint below persists an RDD that
-    // outlives this call unless freed — in a long-running session an
-    // iterative operator that leaks its round blocks taxes every later
-    // job (measured 4× on neighbors in a full bench sweep). The freed
-    // set is EXACTLY the checkpoints created through ck() below — a
-    // set-difference against a persisted-set snapshot would also free
-    // a CALLER's lazily-checkpointed input if it first materialized
-    // inside this call, truncating its lineage out from under it.
-    val created = scala.collection.mutable.Set[Int]()
-    def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
-      c.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => created += l.rdd.id
-      }
-      c
-    }
+  private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
+   // self-cleaning round-block lifecycle: see CheckpointScope
+   CheckpointScope.scoped(nodes) { ck =>
     // directed pair list, materialized ONCE — the pair generator (an
     // LSH verify join) must never re-run per consumer
     val p = ck(pairs.toDF("doc_a", "doc_b"))
@@ -125,16 +110,12 @@ object Curation {
       round += 1
     }
     // expand rep labels back through the contraction map, materialize
-    // the (small, node-sized) result, then free every intermediate
-    // round block — only the result's own checkpoint survives the call
-    val res = l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
+    // the (small, node-sized) result OUTSIDE ck — only the result's
+    // own checkpoint survives the scope's cleanup
+    l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (created.contains(id)) rdd.unpersist(blocking = false)
-    }
-    res
-  }
+   }
 
   /** Oracled variant: clusters over the EXACT near-dup pairs
     * (source-blocked Jaccard ≥ 0.5 — Dedup.dedupNgramJaccard), proven

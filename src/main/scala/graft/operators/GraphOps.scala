@@ -49,39 +49,29 @@ object GraphOps {
     * re-join loses nobody. Rounds are eagerly checkpointed (bounded
     * plan depth) and every intermediate block is freed on exit —
     * the clustersFromPairs lifecycle discipline. */
-  private[graft] def pagerankFromPairs(pairs: DataFrame): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    val created = scala.collection.mutable.Set[Int]()
-    def ck(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true)
-      c.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => created += l.rdd.id
+  private[graft] def pagerankFromPairs(pairs: DataFrame): DataFrame =
+    CheckpointScope.scoped(pairs) { ck =>
+      val p = pairs.toDF("doc_a", "doc_b")
+      val edges = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")))
+      val deg = ck(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      var ranks = ck(deg.select(col("src").as("doc_id"), col("deg"),
+        lit(PrInit).as("rank")))
+      for (_ <- 1 to PrIters) {
+        val contrib = ranks.select(col("doc_id").as("src"),
+          expr(s"(${85}L * rank) DIV (${100}L * deg)").as("c"))
+        ranks = ck(edges.join(contrib, "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(sum("c").as("inflow"))
+          .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+          .select(col("doc_id"), col("deg"),
+            (lit(PrBase) + col("inflow")).as("rank")))
       }
-      c
+      // materialized OUTSIDE ck: the node-sized result must survive
+      // the scope's block cleanup
+      ranks.localCheckpoint(true)
     }
-    val p = pairs.toDF("doc_a", "doc_b")
-    val edges = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src")))
-    val deg = ck(edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    var ranks = ck(deg.select(col("src").as("doc_id"), col("deg"),
-      lit(PrInit).as("rank")))
-    for (_ <- 1 to PrIters) {
-      val contrib = ranks.select(col("doc_id").as("src"),
-        expr(s"(${85}L * rank) DIV (${100}L * deg)").as("c"))
-      ranks = ck(edges.join(contrib, "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(sum("c").as("inflow"))
-        .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
-        .select(col("doc_id"), col("deg"),
-          (lit(PrBase) + col("inflow")).as("rank")))
-    }
-    val res = ranks.localCheckpoint(true)
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (created.contains(id)) rdd.unpersist(blocking = false)
-    }
-    res
-  }
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     pagerankFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
@@ -134,34 +124,37 @@ object GraphOps {
     * left-joined, zero-filled) — the diagnostic wants "thin chain" to
     * show as n_tri = 0, not as an absent row. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val p = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true) // consumed by deg + orientation; never re-run
-    val deg = p.select(col("doc_a").as("doc_id"))
-      .union(p.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true) // node-sized; feeds both joins + the output
-    val withDeg = p
-      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
-      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
-    val aFirst = col("deg_a") < col("deg_b") ||
-      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
-    val o = withDeg.select(
+    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    CheckpointScope.scoped(pairs) { ck =>
+      val p = ck(pairs)
+      val deg = ck(p.select(col("doc_a").as("doc_id"))
+        .union(p.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg")))
+      val withDeg = p
+        .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+        .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      val aFirst = col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+      val o = ck(withDeg.select(
         when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
         when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
-        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
-      .localCheckpoint(true) // wedge sides + closing join read it thrice
-    val wedges = o
-      .join(o.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), "u")
-      .filter(col("deg_v") < col("deg_w") ||
-        (col("deg_v") === col("deg_w") && col("v") < col("w")))
-    val tris = wedges.join(
-      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-    val corners = tris.select(explode(array(col("u"), col("v"), col("w")))
-      .as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-    deg.join(corners, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v")))
+      val wedges = o
+        .join(o.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), "u")
+        .filter(col("deg_v") < col("deg_w") ||
+          (col("deg_v") === col("deg_w") && col("v") < col("w")))
+      val tris = wedges.join(
+        o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      val corners = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      // node-sized; materialized OUTSIDE ck so the scope can free the
+      // edge/orientation blocks the moment the counts exist
+      deg.join(corners, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .localCheckpoint(true)
+    }
   }
 
   val graphTrianglesSql: String =
