@@ -212,7 +212,16 @@ object Dedup {
     * bench's #3 entry (1.05 s → ~12 s at sf0.1). The sample is keyed
     * on the chunk digest, so it is stable under corpus growth and
     * unbiased w.r.t. content (same salted-determinism argument as
-    * Sampling.sampleHash); non-sampled rows carry NULL. */
+    * Sampling.sampleHash); non-sampled rows carry NULL.
+    *
+    * Value-oracled via the echo gate: compressed byte counts are
+    * JVM-codec-internal, but everything AROUND them is not — DuckDB
+    * recomputes the unique-chunk selection (set, first-writer
+    * representative, orig_len) from the value-oracled dedup_chunk
+    * dump, re-applies the bzip2 sampling rule to the echoed column,
+    * and re-derives every ratio from the echoed sizes. A wrong
+    * representative, a mis-sampled bzip2 row, or a forged ratio
+    * breaks the hash. */
   private val Bzip2SampleHexPrefix = "0" // 1/16 of unique chunks
 
   def chunkCompress(s: SparkSession, dir: String): DataFrame = {
@@ -797,7 +806,32 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))
 
+  /** Echo-gate oracle for the codec menu (see chunkCompress doc). */
+  val chunkCompressSql: String =
+    s"""WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/chunk_compress/*.parquet')
+      |), ch AS (
+      |  SELECT chunk_sha, doc_id, chunk_idx, length,
+      |    row_number() OVER (PARTITION BY chunk_sha
+      |      ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_chunk/*.parquet')
+      |), uniq AS (
+      |  SELECT chunk_sha, doc_id, chunk_idx, length AS orig_len
+      |  FROM ch WHERE rn = 1
+      |)
+      |SELECT u.chunk_sha, u.doc_id, u.chunk_idx, u.orig_len,
+      |  d.comp_deflate, d.comp_gzip,
+      |  CASE WHEN substr(u.chunk_sha, 1, 1) = '$Bzip2SampleHexPrefix'
+      |       THEN d.comp_bzip2 END AS comp_bzip2,
+      |  CAST(d.comp_deflate AS DOUBLE) / CAST(u.orig_len AS DOUBLE) AS ratio_deflate,
+      |  CAST(d.comp_gzip AS DOUBLE) / CAST(u.orig_len AS DOUBLE) AS ratio_gzip,
+      |  CAST(CASE WHEN substr(u.chunk_sha, 1, 1) = '$Bzip2SampleHexPrefix'
+      |       THEN d.comp_bzip2 END AS DOUBLE)
+      |    / CAST(u.orig_len AS DOUBLE) AS ratio_bzip2
+      |FROM uniq u JOIN dump d USING (chunk_sha)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "chunk_compress" -> chunkCompressSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
