@@ -126,6 +126,111 @@ object Dedup {
       |FROM batch b LEFT JOIN store s ON b.content_sha = s.content_sha
       |GROUP BY b.source""".stripMargin
 
+  // ---- dedup_incremental_nd: near-dup incremental ingest probe ---------
+  /** The NEAR-dup half of incremental ingest (dedup_incremental is the
+    * exact half): the store keeps minhash band signatures of its
+    * unique contents; a new batch probes the STORE's band table with
+    * its own bands (batch × store probe join — the store is never
+    * re-banded against itself) and exact-verifies the candidates, so
+    * ingest cost tracks the BATCH, not the corpus. Both sides run on
+    * unique-content representatives (exact copies are the sha probe's
+    * job — the dedup-before-near-dup layering again); output is one
+    * row per (batch rep, store candidate) pair with the verify
+    * jaccard, the ≥ 0.7 near-dup flag, a best-match marker (max
+    * jaccard, tie → lowest store doc), and the exact-content-in-store
+    * flag; batch reps with no banding candidate survive as null-pair
+    * rows so the emitted table is the complete ingest decision.
+    *
+    * Value-oracled like dedup_minhash: the candidate SET is seeded
+    * LSH, but DuckDB re-derives the store/batch split and both rep
+    * selections from the md5 rule, recomputes every pair's jaccard
+    * from raw text, and re-derives is_nd / is_best / is_exact_store
+    * from first principles. */
+  def dedupIncrementalNd(s: SparkSession, dir: String): DataFrame = {
+    val parallelism = s.sparkContext.defaultParallelism
+    val keyed = docs(s, dir).select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("content_sha"),
+        TextFns.hashedTokenSet(col("text")).as("hset"),
+        (substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))
+          .cast("binary")), 1, 1) >= "c").as("is_batch"))
+      .localCheckpoint(true) // feeds both rep selections + the sha probe
+    def reps(side: DataFrame): DataFrame = side
+      .groupBy("content_sha")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("hset"), col("doc_id")).as("hset"))
+      .repartition(parallelism)
+      .select("doc_id", "content_sha", "hset")
+    val storeReps = reps(keyed.filter(!col("is_batch"))).localCheckpoint(true)
+    val batchReps = reps(keyed.filter(col("is_batch"))).localCheckpoint(true)
+    def banded(r: DataFrame): DataFrame = capBuckets(
+      r.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+            b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+        .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
+    val cand = banded(batchReps).toDF("batch_doc", "band", "bh")
+      .join(banded(storeReps).toDF("store_doc", "band", "bh"), Seq("band", "bh"))
+      .select("batch_doc", "store_doc").distinct()
+    val withA = attachSide(cand,
+      batchReps.select(col("doc_id").as("batch_doc"), col("hset").as("ha")), "batch_doc")
+    val verified = attachSide(withA,
+      storeReps.select(col("doc_id").as("store_doc"), col("hset").as("hb")), "store_doc")
+      .select(col("batch_doc"), col("store_doc"),
+        NativeHash.jaccard(col("ha"), col("hb")).as("jaccard"))
+    val w = Window.partitionBy("batch_doc")
+      .orderBy(col("jaccard").desc, col("store_doc"))
+    val scored = verified
+      .withColumn("is_nd", col("jaccard") >= 0.7)
+      .withColumn("is_best", row_number().over(w) === 1)
+    val storeShas = keyed.filter(!col("is_batch"))
+      .select("content_sha").distinct().withColumn("in_store", lit(true))
+    batchReps.select(col("doc_id").as("batch_doc"), col("content_sha"))
+      .join(storeShas, Seq("content_sha"), "left")
+      .select(col("batch_doc"),
+        coalesce(col("in_store"), lit(false)).as("is_exact_store"))
+      .join(scored, Seq("batch_doc"), "left")
+      .select(col("batch_doc"), col("store_doc"), col("jaccard"),
+        coalesce(col("is_nd"), lit(false)).as("is_nd"),
+        coalesce(col("is_best"), lit(false)).as("is_best"),
+        col("is_exact_store"))
+  }
+
+  val dedupIncrementalNdSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/dedup_incremental_nd/*.parquet')
+      |), k AS (
+      |  SELECT doc_id, sha256(text) AS sha,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 1) >= 'c' AS is_batch
+      |  FROM documents
+      |), breps AS (
+      |  SELECT sha, MIN(doc_id) AS doc_id FROM k WHERE is_batch GROUP BY sha
+      |), sreps AS (
+      |  SELECT sha, MIN(doc_id) AS doc_id FROM k WHERE NOT is_batch GROUP BY sha
+      |), bt AS (
+      |  SELECT br.doc_id, br.sha, k.ts FROM breps br JOIN k USING (doc_id)
+      |), st AS (
+      |  SELECT sr.doc_id, k.ts FROM sreps sr JOIN k USING (doc_id)
+      |), pj AS (
+      |  SELECT d.batch_doc, d.store_doc,
+      |    CAST(len(list_intersect(bt.ts, st.ts)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(bt.ts, st.ts))) AS DOUBLE) AS jaccard
+      |  FROM dump d
+      |  JOIN bt ON bt.doc_id = d.batch_doc
+      |  JOIN st ON st.doc_id = d.store_doc
+      |  WHERE d.store_doc IS NOT NULL
+      |), best AS (
+      |  SELECT batch_doc, store_doc, jaccard,
+      |    (row_number() OVER (PARTITION BY batch_doc
+      |       ORDER BY jaccard DESC, store_doc)) = 1 AS is_best
+      |  FROM pj
+      |)
+      |SELECT bt.doc_id AS batch_doc, best.store_doc, best.jaccard,
+      |  COALESCE(best.jaccard >= 0.7, false) AS is_nd,
+      |  COALESCE(best.is_best, false) AS is_best,
+      |  (bt.sha IN (SELECT sha FROM k WHERE NOT is_batch)) AS is_exact_store
+      |FROM bt LEFT JOIN best ON best.batch_doc = bt.doc_id""".stripMargin
+
   // ---- dedup_chunk: content-defined chunking (Fragment+Refine+Dedup) ---
   /** Chunk boundaries + identities only — compression is opt-in
     * downstream (chunk_compress), so this table never pays a codec
@@ -791,6 +896,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_bucketed" -> (dedupExactBucketed _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_nd" -> (dedupIncrementalNd _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_fine" -> (dedupChunkFine _),
     "dedup_chunk_coarse" -> (dedupChunkCoarse _),
@@ -835,6 +941,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_nd" -> dedupIncrementalNdSql,
     "dedup_chunk" -> dedupChunkSql,
     "dedup_chunk_fine" -> chunkIdentitySql("dedup_chunk_fine"),
     "dedup_chunk_coarse" -> chunkIdentitySql("dedup_chunk_coarse"),

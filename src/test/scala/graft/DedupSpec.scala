@@ -371,4 +371,53 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_dup_batch") == 1)
     assert(r.head.getAs[Long]("n_new_unique") == 1)
   }
+
+  test("dedup_incremental_nd: complete per-rep decision table, reps and best well-formed") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = Dedup.dedupIncrementalNd(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // local re-derivation of the split + rep selection
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val isBatch = (id: Long) => md5hex(s"$id:inc").substring(0, 1) >= "c"
+    def repsOf(side: Seq[(Long, String)]): Set[Long] =
+      side.groupBy(_._2).map { case (_, ds) => ds.map(_._1).min }.toSet
+    val batchReps = repsOf(docs.filter(d => isBatch(d._1)).toSeq)
+    val storeReps = repsOf(docs.filterNot(d => isBatch(d._1)).toSeq)
+    val storeTexts = docs.filterNot(d => isBatch(d._1)).map(_._2).toSet
+    val byText = docs.toMap
+    // exactly one row group per batch rep; every emitted id is a rep
+    assert(rows.map(_.getAs[Long]("batch_doc")).toSet == batchReps)
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(storeReps.contains(r.getAs[Long]("store_doc")))
+    }
+    // null-pair rows appear exactly once per no-candidate rep
+    val byDoc = rows.groupBy(_.getAs[Long]("batch_doc"))
+    byDoc.foreach { case (doc, rs) =>
+      val nulls = rs.count(_.isNullAt(1))
+      if (rs.length == 1 && nulls == 1) () // no candidates — single null row
+      else {
+        assert(nulls == 0, s"mixed null/pair rows for $doc")
+        // exactly one best, and it carries the max jaccard
+        val best = rs.filter(_.getAs[Boolean]("is_best"))
+        assert(best.length == 1, s"best not unique for $doc")
+        val maxJ = rs.map(_.getAs[Double]("jaccard")).max
+        assert(best.head.getAs[Double]("jaccard") == maxJ)
+      }
+      // is_exact_store matches the local text membership
+      val want = storeTexts.contains(byText(doc))
+      rs.foreach(r => assert(r.getAs[Boolean]("is_exact_store") == want,
+        s"is_exact_store wrong for $doc"))
+    }
+    // an exact store copy must surface its jaccard-1.0 store candidate
+    byDoc.foreach { case (doc, rs) =>
+      if (storeTexts.contains(byText(doc)) && !rs.head.isNullAt(1))
+        assert(rs.exists(r => r.getAs[Double]("jaccard") == 1.0),
+          s"exact store copy $doc lost its identical candidate")
+    }
+  }
 }
