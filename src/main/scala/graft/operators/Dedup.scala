@@ -146,9 +146,17 @@ object Dedup {
     * selections from the md5 rule, recomputes every pair's jaccard
     * from raw text, and re-derives is_nd / is_best / is_exact_store
     * from first principles. */
-  def dedupIncrementalNd(s: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalNd(s: SparkSession, dir: String): DataFrame =
+    incrementalNdFromDocs(docs(s, dir))
+
+  /** The probe over an arbitrary `(doc_id, text)` frame — split out so
+    * the spec can inject corpora with KNOWN cross-split exact copies
+    * and near-dups (the incrementalFromDocs pattern) and assert
+    * recall unconditionally. */
+  private[graft] def incrementalNdFromDocs(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
     val parallelism = s.sparkContext.defaultParallelism
-    val keyed = docs(s, dir).select(col("doc_id"),
+    val keyed = d.select(col("doc_id"),
         sha2(col("text").cast("binary"), 256).as("content_sha"),
         TextFns.hashedTokenSet(col("text")).as("hset"),
         (substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))
@@ -162,14 +170,8 @@ object Dedup {
       .select("doc_id", "content_sha", "hset")
     val storeReps = reps(keyed.filter(!col("is_batch"))).localCheckpoint(true)
     val batchReps = reps(keyed.filter(col("is_batch"))).localCheckpoint(true)
-    def banded(r: DataFrame): DataFrame = capBuckets(
-      r.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-            b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-        .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
-    val cand = banded(batchReps).toDF("batch_doc", "band", "bh")
-      .join(banded(storeReps).toDF("store_doc", "band", "bh"), Seq("band", "bh"))
+    val cand = bandTableOf(batchReps).toDF("batch_doc", "band", "bh")
+      .join(bandTableOf(storeReps).toDF("store_doc", "band", "bh"), Seq("band", "bh"))
       .select("batch_doc", "store_doc").distinct()
     val withA = attachSide(cand,
       batchReps.select(col("doc_id").as("batch_doc"), col("hset").as("ha")), "batch_doc")
@@ -463,6 +465,25 @@ object Dedup {
     * (HashExpressions.MinHashSig); permutation p is XXH64(h, seed=p). */
   private def minhashSig(hset: Column): Column =
     NativeHash.minhashSig(hset, MinhashPerms)
+
+  /** Production-banding band table of a (doc_id, hset) rep frame:
+    * (doc_id, band, bh) under the default 16×8 split, hot buckets
+    * capped. Shared by the incremental probe paths (batch and
+    * streaming twin) — a band table persisted from this is what the
+    * near-dup store IS. */
+  private[graft] def bandTableOf(r: DataFrame): DataFrame = capBuckets(
+    r.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
+    // capBuckets' using-columns anti-join moves the key columns FIRST
+    // ((band, bh, doc_id)) — restore the declared order, because
+    // consumers rename this table with a positional toDF and a
+    // scrambled order silently turns the band probe into a zero-recall
+    // join (caught by the streaming twin's spec; the echo oracle
+    // cannot see absent candidates)
+    .select("doc_id", "band", "bh")
 
   /** Byte cap for broadcasting a verify-side attribute table. Per-doc
     * set/embedding tables scale with the corpus, so at 100 TB they can

@@ -215,6 +215,89 @@ object StreamingPipelines {
       .write.mode("append").parquet(storePath)
   }
 
+  // ---- near-dup incremental ingest (foreachBatch vs a band store) ------
+  /** The streaming twin of `Dedup.dedupIncrementalNd`: the persistent
+    * store holds, per admitted unique content, its representative row
+    * (`reps/`: doc_id, content_sha, hset) and its minhash band table
+    * (`bands/`: doc_id, band, bh). Each micro-batch reduces to
+    * content reps, probes the STORE's bands with its own (the store
+    * is never re-banded), exact-verifies the candidates, and ADMITS a
+    * rep iff it is neither an exact store copy (sha probe) nor a
+    * near-dup (best jaccard ≥ 0.7); admitted reps append their row
+    * and bands, and every rep's decision is logged to `decisions/`
+    * with the epoch — the auditable ingest trail. Within-batch
+    * near-dups (two novel near-identical docs in ONE batch) both
+    * admit by design: the store stays append-only per batch and the
+    * second one is rejected from the NEXT batch on, exactly like a
+    * log-structured ingest; within-batch EXACT dups collapse in the
+    * rep selection. */
+  def incrementalIngestNd(s: SparkSession, storeDir: String)(
+      batch: DataFrame, epoch: Long): Unit = {
+    import graft.functions.{NativeHash, TextFns}
+    val repsPath = s"$storeDir/reps"
+    val bandsPath = s"$storeDir/bands"
+    val decPath = s"$storeDir/decisions"
+    val reps = batch.select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("content_sha"),
+        TextFns.hashedTokenSet(col("text")).as("hset"))
+      .groupBy("content_sha")
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("hset"), col("doc_id")).as("hset"))
+      .select("doc_id", "content_sha", "hset")
+      .localCheckpoint(true) // probe + verify + two appends read it
+    val decided =
+      if (!parquetNonEmpty(s, repsPath))
+        reps.select(col("doc_id").as("batch_doc"), col("content_sha"), col("hset"),
+          lit(null).cast("long").as("best_store_doc"),
+          lit(null).cast("double").as("best_jaccard"),
+          lit(false).as("exact_dup"), lit(false).as("near_dup"))
+      else {
+        // parquet makes array elements nullable on read; the verify
+        // kernel's type check requires non-null elements — restore the
+        // tighter type (hset elements are never null by construction)
+        val storeReps = s.read.parquet(repsPath)
+          .withColumn("hset", expr("transform(hset, x -> coalesce(x, 0L))"))
+        val cand = graft.operators.Dedup.bandTableOf(reps)
+          .toDF("batch_doc", "band", "bh")
+          .join(s.read.parquet(bandsPath).toDF("store_doc", "band", "bh"),
+            Seq("band", "bh"))
+          .select("batch_doc", "store_doc").distinct()
+        val verified = cand
+          .join(reps.select(col("doc_id").as("batch_doc"), col("hset").as("ha")),
+            "batch_doc")
+          .join(storeReps.select(col("doc_id").as("store_doc"), col("hset").as("hb")),
+            "store_doc")
+          .select(col("batch_doc"), col("store_doc"),
+            NativeHash.jaccard(col("ha"), col("hb")).as("j"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("batch_doc").orderBy(col("j").desc, col("store_doc"))
+        val best = verified.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("batch_doc"), col("store_doc").as("best_store_doc"),
+            col("j").as("best_jaccard"))
+        reps.select(col("doc_id").as("batch_doc"), col("content_sha"), col("hset"))
+          .join(storeReps.select(col("content_sha")).distinct()
+            .withColumn("x", lit(true)), Seq("content_sha"), "left")
+          .join(best, Seq("batch_doc"), "left")
+          .select(col("batch_doc"), col("content_sha"), col("hset"),
+            col("best_store_doc"), col("best_jaccard"),
+            coalesce(col("x"), lit(false)).as("exact_dup"),
+            coalesce(col("best_jaccard") >= 0.7, lit(false)).as("near_dup"))
+      }
+    val decidedCk = decided.localCheckpoint(true) // decisions + admit appends
+    decidedCk.select(lit(epoch).as("epoch"), col("batch_doc"),
+        col("exact_dup"), col("near_dup"),
+        col("best_store_doc"), col("best_jaccard"),
+        (!col("exact_dup") && !col("near_dup")).as("admitted"))
+      .write.mode("append").parquet(decPath)
+    val admitted = decidedCk
+      .filter(!col("exact_dup") && !col("near_dup"))
+      .select(col("batch_doc").as("doc_id"), col("content_sha"), col("hset"))
+    admitted.write.mode("append").parquet(repsPath)
+    graft.operators.Dedup.bandTableOf(admitted)
+      .write.mode("append").parquet(bandsPath)
+  }
+
   // ---- incremental aggregate maintenance (foreachBatch twin) -----------
   /** The streaming twin of `StorageLayout.qIncrementalAgg`: each
     * micro-batch APPENDS its mergeable partial aggregates (count,

@@ -413,11 +413,47 @@ class DedupSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Boolean]("is_exact_store") == want,
         s"is_exact_store wrong for $doc"))
     }
-    // an exact store copy must surface its jaccard-1.0 store candidate
-    byDoc.foreach { case (doc, rs) =>
-      if (storeTexts.contains(byText(doc)) && !rs.head.isNullAt(1))
-        assert(rs.exists(r => r.getAs[Double]("jaccard") == 1.0),
-          s"exact store copy $doc lost its identical candidate")
+    // exact store copies (if the corpus has any at this SF) must
+    // surface their jaccard-1.0 candidate; the UNCONDITIONAL recall
+    // assertion lives in the injected-corpus test below
+    batchReps.filter(doc => storeTexts.contains(byText(doc))).foreach { doc =>
+      val rs = byDoc(doc)
+      assert(rs.exists(r => !r.isNullAt(1) && r.getAs[Double]("jaccard") == 1.0),
+        s"exact store copy $doc lost its identical candidate — band probe broken")
     }
+  }
+
+  test("dedup_incremental_nd: injected corpus — probe recall is unconditional") {
+    import spark.implicits._
+    // ids chosen against the md5 ':inc' rule: 1,2,4 are batch; 3,5 store
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "w99").mkString(" ")
+    val other = (101 to 140).map(i => s"v$i").mkString(" ")
+    val novel = (201 to 240).map(i => s"u$i").mkString(" ")
+    val injected = Seq(
+      (3L, base), (5L, other),           // store
+      (1L, base), (2L, near), (4L, novel)) // batch
+      .toDF("doc_id", "text")
+    val rows = Dedup.incrementalNdFromDocs(injected).collect()
+      .groupBy(_.getAs[Long]("batch_doc"))
+    // identical content ⇒ identical signature ⇒ every band collides:
+    // the probe MUST find it (this catches a scrambled/degenerate band
+    // table, which the echo oracle cannot — absence is LSH-internal)
+    val r1 = rows(1L)
+    assert(r1.exists(r => !r.isNullAt(1) &&
+      r.getAs[Long]("store_doc") == 3L && r.getAs[Double]("jaccard") == 1.0),
+      s"exact copy not recalled: ${r1.toSeq}")
+    assert(r1.forall(_.getAs[Boolean]("is_exact_store")))
+    // near-dup at jaccard 39/41 must recall, flag, and best-match 3
+    val r2 = rows(2L)
+    val best2 = r2.filter(_.getAs[Boolean]("is_best"))
+    assert(best2.length == 1 && best2.head.getAs[Long]("store_doc") == 3L)
+    assert(math.abs(best2.head.getAs[Double]("jaccard") - 39.0 / 41.0) < 1e-12)
+    assert(best2.head.getAs[Boolean]("is_nd"))
+    assert(r2.forall(!_.getAs[Boolean]("is_exact_store")))
+    // novel doc: complete-table null row, nothing flagged
+    val r4 = rows(4L)
+    assert(r4.length == 1 && r4.head.isNullAt(1) &&
+      !r4.head.getAs[Boolean]("is_nd") && !r4.head.getAs[Boolean]("is_exact_store"))
   }
 }

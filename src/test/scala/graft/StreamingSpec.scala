@@ -311,4 +311,59 @@ class StreamingSpec extends SparkSpec {
       s"store must hold earliest arrival per distinct content, got $store")
     StreamingPipelines.deleteRecursively(dir)
   }
+
+  test("near-dup incremental ingest: band store admits novel, rejects exact and near") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_nd_store").toFile
+    val storeDir = new java.io.File(dir, "ndstore").getAbsolutePath
+    // 40 distinct tokens: a one-token edit gives jaccard 39/41 ≈ 0.95,
+    // far above the 0.7 gate and (deterministically) band-colliding
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "w99").mkString(" ")
+    val other = (101 to 140).map(i => s"v$i").mkString(" ")
+    val novel = (201 to 240).map(i => s"u$i").mkString(" ")
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(StreamingPipelines.incrementalIngestNd(spark, storeDir) _)
+      .outputMode(OutputMode.Append()).start()
+    // batch 1 (empty store): exact pair collapses to its rep, both contents admit
+    source.addData(Seq((10L, base), (11L, base), (12L, other)))
+    q.processAllAvailable()
+    // batch 2: near-dup of 10 rejected, exact copy of base rejected, novel admits
+    source.addData(Seq((20L, near), (21L, base), (22L, novel)))
+    q.processAllAvailable()
+    // batch 3: replays of stored contents reject; near-dup of novel rejects
+    source.addData(Seq((30L, other),
+      (31L, ((201 to 239).map(i => s"u$i") :+ "u999").mkString(" "))))
+    q.processAllAvailable()
+    q.stop()
+    val reps = spark.read.parquet(s"$storeDir/reps")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(reps == Set(10L, 12L, 22L), s"store reps wrong: $reps")
+    val dec = spark.read.parquet(s"$storeDir/decisions").collect()
+      .map(r => r.getAs[Long]("batch_doc") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+          r.getAs[Boolean]("admitted"),
+          Option(r.getAs[java.lang.Long]("best_store_doc")).map(_.toLong)))
+      .toMap
+    assert(dec(10L) == ((false, false, true, None)), s"10: ${dec(10L)}")
+    assert(dec(12L) == ((false, false, true, None)), s"12: ${dec(12L)}")
+    assert(dec(20L)._2 && !dec(20L)._3 && dec(20L)._4.contains(10L),
+      s"near-dup 20 must reject against store doc 10: ${dec(20L)}")
+    assert(dec(21L)._1 && !dec(21L)._3, s"exact copy 21 must reject: ${dec(21L)}")
+    assert(dec(22L) == ((false, false, true, None)), s"22: ${dec(22L)}")
+    assert(dec(30L)._1 && !dec(30L)._3, s"replayed 30 must reject: ${dec(30L)}")
+    assert(dec(31L)._2 && !dec(31L)._3 && dec(31L)._4.contains(22L),
+      s"near-dup 31 must reject against store doc 22: ${dec(31L)}")
+    // exact copy of a stored doc ALSO band-collides at jaccard 1.0 —
+    // the sha probe wins the classification, the probe proves recall
+    assert(dec(21L)._4.contains(10L) || dec(21L)._4.isEmpty)
+    // band store only holds admitted reps
+    val bandDocs = spark.read.parquet(s"$storeDir/bands")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bandDocs == Set(10L, 12L, 22L), s"band store wrong: $bandDocs")
+    StreamingPipelines.deleteRecursively(dir)
+  }
 }
