@@ -104,4 +104,10 @@ object ThetaFns {
     u.union(sketch(b))
     u.getResult.getEstimate
   }
+
+  /** |A \ B| — the difference leg that completes the algebra (union /
+    * intersection / aNotB are the three theta set operations). */
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Double =
+    SetOperation.builder().buildANotB()
+      .aNotB(sketch(a), sketch(b)).getEstimate
 }

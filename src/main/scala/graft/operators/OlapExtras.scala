@@ -582,9 +582,11 @@ object OlapExtras {
     val pairs = for {
       (ta, ska) <- sketches; (tb, skb) <- sketches if ta < tb
     } yield (ta, tb, ThetaFns.estimate(ska), ThetaFns.estimate(skb),
-      ThetaFns.intersectEstimate(ska, skb), ThetaFns.unionEstimate(ska, skb))
+      ThetaFns.intersectEstimate(ska, skb), ThetaFns.unionEstimate(ska, skb),
+      ThetaFns.aNotBEstimate(ska, skb))
     val est = pairs.toSeq.toDF(
-      "type_a", "type_b", "est_a", "est_b", "est_inter", "est_union")
+      "type_a", "type_b", "est_a", "est_b", "est_inter", "est_union",
+      "est_diff_ab")
     // exact audit (test-scale affordance, the q_hll_store pattern)
     val tu = ev.select("event_type", "user_id").distinct()
       .localCheckpoint(true) // three consumers below
@@ -601,12 +603,14 @@ object OlapExtras {
         col("exact_inter")), Seq("type_a", "type_b"), "left")
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .withColumn("exact_union", col("na") + col("nb") - col("exact_inter"))
+      .withColumn("exact_diff_ab", col("na") - col("exact_inter"))
       .withColumn("rel_err",
         abs(col("est_inter") - col("exact_inter").cast("double"))
           / greatest(col("exact_inter"), lit(1L)).cast("double"))
       .withColumn("ok", col("rel_err") <= 0.05)
       .select("type_a", "type_b", "est_a", "est_b", "est_inter", "est_union",
-        "exact_inter", "exact_union", "rel_err", "ok")
+        "est_diff_ab", "exact_inter", "exact_union", "exact_diff_ab",
+        "rel_err", "ok")
   }
 
   val qThetaSetsSql: String =
@@ -623,8 +627,10 @@ object OlapExtras {
       |  WHERE a.event_type < b.event_type GROUP BY 1, 2
       |)
       |SELECT d.type_a, d.type_b, d.est_a, d.est_b, d.est_inter, d.est_union,
+      |  d.est_diff_ab,
       |  COALESCE(ix.exact_inter, 0) AS exact_inter,
       |  ca.n + cb.n - COALESCE(ix.exact_inter, 0) AS exact_union,
+      |  ca.n - COALESCE(ix.exact_inter, 0) AS exact_diff_ab,
       |  abs(d.est_inter - CAST(COALESCE(ix.exact_inter, 0) AS DOUBLE))
       |    / CAST(greatest(COALESCE(ix.exact_inter, 0), 1) AS DOUBLE) AS rel_err,
       |  abs(d.est_inter - CAST(COALESCE(ix.exact_inter, 0) AS DOUBLE))

@@ -27,6 +27,9 @@ class ThetaSketchSpec extends SparkSpec {
     assert(ThetaFns.intersectEstimate(a, b) == 100.0)
     assert(ThetaFns.unionEstimate(a, b) == 500.0)
     assert(ThetaFns.estimate(a) == 300.0 && ThetaFns.estimate(b) == 300.0)
+    // |A \ B| = 200, |B \ A| = 200 — the difference leg
+    assert(ThetaFns.aNotBEstimate(a, b) == 200.0)
+    assert(ThetaFns.aNotBEstimate(b, a) == 200.0)
   }
 
   test("q_theta_sets: every pair present, gate green, unions consistent") {
@@ -39,6 +42,7 @@ class ThetaSketchSpec extends SparkSpec {
       // exact-mode sketches: estimates equal the exact sets outright
       assert(r.getAs[Double]("est_inter") == r.getAs[Long]("exact_inter").toDouble)
       assert(r.getAs[Double]("est_union") == r.getAs[Long]("exact_union").toDouble)
+      assert(r.getAs[Double]("est_diff_ab") == r.getAs[Long]("exact_diff_ab").toDouble)
       // inclusion-exclusion on the exact side
       assert(r.getAs[Long]("exact_union") <=
         r.getAs[Double]("est_a").toLong + r.getAs[Double]("est_b").toLong)
