@@ -22,8 +22,9 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 private[graft] object CheckpointScope {
 
-  def scoped[T](df0: DataFrame)(body: (DataFrame => DataFrame) => T): T = {
-    val sc = df0.sparkSession.sparkContext
+  def scoped[T](spark: org.apache.spark.sql.SparkSession)(
+      body: (DataFrame => DataFrame) => T): T = {
+    val sc = spark.sparkContext
     val created = scala.collection.mutable.Set[Int]()
     def ck(df: DataFrame): DataFrame = {
       val c = df.localCheckpoint(true)

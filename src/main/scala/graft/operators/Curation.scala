@@ -48,7 +48,7 @@ object Curation {
     * so no all-pairs generator is anywhere in the production plan. */
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
    // self-cleaning round-block lifecycle: see CheckpointScope
-   CheckpointScope.scoped(nodes) { ck =>
+   CheckpointScope.scoped(nodes.sparkSession) { ck =>
     // directed pair list, materialized ONCE — the pair generator (an
     // LSH verify join) must never re-run per consumer
     val p = ck(pairs.toDF("doc_a", "doc_b"))

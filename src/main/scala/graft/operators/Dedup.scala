@@ -156,20 +156,16 @@ object Dedup {
   private[graft] def incrementalNdFromDocs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     val parallelism = s.sparkContext.defaultParallelism
-    val keyed = d.select(col("doc_id"),
-        sha2(col("text").cast("binary"), 256).as("content_sha"),
-        TextFns.hashedTokenSet(col("text")).as("hset"),
+    val withSplit = d.select(col("doc_id"), col("text"),
         (substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))
           .cast("binary")), 1, 1) >= "c").as("is_batch"))
       .localCheckpoint(true) // feeds both rep selections + the sha probe
-    def reps(side: DataFrame): DataFrame = side
-      .groupBy("content_sha")
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("hset"), col("doc_id")).as("hset"))
-      .repartition(parallelism)
-      .select("doc_id", "content_sha", "hset")
-    val storeReps = reps(keyed.filter(!col("is_batch"))).localCheckpoint(true)
-    val batchReps = reps(keyed.filter(col("is_batch"))).localCheckpoint(true)
+    // the shared tokenize-then-group rep selection, digest retained
+    // for the exact-store classification
+    val storeReps = hashSetsOf(withSplit.filter(!col("is_batch")),
+      parallelism, keepSha = true).localCheckpoint(true)
+    val batchReps = hashSetsOf(withSplit.filter(col("is_batch")),
+      parallelism, keepSha = true).localCheckpoint(true)
     val cand = bandTableOf(batchReps).toDF("batch_doc", "band", "bh")
       .join(bandTableOf(storeReps).toDF("store_doc", "band", "bh"), Seq("band", "bh"))
       .select("batch_doc", "store_doc").distinct()
@@ -184,8 +180,8 @@ object Dedup {
     val scored = verified
       .withColumn("is_nd", col("jaccard") >= 0.7)
       .withColumn("is_best", row_number().over(w) === 1)
-    val storeShas = keyed.filter(!col("is_batch"))
-      .select("content_sha").distinct().withColumn("in_store", lit(true))
+    val storeShas = storeReps
+      .select("content_sha").withColumn("in_store", lit(true))
     batchReps.select(col("doc_id").as("batch_doc"), col("content_sha"))
       .join(storeShas, Seq("content_sha"), "left")
       .select(col("batch_doc"),
@@ -426,8 +422,9 @@ object Dedup {
     * raw text stays partition-local at the scan (grouping on
     * first(text) would shuffle the corpus body). min_by's partial
     * aggregation keeps one (doc_id, hset) per digest per map task. */
-  private[graft] def hashSetsOf(d: DataFrame, parallelism: Int): DataFrame =
-    d.select(col("doc_id"),
+  private[graft] def hashSetsOf(d: DataFrame, parallelism: Int,
+                                keepSha: Boolean = false): DataFrame = {
+    val reps = d.select(col("doc_id"),
         sha2(col("text").cast("binary"), 256).as("content_sha"),
         TextFns.hashedTokenSet(col("text")).as("hset"))
       .groupBy("content_sha")
@@ -437,7 +434,11 @@ object Dedup {
       // would serialize the entire downstream banding/verify fan-out —
       // spread the representatives back across the cluster first
       .repartition(parallelism)
-      .select("doc_id", "hset")
+    // keepSha: incremental probes also need the rep's content digest
+    // (for the exact-store classification); everyone else drops it
+    if (keepSha) reps.select("doc_id", "content_sha", "hset")
+    else reps.select("doc_id", "hset")
+  }
 
   private def hashSets(s: SparkSession, dir: String): DataFrame =
     hashSetsOf(docs(s, dir), s.sparkContext.defaultParallelism)
@@ -471,19 +472,39 @@ object Dedup {
     * capped. Shared by the incremental probe paths (batch and
     * streaming twin) — a band table persisted from this is what the
     * near-dup store IS. */
-  private[graft] def bandTableOf(r: DataFrame): DataFrame = capBuckets(
-    r.select(col("doc_id"), minhashSig(col("hset")).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-      .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
-    // capBuckets' using-columns anti-join moves the key columns FIRST
-    // ((band, bh, doc_id)) — restore the declared order, because
-    // consumers rename this table with a positional toDF and a
-    // scrambled order silently turns the band probe into a zero-recall
-    // join (caught by the streaming twin's spec; the echo oracle
-    // cannot see absent candidates)
-    .select("doc_id", "band", "bh")
+  /** The ONE banding expression: (doc_id, band, bh) rows of a
+    * (doc_id, sig) signature table under a (bands × rowsPerBand)
+    * split. Uncapped — degenerate-bucket policy belongs to the
+    * CONSUMER (self-joins and probes cap; a persisted band store must
+    * NOT, or over-cap bands vanish from the store forever). */
+  private def bandRowsOfSig(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bh")
+
+  /** Production-default band rows of a (doc_id, hset) rep table —
+    * UNCAPPED: what the streaming twin persists as the band store. */
+  private[graft] def bandRowsOf(r: DataFrame): DataFrame =
+    bandRowsOfSig(r.select(col("doc_id"), minhashSig(col("hset")).as("sig")),
+      Bands, RowsPerBand)
+
+  /** [[bandRowsOf]] with the hot-bucket cap applied — for probe joins.
+    * capBuckets' using-columns anti-join moves the key columns FIRST
+    * ((band, bh, doc_id)) — restore the declared order, because
+    * consumers rename this table with a positional toDF and a
+    * scrambled order silently turns the band probe into a zero-recall
+    * join (caught by the streaming twin's spec; the echo oracle
+    * cannot see absent candidates). */
+  private[graft] def bandTableOf(r: DataFrame): DataFrame =
+    capBuckets(bandRowsOf(r), Seq("band", "bh"))
+      .select("doc_id", "band", "bh")
+
+  /** Same cap + order restore over an already-materialized band-row
+    * table (the streaming twin's persisted store, read back). */
+  private[graft] def capBandRows(rows: DataFrame): DataFrame =
+    capBuckets(rows.select("doc_id", "band", "bh"), Seq("band", "bh"))
+      .select("doc_id", "band", "bh")
 
   /** Byte cap for broadcasting a verify-side attribute table. Per-doc
     * set/embedding tables scale with the corpus, so at 100 TB they can
@@ -525,10 +546,7 @@ object Dedup {
     * pair (b, r) sets the LSH S-curve — collision probability for
     * Jaccard s is 1-(1-s^r)^b. */
   private[graft] def bandPairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = capBuckets(sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
+    val banded = capBuckets(bandRowsOfSig(sig, bands, rowsPerBand), Seq("band", "bh"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -596,10 +614,7 @@ object Dedup {
     // universe for all cells); DedupSpec asserts no base bucket
     // reaches the cap at the tested SFs, making the derivation exact
     // there.
-    val banded = capBuckets(sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
-      .toDF("doc_id", "band", "bh"), Seq("band", "bh"))
+    val banded = capBuckets(bandRowsOfSig(sig, Bands, RowsPerBand), Seq("band", "bh"))
     val matches = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -50,7 +50,7 @@ object GraphOps {
     * plan depth) and every intermediate block is freed on exit —
     * the clustersFromPairs lifecycle discipline. */
   private[graft] def pagerankFromPairs(pairs: DataFrame): DataFrame =
-    CheckpointScope.scoped(pairs) { ck =>
+    CheckpointScope.scoped(pairs.sparkSession) { ck =>
       val p = pairs.toDF("doc_a", "doc_b")
       val edges = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -125,7 +125,7 @@ object GraphOps {
     * show as n_tri = 0, not as an absent row. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-    CheckpointScope.scoped(pairs) { ck =>
+    CheckpointScope.scoped(pairs.sparkSession) { ck =>
       val p = ck(pairs)
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))

@@ -232,19 +232,18 @@ object StreamingPipelines {
     * log-structured ingest; within-batch EXACT dups collapse in the
     * rep selection. */
   def incrementalIngestNd(s: SparkSession, storeDir: String)(
-      batch: DataFrame, epoch: Long): Unit = {
-    import graft.functions.{NativeHash, TextFns}
+      batch: DataFrame, epoch: Long): Unit =
+   // every eager checkpoint below is fully consumed by the synchronous
+   // writes inside the scope — freed on exit, so a long-running stream
+   // never accumulates per-trigger blocks (the CheckpointScope rule)
+   graft.operators.CheckpointScope.scoped(s) { ck =>
+    import graft.functions.NativeHash
     val repsPath = s"$storeDir/reps"
     val bandsPath = s"$storeDir/bands"
     val decPath = s"$storeDir/decisions"
-    val reps = batch.select(col("doc_id"),
-        sha2(col("text").cast("binary"), 256).as("content_sha"),
-        TextFns.hashedTokenSet(col("text")).as("hset"))
-      .groupBy("content_sha")
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("hset"), col("doc_id")).as("hset"))
-      .select("doc_id", "content_sha", "hset")
-      .localCheckpoint(true) // probe + verify + two appends read it
+    // the shared tokenize-then-group rep selection (digest retained)
+    val reps = ck(graft.operators.Dedup.hashSetsOf(
+      batch, s.sparkContext.defaultParallelism, keepSha = true))
     val decided =
       if (!parquetNonEmpty(s, repsPath))
         reps.select(col("doc_id").as("batch_doc"), col("content_sha"), col("hset"),
@@ -257,10 +256,15 @@ object StreamingPipelines {
         // tighter type (hset elements are never null by construction)
         val storeReps = s.read.parquet(repsPath)
           .withColumn("hset", expr("transform(hset, x -> coalesce(x, 0L))"))
+        // the store's bands are persisted UNCAPPED; the hot-bucket cap
+        // applies HERE, at probe time over the whole accumulated store
+        // (capping per-increment at write time would both drop
+        // over-cap bands from the store forever and never cap a
+        // bucket that only grows hot across epochs)
         val cand = graft.operators.Dedup.bandTableOf(reps)
           .toDF("batch_doc", "band", "bh")
-          .join(s.read.parquet(bandsPath).toDF("store_doc", "band", "bh"),
-            Seq("band", "bh"))
+          .join(graft.operators.Dedup.capBandRows(s.read.parquet(bandsPath))
+            .toDF("store_doc", "band", "bh"), Seq("band", "bh"))
           .select("batch_doc", "store_doc").distinct()
         val verified = cand
           .join(reps.select(col("doc_id").as("batch_doc"), col("hset").as("ha")),
@@ -284,19 +288,28 @@ object StreamingPipelines {
             coalesce(col("x"), lit(false)).as("exact_dup"),
             coalesce(col("best_jaccard") >= 0.7, lit(false)).as("near_dup"))
       }
-    val decidedCk = decided.localCheckpoint(true) // decisions + admit appends
+    val decidedCk = ck(decided) // decisions + admit appends read it
+    val admitted = decidedCk
+      .filter(!col("exact_dup") && !col("near_dup"))
+      .select(col("batch_doc").as("doc_id"), col("content_sha"), col("hset"))
+    // WRITE ORDER is the crash-retry contract (foreachBatch is
+    // at-least-once): bands BEFORE reps, so a retried epoch can never
+    // leave an admitted rep without its bands (the sha probe would
+    // classify it exact_dup on retry and its bands would never land —
+    // permanent silent recall loss). The inverse orphan — band rows
+    // whose rep append didn't land — is harmless: candidates joined
+    // against the reps table drop them, and the retry re-admits.
+    // Decisions go last; on a retry after a completed admit they
+    // record exact_dup, honestly reflecting the store at retry time.
+    graft.operators.Dedup.bandRowsOf(admitted)
+      .write.mode("append").parquet(bandsPath)
+    admitted.write.mode("append").parquet(repsPath)
     decidedCk.select(lit(epoch).as("epoch"), col("batch_doc"),
         col("exact_dup"), col("near_dup"),
         col("best_store_doc"), col("best_jaccard"),
         (!col("exact_dup") && !col("near_dup")).as("admitted"))
       .write.mode("append").parquet(decPath)
-    val admitted = decidedCk
-      .filter(!col("exact_dup") && !col("near_dup"))
-      .select(col("batch_doc").as("doc_id"), col("content_sha"), col("hset"))
-    admitted.write.mode("append").parquet(repsPath)
-    graft.operators.Dedup.bandTableOf(admitted)
-      .write.mode("append").parquet(bandsPath)
-  }
+   }
 
   // ---- incremental aggregate maintenance (foreachBatch twin) -----------
   /** The streaming twin of `StorageLayout.qIncrementalAgg`: each
