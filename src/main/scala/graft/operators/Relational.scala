@@ -324,7 +324,47 @@ object Relational {
       |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
       |FROM numbered GROUP BY user_id, sess_id""".stripMargin
 
+  // ---- q_session_tvf: sessionization via the session_window TVF --------
+  /** The same sessionization verb through Spark's NATIVE session
+    * window TVF (the streaming-capable surface — state-store-backed
+    * under a watermark, MergingSessionsExec in batch) instead of the
+    * gaps-and-islands window formulation. Semantics differ at exactly
+    * one point: the TVF closes a session when the gap is ≥ 30 min
+    * (event at exactly window end starts a new session) where
+    * q_sessionize's lag formulation uses >, and the TVF's end_us is
+    * last-event + gap (the window bound, not the last event). The
+    * oracle states the TVF semantics in SQL, so the two operators
+    * stay independently cross-engine-proven. */
+  def qSessionTvf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
+  val qSessionTvfSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+      |  MAX(epoch_us(ts)) + 1800000000 AS end_us,
+      |  COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, sess_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_tvf" -> (qSessionTvf _),
     "q1_agg" -> (q1Agg _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q5_multijoin" -> (q5MultiJoin _),
@@ -340,6 +380,7 @@ object Relational {
     "q_sessionize" -> (qSessionize _))
 
   val oracle: Map[String, String] = Map(
+    "q_session_tvf" -> qSessionTvfSql,
     "q1_agg" -> q1AggSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q5_multijoin" -> q5MultiJoinSql,
