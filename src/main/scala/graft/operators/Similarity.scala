@@ -627,6 +627,68 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_pq_residual: IVFADC — PQ over cell residuals ----------------
+  /** The true IVFADC layout (Jégou et al. 2011): the PQ codebook
+    * trains on RESIDUALS v − centroid(cell) instead of raw vectors,
+    * and phase-1 scoring decomposes dot(q, v) ≈ dot(q, centroid) +
+    * adc(q, residual codes) — the coarse quantizer absorbs the
+    * between-cell variance, so the 8-byte codes only have to cover
+    * the (much smaller) within-cell spread: same candidate-scan
+    * memory as ann_pq, strictly tighter approximation. The residual
+    * is materialized once at encode time (a 16-struct filter + one
+    * zip_with per row, cast back to float so the SHARED PQ kernels
+    * and trainer apply unchanged); dot(q, centroid) is computed once
+    * per PROBE row, not per candidate. Same over-fetch and exact
+    * re-rank as ann_pq — apples-to-apples; SimilaritySpec pins the
+    * recall relation. */
+  private def residualFrame(e: DataFrame, cc: Column): DataFrame =
+    e.withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0))
+      .withColumn("cent",
+        element_at(filter(cc, c => c.getField("cell") === col("cell")), 1)
+          .getField("cv"))
+      .withColumn("res",
+        zip_with(col("v"), col("cent"), (a, b) => (a - b).cast("float")))
+
+  def annPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cc = centroidArray(e)
+    val withRes = residualFrame(e, cc)
+    // shared trainer over the residual cloud (same layout, same
+    // serving-encoder assignment)
+    val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
+    val coded = withRes
+      .withColumn("codes", graft.functions.NativePq.encode(col("res"), cb, PqM, PqK))
+      .withColumn("vnorm", VectorFns.norm(col("v")))
+      .select("vec_id", "cell", "codes", "vnorm")
+    val q = queriesDf(e)
+      .withColumn("qnorm", VectorFns.norm(col("qv")))
+      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
+    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+        explode(col("probe_cells")).as("cell"))
+      .withColumn("qcent_dot", VectorFns.dot(col("qv"),
+        element_at(filter(cc, c => c.getField("cell") === col("cell")), 1)
+          .getField("cv")))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        (col("qcent_dot") +
+          graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK)) /
+          (col("qnorm") * col("vnorm")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= PqOverFetch)
+      .select("query_id", "vec_id")
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e, "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
   /** The reference's 6-stage ferret pipeline made real end to end:
     * t_seg SEGMENTS each decoded image with SRM
@@ -946,6 +1008,7 @@ object Similarity {
     "ann_depth_picks" -> (annDepthPicks _),
     "ann_depth_sweep" -> (annDepthSweep _),
     "ann_pq" -> (annPq _),
+    "ann_pq_residual" -> (annPqResidual _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_append" -> (annIvfAppend _),
     "ferret_pipeline" -> (ferretPipeline _),
@@ -1067,6 +1130,7 @@ object Similarity {
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
     "ann_ivf_append" -> annValueSql("ann_ivf_append"),
     "ann_pq" -> annValueSql("ann_pq"),
+    "ann_pq_residual" -> annValueSql("ann_pq_residual"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),
     "emd_check" -> emdCheckSql)
 }

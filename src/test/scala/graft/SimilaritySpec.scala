@@ -261,6 +261,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
   }
 
+  test("ann_pq_residual: IVFADC top-k deterministic, recall at least raw-PQ's band") {
+    val r1 = Similarity.annPqResidual(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rs => assert(rs.length <= Similarity.TopK))
+    val r2 = Similarity.annPqResidual(spark, sfDir).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val a = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (exact & a).size.toDouble / exact.size.toDouble
+    }
+    val resRecall = recallOf(r1)
+    val rawRecall = recallOf(Similarity.annPq(spark, sfDir).collect())
+    // the residual codes only have to cover within-cell spread, so
+    // recall must sit in (or above) raw PQ's band — both are capped
+    // by the SHARED nprobe probe recall, hence the small slack for
+    // per-query approximation noise rather than strict dominance
+    assert(resRecall >= rawRecall - 0.05,
+      s"residual PQ recall fell below raw PQ: $resRecall vs $rawRecall")
+    assert(resRecall >= 0.5, s"IVFADC recall collapsed: $resRecall")
+  }
+
   test("vec_centroids: shape complete, means match a driver recomputation") {
     val rows = Similarity.vecCentroids(spark, sfDir).collect()
     val embs = Tables.embeddings(spark, sfDir)
