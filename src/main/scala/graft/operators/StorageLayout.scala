@@ -530,7 +530,93 @@ object StorageLayout {
       |  CAST(abs(d.est - ex.exact) AS DOUBLE) / CAST(ex.exact AS DOUBLE) <= 0.05 AS ok
       |FROM dump d JOIN ex USING (week)""".stripMargin
 
+  // ---- q_theta_store: day-over-day set algebra from stored sketches ----
+  /** The STORE-side completion of the theta family (q_theta_sets is
+    * the one-shot form): one Theta sketch of user_id persisted per
+    * day — same store discipline as q_hll_store — and every
+    * consecutive-day pair answered from STORED bytes alone:
+    * returning users (intersection), churned users (prev \ cur), and
+    * new users (cur \ prev), the retention trio COUNT(DISTINCT) can't
+    * give you without re-scanning both days. Day-pair algebra runs on
+    * a day-count-bounded collect (the k-means-partials pattern); at
+    * 100 TB a year's churn curve reads 365 sketch rows, never raw
+    * events. Value-oracled like q_hll_store: DuckDB recomputes every
+    * exact side from raw events and re-derives rel_error + the gate
+    * from the dumped estimates (test-scale sketches are exact-mode,
+    * so the gate proves estimate == exact outright). */
+  def qThetaStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ThetaFns
+    val suffix = s"${sessionSuffix(s, dir)}_${contentFingerprint(dir, Seq("events"))}"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_thetastore_$suffix"
+    ingestOnce(path) {
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(ThetaFns.thetaSketchAgg(col("user_id")).as("sk"))
+        .write.mode("overwrite").parquet(path)
+    }
+    val days = s.read.parquet(path)
+      .as[(String, Array[Byte])].collect().sortBy(_._1)
+    val pairs = days.sliding(2).collect { case Array((d0, s0), (d1, s1)) =>
+      (d0, d1, ThetaFns.estimate(s0), ThetaFns.estimate(s1),
+        ThetaFns.intersectEstimate(s0, s1),
+        ThetaFns.aNotBEstimate(s0, s1), ThetaFns.aNotBEstimate(s1, s0))
+    }.toSeq
+    val est = pairs.toDF("day_prev", "day_cur", "est_prev", "est_cur",
+      "est_returning", "est_churned", "est_new")
+    val daily = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+      .distinct()
+    val ret = daily.toDF("day_prev", "user_id")
+      .join(daily.toDF("day_cur", "user_id"), "user_id")
+      .groupBy("day_prev", "day_cur")
+      .agg(count(lit(1)).as("exact_returning"))
+    val cnt = daily.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    est
+      .join(cnt.select(col("d").as("day_prev"), col("n").as("np")), "day_prev")
+      .join(cnt.select(col("d").as("day_cur"), col("n").as("nc")), "day_cur")
+      .join(ret, Seq("day_prev", "day_cur"), "left")
+      .withColumn("exact_returning", coalesce(col("exact_returning"), lit(0L)))
+      .withColumn("exact_churned", col("np") - col("exact_returning"))
+      .withColumn("exact_new", col("nc") - col("exact_returning"))
+      .withColumn("rel_err",
+        abs(col("est_returning") - col("exact_returning").cast("double"))
+          / greatest(col("exact_returning"), lit(1L)).cast("double"))
+      .withColumn("ok", col("rel_err") <= 0.05)
+      .select("day_prev", "day_cur", "est_prev", "est_cur", "est_returning",
+        "est_churned", "est_new", "exact_returning", "exact_churned",
+        "exact_new", "rel_err", "ok")
+  }
+
+  val qThetaStoreSql: String =
+    """WITH dump AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/q_theta_store/*.parquet')
+      |), daily AS (
+      |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d, user_id FROM events
+      |), cnt AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY d
+      |), ret AS (
+      |  SELECT a.d AS day_prev, b.d AS day_cur,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_returning
+      |  FROM daily a JOIN daily b USING (user_id)
+      |  GROUP BY a.d, b.d
+      |)
+      |SELECT d.day_prev, d.day_cur, d.est_prev, d.est_cur, d.est_returning,
+      |  d.est_churned, d.est_new,
+      |  COALESCE(ret.exact_returning, 0) AS exact_returning,
+      |  cp.n - COALESCE(ret.exact_returning, 0) AS exact_churned,
+      |  cc.n - COALESCE(ret.exact_returning, 0) AS exact_new,
+      |  abs(d.est_returning - CAST(COALESCE(ret.exact_returning, 0) AS DOUBLE))
+      |    / CAST(greatest(COALESCE(ret.exact_returning, 0), 1) AS DOUBLE) AS rel_err,
+      |  abs(d.est_returning - CAST(COALESCE(ret.exact_returning, 0) AS DOUBLE))
+      |    / CAST(greatest(COALESCE(ret.exact_returning, 0), 1) AS DOUBLE) <= 0.05 AS ok
+      |FROM dump d
+      |JOIN cnt cp ON cp.d = d.day_prev
+      |JOIN cnt cc ON cc.d = d.day_cur
+      |LEFT JOIN ret ON ret.day_prev = d.day_prev AND ret.day_cur = d.day_cur""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_store" -> (qThetaStore _),
     "q_colocated_join" -> (qColocatedJoin _),
     "q_partition_prune" -> (qPartitionPrune _),
     "q_incremental_agg" -> (qIncrementalAgg _),
@@ -540,6 +626,7 @@ object StorageLayout {
     "q_zorder_skip" -> (qZorderSkip _))
 
   val oracle: Map[String, String] = Map(
+    "q_theta_store" -> qThetaStoreSql,
     "q_colocated_join" -> qColocatedJoinSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_incremental_agg" -> qIncrementalAggSql,

@@ -272,4 +272,26 @@ class StorageLayoutSpec extends SparkSpec {
     assert(pruned.collect().map(_.toString).sorted.toSeq ==
       plain.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("q_theta_store: one row per consecutive day pair, exact-mode algebra consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = StorageLayout.qThetaStore(spark, sfDir).collect()
+    val nDays = Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(rows.length == nDays - 1, s"${rows.length} pairs for $nDays days")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"), s"gate failed: $r")
+      // test-scale sketches are exact-mode: every estimate equals its audit
+      assert(r.getAs[Double]("est_returning") ==
+        r.getAs[Long]("exact_returning").toDouble)
+      assert(r.getAs[Double]("est_churned") ==
+        r.getAs[Long]("exact_churned").toDouble)
+      assert(r.getAs[Double]("est_new") == r.getAs[Long]("exact_new").toDouble)
+      // partition identities: prev = returning + churned, cur = returning + new
+      assert(r.getAs[Double]("est_prev") ==
+        (r.getAs[Long]("exact_returning") + r.getAs[Long]("exact_churned")).toDouble)
+      assert(r.getAs[Double]("est_cur") ==
+        (r.getAs[Long]("exact_returning") + r.getAs[Long]("exact_new")).toDouble)
+    }
+  }
 }
