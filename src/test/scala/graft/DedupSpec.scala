@@ -423,6 +423,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_prefix_filter: zero false negatives vs brute force within blocks") {
+    val rows = Dedup.dedupPrefixFilter(spark, sfDir).collect()
+    val flagged = rows.filter(_.getAs[Boolean]("is_dup"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // brute-force ground truth: every same-source pair at jaccard ≥ 0.7
+    val d = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSet))
+    val truePairs = (for {
+      (ia, sa, ta) <- d; (ib, sb, tb) <- d
+      if sa == sb && ia < ib
+      j = (ta & tb).size.toDouble / (ta | tb).size.toDouble
+      if j >= 0.7
+    } yield (ia, ib)).toSet
+    assert(truePairs.nonEmpty, "corpus must contain same-source near-dups")
+    // the recall GUARANTEE: prefix filtering may not miss one
+    assert(truePairs.subsetOf(flagged),
+      s"prefix filter missed ${(truePairs -- flagged).take(5)}")
+    // and flags are honest: every is_dup pair really is ≥ 0.7 locally
+    val byId = d.map(x => x._1 -> x._3).toMap
+    flagged.foreach { case (a, b) =>
+      val j = (byId(a) & byId(b)).size.toDouble / (byId(a) | byId(b)).size.toDouble
+      assert(j >= 0.7, s"false positive flagged: ($a,$b) j=$j")
+    }
+  }
+
   test("dedup_incremental_nd: injected corpus — probe recall is unconditional") {
     import spark.implicits._
     // ids chosen against the md5 ':inc' rule: 1,2,4 are batch; 3,5 store
