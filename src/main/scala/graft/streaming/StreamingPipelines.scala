@@ -53,6 +53,20 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
 
+  /** Sessionization on the THIRD stateful surface — the session_window
+    * TVF (the other two: flatMapGroupsWithState in [[sessionize]],
+    * transformWithState in SessionProcessor). Merging-session state
+    * under the watermark; StreamingSpec proves it matches the batch
+    * mirror `q_session_tvf` cell-for-cell once the stream drains. */
+  def sessionTvfAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
   case class SessState(sessId: Long, startUs: Long, endUs: Long, nEvents: Long)
 

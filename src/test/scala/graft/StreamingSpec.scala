@@ -19,6 +19,41 @@ class StreamingSpec extends SparkSpec {
       .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
   }
 
+  test("streaming session_window TVF matches batch q_session_tvf cell-for-cell") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = loadEvents()
+    val source = MemoryStream[Ev]
+    // session windows stream in APPEND mode only: a session emits
+    // once, when the watermark passes its end. A far-future sentinel
+    // event per user pushes the watermark so the trailing sessions
+    // finalize; sentinel sessions are filtered out of the comparison.
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinelMs = maxTs + 24L * 3600 * 1000
+    val sentinels = evs.map(_.user_id).distinct.map(u =>
+      Ev(-u - 1, new Timestamp(sentinelMs), u, "sentinel", 0.0))
+    val q = StreamingPipelines.sessionTvfAgg(source.toDF())
+      .writeStream.format("memory").queryName("stvf_sink")
+      .outputMode(OutputMode.Append()).start()
+    evs.grouped(300).foreach(source.addData(_))
+    q.processAllAvailable()
+    source.addData(sentinels)
+    q.processAllAvailable()
+    source.addData(Seq(Ev(-1000000L,
+      new Timestamp(sentinelMs + 24L * 3600 * 1000), 0L, "sentinel", 0.0)))
+    q.processAllAvailable()
+    val stream = spark.table("stvf_sink")
+      .filter(col("start_us") < lit(sentinelMs * 1000L))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    q.stop()
+    val batch = Relational.qSessionTvf(spark, sfDir)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream == batch,
+      s"session TVF stream/batch diverged: ${stream.size} vs ${batch.size} rows")
+  }
+
   test("streaming windowAgg matches batch q_events_window totals") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
