@@ -453,6 +453,60 @@ object AnalyticsExtras {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---- q_anomaly: trailing-window z-score anomaly flags ----------------
+  /** Streaming-shaped anomaly detection in batch form: each event
+    * scored against its user's TRAILING 7-day window (the
+    * q_window_range RANGE frame, widened to the corpus's monthly
+    * activity density) — flagged iff the window holds ≥ 5
+    * prior+current events AND (value − mean)² > 9·var, i.e. |z| > 3
+    * WITHOUT a square root (the squared comparison keeps the whole
+    * gate in the proven decimal-power-sum arithmetic; q_stats
+    * established the cross-engine parity of exactly these moments).
+    * Sums ride as DECIMAL so partitioning never reorders float
+    * accumulation; the single window pass computes count, Σv and Σv²
+    * together. One Exchange on user_id, one sort, no self-join —
+    * the shape a fraud/telemetry pipeline runs per key at 100 TB. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-7L * 86400L * 1000000L, Window.currentRow)
+    val decV = col("value").cast(DecimalType(24, 8))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("sum_w", sum(decV).over(w).cast("double"))
+      .withColumn("sum2_w", sum(decV * decV).over(w).cast("double"))
+      .withColumn("mean_w", col("sum_w") / col("n_w").cast("double"))
+      .withColumn("var_w",
+        (col("sum2_w") - col("sum_w") * col("sum_w") / col("n_w").cast("double"))
+          / col("n_w").cast("double"))
+      .withColumn("is_anomaly",
+        col("n_w") >= 5 &&
+          (col("value") - col("mean_w")) * (col("value") - col("mean_w"))
+            > lit(9.0) * col("var_w"))
+      .select("event_id", "user_id", "us", "value", "n_w", "mean_w", "var_w",
+        "is_anomaly")
+  }
+
+  val qAnomalySql: String =
+    """SELECT event_id, user_id, us, value, n_w,
+      |  sum_w / CAST(n_w AS DOUBLE) AS mean_w,
+      |  (sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE) AS var_w,
+      |  n_w >= 5 AND
+      |    (value - sum_w / CAST(n_w AS DOUBLE)) * (value - sum_w / CAST(n_w AS DOUBLE))
+      |      > 9.0 * ((sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE))
+      |    AS is_anomaly
+      |FROM (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+      |    COUNT(*) OVER w AS n_w,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(24,8))) OVER w AS VARCHAR) AS DOUBLE) AS sum_w,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(24,8)) * CAST(value AS DECIMAL(24,8))) OVER w
+      |      AS VARCHAR) AS DOUBLE) AS sum2_w
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
   // ---- q_multi_distinct: several COUNT(DISTINCT) in one pass -----------
   /** Three distinct-counts over different keys in ONE aggregation:
     * Catalyst plans this with an Expand (one row copy per distinct
@@ -781,6 +835,7 @@ object AnalyticsExtras {
     "q_full_outer" -> (qFullOuter _),
     "q_histogram_eqdepth" -> (qHistogramEqdepth _),
     "q_window_range" -> (qWindowRange _),
+    "q_anomaly" -> (qAnomaly _),
     "q_multi_distinct" -> (qMultiDistinct _),
     "q_grouping_sets" -> (qGroupingSets _),
     "profile_table" -> (profileTable _),
@@ -806,6 +861,7 @@ object AnalyticsExtras {
     "q_full_outer" -> qFullOuterSql,
     "q_histogram_eqdepth" -> qHistogramEqdepthSql,
     "q_window_range" -> qWindowRangeSql,
+    "q_anomaly" -> qAnomalySql,
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "profile_table" -> profileTableSql,

@@ -152,6 +152,26 @@ class AnalyticsExtrasSpec extends SparkSpec {
     }
   }
 
+  test("q_anomaly: flags consistent with emitted moments, partitioned window only") {
+    val rows = AnalyticsExtras.qAnomaly(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, n, mean, varW) = (r.getAs[Double]("value"), r.getAs[Long]("n_w"),
+        r.getAs[Double]("mean_w"), r.getAs[Double]("var_w"))
+      val want = n >= 5 && (v - mean) * (v - mean) > 9.0 * varW
+      assert(r.getAs[Boolean]("is_anomaly") == want, s"flag drifted: $r")
+      assert(varW >= -1e-9, s"negative variance: $r") // numeric sanity
+    }
+    // some events flag, most don't — the gate is live, not degenerate
+    val flagged = rows.count(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged > 0 && flagged < rows.length / 2,
+      s"anomaly gate degenerate: $flagged of ${rows.length}")
+    // scale posture: the one window is user-partitioned
+    AnalyticsExtras.qAnomaly(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in q_anomaly"))
+  }
+
   test("q_multi_distinct: one-pass counts equal per-key recomputations") {
     val rows = AnalyticsExtras.qMultiDistinct(spark, sfDir).collect()
     assert(rows.nonEmpty)
