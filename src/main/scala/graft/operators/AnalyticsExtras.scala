@@ -477,11 +477,16 @@ object AnalyticsExtras {
       .withColumn("sum_w", sum(decV).over(w).cast("double"))
       .withColumn("sum2_w", sum(decV * decV).over(w).cast("double"))
       .withColumn("mean_w", col("sum_w") / col("n_w").cast("double"))
-      .withColumn("var_w",
+      // clamp: the double evaluation of the decimal power sums can
+      // round a ZERO-variance window to a tiny negative, and
+      // x² > 9·(−ε) would then flag every event of a perfectly
+      // constant signal — the opposite of an anomaly. A zero-spread
+      // window has no z-score, so the gate also requires var > 0.
+      .withColumn("var_w", greatest(
         (col("sum2_w") - col("sum_w") * col("sum_w") / col("n_w").cast("double"))
-          / col("n_w").cast("double"))
+          / col("n_w").cast("double"), lit(0.0)))
       .withColumn("is_anomaly",
-        col("n_w") >= 5 &&
+        col("n_w") >= 5 && col("var_w") > 0.0 &&
           (col("value") - col("mean_w")) * (col("value") - col("mean_w"))
             > lit(9.0) * col("var_w"))
       .select("event_id", "user_id", "us", "value", "n_w", "mean_w", "var_w",
@@ -491,10 +496,14 @@ object AnalyticsExtras {
   val qAnomalySql: String =
     """SELECT event_id, user_id, us, value, n_w,
       |  sum_w / CAST(n_w AS DOUBLE) AS mean_w,
-      |  (sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE) AS var_w,
+      |  greatest((sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE),
+      |    0.0) AS var_w,
       |  n_w >= 5 AND
+      |    greatest((sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE),
+      |      0.0) > 0.0 AND
       |    (value - sum_w / CAST(n_w AS DOUBLE)) * (value - sum_w / CAST(n_w AS DOUBLE))
-      |      > 9.0 * ((sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE)) / CAST(n_w AS DOUBLE))
+      |      > 9.0 * greatest((sum2_w - sum_w * sum_w / CAST(n_w AS DOUBLE))
+      |          / CAST(n_w AS DOUBLE), 0.0)
       |    AS is_anomaly
       |FROM (
       |  SELECT event_id, user_id, epoch_us(ts) AS us, value,

@@ -936,13 +936,15 @@ object Dedup {
   def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val toks = d.select(col("doc_id"), col("source"),
-        array_distinct(split(lower(trim(col("text"))), "\\s+")).as("ts"))
-      .localCheckpoint(true) // occurrences + sizes + (via text) verify sets
-    val occ = toks.select(col("doc_id"), col("source"), explode(col("ts")).as("token"))
+        TextFns.tokenSet(col("text")).as("ts")) // the ONE shared tokenizer
+      .localCheckpoint(true) // occurrences + (via text) verify sets
+    // doc size rides THROUGH the explode — no join back onto the
+    // occurrence table for a column it already had
+    val occ = toks.select(col("doc_id"), col("source"),
+      size(col("ts")).as("n"), explode(col("ts")).as("token"))
     val dfT = occ.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = toks.select(col("doc_id"), size(col("ts")).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val pre = occ.join(dfT, "token").join(n, "doc_id")
+    val pre = occ.join(dfT, "token")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - expr("(7 * n + 9) DIV 10") + 1)
       .select("doc_id", "source", "token", "rn", "n")

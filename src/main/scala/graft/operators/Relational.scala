@@ -328,13 +328,15 @@ object Relational {
   /** The same sessionization verb through Spark's NATIVE session
     * window TVF (the streaming-capable surface — state-store-backed
     * under a watermark, MergingSessionsExec in batch) instead of the
-    * gaps-and-islands window formulation. Semantics differ at exactly
-    * one point: the TVF closes a session when the gap is ≥ 30 min
-    * (event at exactly window end starts a new session) where
-    * q_sessionize's lag formulation uses >, and the TVF's end_us is
-    * last-event + gap (the window bound, not the last event). The
-    * oracle states the TVF semantics in SQL, so the two operators
-    * stay independently cross-engine-proven. */
+    * gaps-and-islands window formulation. Session boundaries are
+    * IDENTICAL to q_sessionize's (the TVF merges an event landing
+    * exactly at the window end — verified on this Spark build: two
+    * events exactly 30 min apart form ONE session — so the close
+    * condition is gap > 30 min in both); the one semantic difference
+    * is the emitted end_us = last event + gap (the window bound, not
+    * the last event time). The oracle states these semantics
+    * independently in SQL, so both formulations stay
+    * cross-engine-proven. */
   def qSessionTvf(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -348,7 +350,7 @@ object Relational {
     """WITH flagged AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

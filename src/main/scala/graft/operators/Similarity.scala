@@ -593,27 +593,20 @@ object Similarity {
     * kernel — the candidate scan reads 32× less memory than raw
     * vectors, the binding constraint at 100 TB — and only the
     * over-fetched ids touch full vectors for the exact re-rank. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val cc = asCentroidColumn(centroidSeq(e))
-    val cb = pqCodebook(e)
-    val coded = e
-      .withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0))
-      .withColumn("codes", graft.functions.NativePq.encode(col("v"), cb, PqM, PqK))
-      .withColumn("vnorm", VectorFns.norm(col("v")))
-      .select("vec_id", "cell", "codes", "vnorm")
-    val q = queriesDf(e)
-      .withColumn("qnorm", VectorFns.norm(col("qv")))
-      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
-    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
-      explode(col("probe_cells")).as("cell"))
+  /** Shared IVF-PQ phase-1 + exact re-rank: score every (candidate,
+    * probe) row with `approxCos` (resolved against the joined coded ×
+    * probes columns), keep the PqOverFetch deepest per query, then
+    * the exact cosine re-rank — so annPq and annPqResidual stay
+    * apples-to-apples BY CONSTRUCTION (same over-fetch, same
+    * tie-breaks); their only deltas are the coded/probes columns and
+    * the approx_cos expression. */
+  private def pqSearch(e: DataFrame, q: DataFrame, probes: DataFrame,
+                       coded: DataFrame, approxCos: Column): DataFrame = {
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
     val cand = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("approx_cos",
-        graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK) /
-          (col("qnorm") * col("vnorm")))
+      .withColumn("approx_cos", approxCos)
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= PqOverFetch)
       .select("query_id", "vec_id")
@@ -625,6 +618,28 @@ object Similarity {
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= TopK)
+  }
+
+  private def pqQueries(e: DataFrame, cc: Column): DataFrame =
+    queriesDf(e)
+      .withColumn("qnorm", VectorFns.norm(col("qv")))
+      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cc = asCentroidColumn(centroidSeq(e))
+    val cb = pqCodebook(e)
+    val coded = e
+      .withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0))
+      .withColumn("codes", graft.functions.NativePq.encode(col("v"), cb, PqM, PqK))
+      .withColumn("vnorm", VectorFns.norm(col("v")))
+      .select("vec_id", "cell", "codes", "vnorm")
+    val q = pqQueries(e, cc)
+    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+      explode(col("probe_cells")).as("cell"))
+    pqSearch(e, q, probes, coded,
+      graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK) /
+        (col("qnorm") * col("vnorm")))
   }
 
   // ---- ann_pq_residual: IVFADC — PQ over cell residuals ----------------
@@ -660,33 +675,16 @@ object Similarity {
       .withColumn("codes", graft.functions.NativePq.encode(col("res"), cb, PqM, PqK))
       .withColumn("vnorm", VectorFns.norm(col("v")))
       .select("vec_id", "cell", "codes", "vnorm")
-    val q = queriesDf(e)
-      .withColumn("qnorm", VectorFns.norm(col("qv")))
-      .withColumn("probe_cells", nearestCells(col("qv"), cc, NProbe))
+    val q = pqQueries(e, cc)
     val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
         explode(col("probe_cells")).as("cell"))
       .withColumn("qcent_dot", VectorFns.dot(col("qv"),
         element_at(filter(cc, c => c.getField("cell") === col("cell")), 1)
           .getField("cv")))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("approx_cos").desc, col("vec_id"))
-    val cand = coded.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("approx_cos",
-        (col("qcent_dot") +
-          graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK)) /
-          (col("qnorm") * col("vnorm")))
-      .withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= PqOverFetch)
-      .select("query_id", "vec_id")
-    val wCos = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand.join(e, "vec_id")
-      .join(broadcast(q.select("query_id", "qv")), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        VectorFns.cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= TopK)
+    pqSearch(e, q, probes, coded,
+      (col("qcent_dot") +
+        graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK)) /
+        (col("qnorm") * col("vnorm")))
   }
 
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------

@@ -25,22 +25,18 @@ class StreamingSpec extends SparkSpec {
     val evs = loadEvents()
     val source = MemoryStream[Ev]
     // session windows stream in APPEND mode only: a session emits
-    // once, when the watermark passes its end. A far-future sentinel
-    // event per user pushes the watermark so the trailing sessions
-    // finalize; sentinel sessions are filtered out of the comparison.
+    // once, when the watermark passes its end. The watermark is
+    // GLOBAL (max event time − delay, across all keys), so ONE
+    // far-future sentinel event finalizes every user's real sessions;
+    // its own session never emits and is filtered from the compare.
     val maxTs = evs.map(_.ts.getTime).max
     val sentinelMs = maxTs + 24L * 3600 * 1000
-    val sentinels = evs.map(_.user_id).distinct.map(u =>
-      Ev(-u - 1, new Timestamp(sentinelMs), u, "sentinel", 0.0))
     val q = StreamingPipelines.sessionTvfAgg(source.toDF())
       .writeStream.format("memory").queryName("stvf_sink")
       .outputMode(OutputMode.Append()).start()
     evs.grouped(300).foreach(source.addData(_))
     q.processAllAvailable()
-    source.addData(sentinels)
-    q.processAllAvailable()
-    source.addData(Seq(Ev(-1000000L,
-      new Timestamp(sentinelMs + 24L * 3600 * 1000), 0L, "sentinel", 0.0)))
+    source.addData(Seq(Ev(-1L, new Timestamp(sentinelMs), 0L, "sentinel", 0.0)))
     q.processAllAvailable()
     val stream = spark.table("stvf_sink")
       .filter(col("start_us") < lit(sentinelMs * 1000L))
