@@ -492,7 +492,35 @@ object Curation {
       |SELECT doc_id, dup_degree FROM d
       |ORDER BY dup_degree DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- dedup_cluster_stats: duplicate-cluster size distribution --------
+  /** The corpus-health dashboard line a curation run reads first:
+    * how much of the corpus sits in duplicate clusters, and of what
+    * shape — one row per CLUSTER SIZE with the cluster count and the
+    * documents they hold (singletons included: size 1 is the unique
+    * mass). Derived from the same oracled cluster labeling as
+    * dedup_canonical; one keyed count + one size-cardinality
+    * re-group, output bounded by the largest cluster size. */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+
+  /** Recomputed by DuckDB from the (fully oracled) dedup_clusters
+    * dump — sizes, cluster counts, and doc mass per size. */
+  val dedupClusterStatsSql: String =
+    """SELECT sz AS cluster_size,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs
+      |FROM (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_clusters/*.parquet')
+      |  GROUP BY cluster_id
+      |) GROUP BY sz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_hubs" -> (dedupHubs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
@@ -544,6 +572,7 @@ object Curation {
        |FROM n""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_hubs" -> dedupHubsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,
