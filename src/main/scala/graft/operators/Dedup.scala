@@ -501,9 +501,18 @@ object Dedup {
       .select("doc_id", "band", "bh")
 
   /** Same cap + order restore over an already-materialized band-row
-    * table (the streaming twin's persisted store, read back). */
+    * table (the streaming twin's persisted store, read back).
+    *
+    * The store is appended under at-least-once semantics: an epoch
+    * that crashes between its bands append and its reps append is
+    * retried, re-admitting the doc and appending its band rows a
+    * second time. Candidate pairs downstream are rescued by
+    * .distinct(), but duplicate rows would double-count toward the
+    * MaxBucket cap (premature bucket drop = silent recall loss) —
+    * so dedupe rows BEFORE the bucket-size count. One exchange on
+    * the full row; the probe join re-shuffles on (band, bh) anyway. */
   private[graft] def capBandRows(rows: DataFrame): DataFrame =
-    capBuckets(rows.select("doc_id", "band", "bh"), Seq("band", "bh"))
+    capBuckets(rows.select("doc_id", "band", "bh").distinct(), Seq("band", "bh"))
       .select("doc_id", "band", "bh")
 
   /** Byte cap for broadcasting a verify-side attribute table. Per-doc
