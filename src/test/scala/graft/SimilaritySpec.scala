@@ -243,6 +243,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"sweep diverged from per-depth recompute: $got vs $expected")
   }
 
+  test("ann_nprobe_sweep: recall monotone in nprobe, 1.0 at all-cells") {
+    val rows = Similarity.annNprobeSweep(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.length == Similarity.SweepNprobes.length)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("mean_recall") >= a.getAs[Double]("mean_recall"),
+        s"recall fell as nprobe grew: ${rows.map(_.toString).mkString(", ")}")
+    }
+    // nprobe = IvfCells probes EVERY cell — the candidate pool is the
+    // whole corpus, so the sweep's ceiling is brute force exactly
+    val top = rows.last
+    assert(top.getAs[Int]("nprobe") == Similarity.IvfCells)
+    assert(top.getAs[Double]("mean_recall") == 1.0,
+      s"all-cells probe must equal brute force: $top")
+  }
+
+  test("ann_nprobe_picks: the nprobe = NProbe cell equals ann_ivf") {
+    // the shipped sweep derives each nprobe by filtering probe_rank of
+    // ONE deepest-nprobe join; the production ann_ivf searches at
+    // NProbe independently — their result sets must be identical
+    val fromSweep = Similarity.annNprobePicks(spark, sfDir)
+      .filter(col("nprobe") === Similarity.NProbe)
+      .select("query_id", "vec_id", "rank")
+    val ivf = Similarity.annIvf(spark, sfDir)
+      .select("query_id", "vec_id", "rank")
+    assert(fromSweep.exceptAll(ivf).isEmpty && ivf.exceptAll(fromSweep).isEmpty,
+      "nprobe sweep cell diverged from ann_ivf")
+  }
+
   test("ann_pq: IVF-PQ top-k is deterministic with useful recall") {
     val r1 = Similarity.annPq(spark, sfDir).collect()
     assert(r1.nonEmpty)
