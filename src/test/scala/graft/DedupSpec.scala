@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("dedup_minhash: shared signature store equals fresh computation") {
+    // dedup_minhash now probes the session-scoped parquet signature
+    // store; this recomputes the pair table from scratch (tokenize →
+    // sign → band → verify, the pre-store formulation) and demands
+    // identical output — pinning the parquet round trip (element
+    // nullability re-tightening, fingerprint keying) as an identity
+    val fromStore = Dedup.dedupMinhash(spark, sfDir)
+      .select("doc_a", "doc_b", "jaccard")
+    val par = spark.sparkContext.defaultParallelism
+    val fresh = Dedup.minhashPairs(
+        Dedup.hashSetsOf(Tables.documents(spark, sfDir), par).localCheckpoint(true))
+      .select("doc_a", "doc_b", "jaccard")
+    assert(fromStore.exceptAll(fresh).isEmpty && fresh.exceptAll(fromStore).isEmpty,
+      "signature-store path diverged from fresh computation")
+  }
+
   test("dedup_simhash: candidates carry correct hamming bound") {
     val res = Dedup.dedupSimhash(spark, sfDir).cache()
     assert(res.count() > 0)
