@@ -1104,8 +1104,130 @@ object Multimodal {
       |    CAST(b.nf AS INT)) AS lead_silence
       |FROM voiced b""".stripMargin
 
+  // ---- mm_jpeg_files / mm_wav_files: REAL media files from disk -------
+  /** The reference's actual ingest semantics — ferret's t_load reads
+    * JPEG FILES from a query directory (ferret-pthreads.c:437,
+    * image.c:43 image_read_rgb) — composed end to end: a one-time
+    * session-scoped ingest writes one genuine .jpg and .wav file per
+    * document to a directory (payload bytes identical to mm_jpeg's /
+    * mm_audio's in-engine streams — the sandbox ships no media files,
+    * so the engine synthesizes them to DISK first), then the query
+    * reads that directory back through the `binaryFile` source, maps
+    * file name → doc_id, DECODES the file bytes (the full marker-walk
+    * / RIFF-parse paths — no synthesis on the read side), and emits
+    * the same features as the column-borne twins. The oracles are
+    * mm_jpeg's / mm_audio's VERBATIM: DuckDB recomputes every value
+    * from the documents table alone, so the whole
+    * write→list→read→decode chain is cross-engine-proven.
+    *
+    * Files are written from EXECUTORS (foreachPartition — the
+    * distributed write a real cluster performs against shared
+    * storage); at 100 TB the directory is an object-store prefix and
+    * the binaryFile source lists it distributed. */
+  private val mediaIngested = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def mediaDirPath(s: SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val root = new java.io.File(s"$abs/documents.parquet")
+    val files = if (root.isDirectory)
+      Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
+    else Seq(root)
+    val desc = abs + "|" +
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val dh = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_media_${app}_$dh"
+  }
+
+  private def mediaDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val path = mediaDirPath(s, dir)
+    Multimodal.synchronized {
+      if (!mediaIngested.contains(path)) {
+        val t0 = System.nanoTime()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+        docs(s, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+            it.foreach { case (id, payload) =>
+              val jpeg = graft.functions.JpegCodec.encodeJpeg(
+                synthesizeGrayBands(id, payload), quality = 100, gray = true)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, s"doc_$id.jpg"), jpeg)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(path, s"doc_$id.wav"),
+                synthesizeWav(id, payload))
+            }
+          }
+        System.err.println(
+          f"[multimodal] one-time media-file ingest $path: ${(System.nanoTime() - t0) / 1e9}%.2f s (amortized across reads)")
+        mediaIngested.add(path): Unit
+      }
+    }
+    path
+  }
+
+  def mmJpegFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.BinaryFiles.readDir(s, mediaDir(s, dir), "*.jpg")
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.jpg$", 1)
+        .cast("long").as("doc_id"), col("content"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val dec = graft.functions.JpegCodec.decodeJpeg(bytes)
+          (0 until dec.width / 8).iterator.map { band =>
+            var sum = 0L
+            var y = 0
+            while (y < dec.height) {
+              var x = 8 * band
+              while (x < 8 * band + 8) {
+                sum += dec.rgb(3 * (y * dec.width + x)) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            MMJpegBand(id, band, dec.width, dec.height, sum)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  def mmWavFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.BinaryFiles.readDir(s, mediaDir(s, dir), "*.wav")
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+        .cast("long").as("doc_id"), col("content"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val wav = graft.functions.WavCodec.decodeWav(bytes)
+          var sumsq = 0L
+          var zc = 0L
+          var peak = 0
+          var i = 0
+          while (i < wav.samples.length) {
+            val v = wav.samples(i).toInt
+            sumsq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (v >= 0) != (wav.samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          MMAudio(id, wav.samples.length, wav.sampleRate, sumsq, zc, peak)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_vad" -> (mmAudioVad _),
+    "mm_jpeg_files" -> (mmJpegFiles _),
+    "mm_wav_files" -> (mmWavFiles _),
     "mm_meta" -> (mmMeta _),
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
@@ -1163,5 +1285,11 @@ object Multimodal {
     "mm_audio" -> mmAudioSql,
     "mm_segment_check" -> mmSegmentCheckSql,
     "mm_jpeg" -> mmJpegSql,
-    "mm_jpeg_color" -> mmJpegColorSql)
+    "mm_jpeg_color" -> mmJpegColorSql,
+    // the file-ingest twins emit byte-identical features to their
+    // column-borne counterparts, so the SAME oracles apply verbatim —
+    // DuckDB recomputes every value from the documents table, proving
+    // the write→list→read→decode chain end to end
+    "mm_jpeg_files" -> mmJpegSql,
+    "mm_wav_files" -> mmAudioSql)
 }

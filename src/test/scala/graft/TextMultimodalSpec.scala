@@ -253,6 +253,22 @@ class TextMultimodalSpec extends SparkSpec {
     check.unpersist()
   }
 
+  test("mm_jpeg_files / mm_wav_files: disk round trip equals column twins") {
+    // the file-ingest twins write real .jpg/.wav files once, read them
+    // back through the binaryFile source and decode the FILE bytes —
+    // their output must be row-identical to the column-borne operators
+    // (any naming, listing, truncation or codec-framing bug diverges)
+    import graft.operators.Multimodal
+    val jf = Multimodal.mmJpegFiles(spark, sfDir)
+    val jc = Multimodal.mmJpeg(spark, sfDir)
+    assert(jf.exceptAll(jc).isEmpty && jc.exceptAll(jf).isEmpty,
+      "mm_jpeg_files diverged from mm_jpeg")
+    val wf = Multimodal.mmWavFiles(spark, sfDir)
+    val wc = Multimodal.mmAudio(spark, sfDir)
+    assert(wf.exceptAll(wc).isEmpty && wc.exceptAll(wf).isEmpty,
+      "mm_wav_files diverged from mm_audio")
+  }
+
   test("mm_jpeg: real encode->decode round trip, decoded sums match source") {
     val res = Multimodal.mmJpeg(spark, sfDir).cache()
     val docs = Tables.documents(spark, sfDir).count()
