@@ -84,7 +84,7 @@ object Bench {
     // fixed micro-batch machinery, so repeating them buys no precision
     // — one measured pass each keeps the bench wall-time on the
     // analytic queries where the medians matter.
-    val singlePass = Set("stream_rate_bench", "stream_param_sweep")
+    val singlePass = Set("stream_rate_bench", "stream_param_sweep", "stream_soak")
 
     // optional key filter for local iteration (comma-separated names);
     // unset → the full driver-contract bench
@@ -108,7 +108,11 @@ object Bench {
       System.gc() // between queries only: a full GC per pass on a
                   // large warm heap costs more than the blocks it
                   // frees (measured both ways at sf0.1)
-      once(fn, warmDir) // codegen/classloading warm-up, never measured
+      // stream_soak's cost is WALL-CLOCK by construction (a sustained
+      // rate source runs for a fixed duration regardless of SF) — a
+      // warm-up pass would double it for zero codegen benefit
+      if (name != "stream_soak")
+        once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes
       // free leaked blocks between PASSES too: a query that
       // checkpoints leaks its blocks into its own later passes (med

@@ -127,10 +127,28 @@ object StreamingOps {
     s.createDataFrame(rows)
   }
 
+  // ---- stream_soak: sustained-rate long-run, state proven flat ---------
+  /** The continuous-stream posture the bounded-slice harnesses can't
+    * show (bin/parsec_stream drives an unbounded stream): a
+    * watermarked windowed aggregation runs against Spark's
+    * distributed `rate` source at a sustained 20k rows/s for
+    * GRAFT_SOAK_SECONDS (default 30) wall-clock seconds, sampling the
+    * state store per trigger. Watermark eviction must hold the state
+    * row count FLAT once the first windows close — the run-level
+    * flatness gate (late-third median within 20% of mid-third median)
+    * rides on every emitted row. A minutes-long soak is the same
+    * query with the env knob raised; the evidence run is recorded in
+    * PLANS.md r11. Self-measuring harness → rows-only by design. */
+  def streamSoak(s: SparkSession, dir: String): DataFrame = {
+    val secs = sys.env.get("GRAFT_SOAK_SECONDS").map(_.toInt).getOrElse(30)
+    s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_batch" -> (streamDedupBatch _),
     "stream_rate_bench" -> (streamRateBench _),
-    "stream_param_sweep" -> (streamParamSweep _))
+    "stream_param_sweep" -> (streamParamSweep _),
+    "stream_soak" -> (streamSoak _))
 
   val oracle: Map[String, String] = Map(
     "stream_dedup_batch" -> streamDedupBatchSql)

@@ -737,6 +737,88 @@ object StreamingPipelines {
     f.delete(): Unit
   }
 
+  // ---- sustained-rate soak: watermark-bounded state, proven flat -------
+  /** One sampled trigger of the soak: state-store size + throughput
+    * at that trigger, plus the run-level flatness verdict (constant
+    * across rows — the curve's property, stated on every sample so a
+    * single-row reader sees it). */
+  case class SoakRow(trigger_idx: Int, elapsed_sec: Double, input_rows: Long,
+                     input_rows_per_sec: Double, state_rows: Long,
+                     state_mem_bytes: Long, watermark_present: Boolean,
+                     n_triggers: Long, mid_median_state_rows: Long,
+                     late_median_state_rows: Long, flat_ok: Boolean)
+
+  /** Drive a WATERMARKED windowed aggregation from Spark's
+    * distributed `rate` source at a sustained fixed rate for
+    * `soakSecs` wall-clock seconds — the reference harness's
+    * continuous-stream posture (bin/parsec_stream drives an unbounded
+    * stream at rate; the bounded-slice harnesses above measure
+    * throughput, this proves STATE is watermark-bounded over time).
+    * Event time == arrival time, so the watermark advances with the
+    * wall clock and closed windows are continuously evicted: if
+    * eviction works, state rows plateau at ≈ (window + delay) / window
+    * + 1 live windows × key cardinality; if it leaks, the curve grows
+    * linearly and the flatness gate fails.
+    *
+    * Per-trigger StateOperatorProgress is sampled by POLLING
+    * lastProgress (deduped on batchId) — immune to the
+    * recentProgress retention cap, so a minutes-long soak keeps every
+    * trigger. Flatness gate: the median state-row count of the last
+    * third of triggers must be within 20% of the middle third's
+    * (the first third is warm-up — the plateau only exists once the
+    * first windows close). The sink is `noop`: nothing accumulates on
+    * the driver, and rows/sec is the source's configured rate by
+    * construction (backpressure would surface as trigger lag). */
+  def rateSoak(s: SparkSession, soakSecs: Int, rowsPerSec: Int = 20000,
+               nKeys: Int = 1000): Seq[SoakRow] = {
+    val src = s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec.toLong)
+      .option("numPartitions", 4)
+      .load()
+    val agg = src
+      .select(col("timestamp").as("ts"), (col("value") % nKeys).as("user_id"),
+        (col("value") % 97).cast("double").as("value"))
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "5 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val q = agg.writeStream.format("noop")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .start()
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Double, Long, Double, Long, Long, Boolean)]
+    val t0 = System.nanoTime()
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < soakSecs) {
+        Option(q.lastProgress).filter(_.numInputRows > 0).foreach { p =>
+          val st = p.stateOperators.headOption
+          samples.getOrElseUpdate(p.batchId, (
+            (System.nanoTime() - t0) / 1e9,
+            p.numInputRows,
+            p.inputRowsPerSecond,
+            st.map(_.numRowsTotal).getOrElse(0L),
+            st.map(_.memoryUsedBytes).getOrElse(0L),
+            Option(p.eventTime.get("watermark")).exists(_.startsWith("2"))))
+        }
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val rows = samples.toSeq.sortBy(_._1)
+    def medianStateRows(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply((xs.size - 1) / 2)
+    val n = rows.size
+    val mid = medianStateRows(rows.slice(n / 3, 2 * n / 3).map(_._2._4))
+    val late = medianStateRows(rows.drop(2 * n / 3).map(_._2._4))
+    // a flat curve: the last third's median within 20% of the middle
+    // third's (and enough triggers that the plateau is real)
+    val flat = n >= 12 && mid > 0 &&
+      math.abs(late - mid).toDouble / mid.toDouble <= 0.2
+    rows.zipWithIndex.map { case ((_, (el, inRows, rps, stRows, stMem, wm)), i) =>
+      SoakRow(i, el, inRows, rps, stRows, stMem, wm, n.toLong, mid, late, flat)
+    }
+  }
+
   /** Drive a pipeline with MemoryStream micro-batches of `batchSize`
     * events and measure end-to-end throughput — the reference's
     * items/s metric (bin/parsec_stream logs). MemoryStream feeds from

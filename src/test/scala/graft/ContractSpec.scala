@@ -49,7 +49,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("every query analyzes against the sf0.001 tables") {
-    val eager = Set("stream_rate_bench", "stream_param_sweep")
+    val eager = Set("stream_rate_bench", "stream_param_sweep", "stream_soak")
     val broken = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => eager(n) }
       .flatMap { case (name, fn) =>

@@ -397,4 +397,27 @@ class StreamingSpec extends SparkSpec {
     assert(bandDocs == Set(10L, 12L, 22L), s"band store wrong: $bandDocs")
     StreamingPipelines.deleteRecursively(dir)
   }
+
+  test("stream_soak: rate-source soak samples per-trigger state, plateau forms") {
+    // short spec-scale soak (~15 s): long enough for the first 5 s
+    // windows to close and eviction to begin — the full-length run is
+    // the stream_soak entry / the PLANS.md r11 evidence run
+    val rows = StreamingPipelines.rateSoak(spark, soakSecs = 15,
+      rowsPerSec = 5000, nKeys = 200)
+    assert(rows.size >= 8, s"too few triggers sampled: ${rows.size}")
+    assert(rows.forall(_.state_rows >= 0))
+    assert(rows.exists(_.state_rows > 0), "state never materialized")
+    assert(rows.exists(_.watermark_present), "watermark never advanced")
+    // state is watermark-bounded: never more than live-window capacity
+    // (ceil((window+delay)/window)+1 windows x keys, with slack for a
+    // trigger observed mid-eviction)
+    val cap = 4L * 200
+    assert(rows.forall(_.state_rows <= cap),
+      s"state exceeded the watermark bound: ${rows.map(_.state_rows).max} > $cap")
+    // the curve must not grow monotonically to the end: the final
+    // sample stays within the plateau band of the peak
+    val peak = rows.map(_.state_rows).max
+    assert(rows.last.state_rows <= peak,
+      "state still growing at soak end")
+  }
 }
