@@ -35,10 +35,17 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(): Unit
     }
+    // dump-file fan-in: the driver contract is 1 (single file per
+    // query, cheap at sf0.01); large-SF certification runs (GenScale
+    // sf1) raise it so multi-million-row dumps don't serialize
+    // through one write task — every consumer of the dump (driver
+    // compare, local_verify, {VERIFY_OUT} oracles) globs *.parquet,
+    // so the file count is not part of the contract
+    val co = sys.env.get("GRAFT_VERIFY_COALESCE").map(_.toInt).getOrElse(1)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).coalesce(co).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

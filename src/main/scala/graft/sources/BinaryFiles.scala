@@ -21,6 +21,12 @@ object BinaryFiles {
   def readDir(spark: SparkSession, path: String, glob: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      // recurse: driver testdata ships flat files, but Spark-written
+      // datasets (GenScale sf1) nest part files inside <table>.parquet
+      // directories — a flat listing silently returns ZERO rows there
+      // (caught by the sf1 scale certification; the glob filters by
+      // file NAME either way)
+      .option("recursiveFileLookup", "true")
       .load(path)
 
   /** Local-filesystem fast path: one row (file, content) per file,

@@ -43,8 +43,14 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single .parquet files; Spark-written
+        # datasets (GenScale sf1) are directories of part files
+        import os
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failures = 0
     for key, sql in sorted(oracle.items()):
         if keys and key not in keys:
