@@ -81,6 +81,16 @@ class DedupSpec extends SparkSpec {
       "signature-store path diverged from fresh computation")
   }
 
+  test("dedup_ngram_jaccard: shared edge store equals fresh computation") {
+    // the five edge-list consumers (ngram_jaccard, clusters, hubs,
+    // pagerank, triangles) now read a session-scoped parquet store;
+    // recompute the edge list from scratch and demand identity
+    val fromStore = Dedup.dedupNgramJaccard(spark, sfDir)
+    val fresh = Dedup.dedupNgramJaccardFresh(spark, sfDir)
+    assert(fromStore.exceptAll(fresh).isEmpty && fresh.exceptAll(fromStore).isEmpty,
+      "edge-store path diverged from fresh computation")
+  }
+
   test("dedup_simhash: candidates carry correct hamming bound") {
     val res = Dedup.dedupSimhash(spark, sfDir).cache()
     assert(res.count() > 0)
