@@ -144,12 +144,64 @@ object StreamingOps {
     s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
   }
 
+  // ---- stream_replay: Kafka-shaped offset-log source, fully oracled ----
+  /** The custom DataSource V2 micro-batch source end-to-end: the
+    * events table is ingested ONCE per session into a partitioned,
+    * offset-addressed replay log (graft.sources.ReplayLog — the
+    * Kafka topic shape), then consumed as a rate-limited stream
+    * (admission control = maxOffsetsPerTrigger) through a watermarked
+    * hourly window aggregation, drained with Trigger.AvailableNow.
+    * The per-partition control records close every real window, so
+    * the streamed result equals the batch aggregate over the raw
+    * events table — which is exactly what the DuckDB oracle computes:
+    * the whole chain (partitioned binary log write → offset-vector
+    * planning → executor-side segment reads → watermark eviction) is
+    * cross-engine-proven. countDistinct is not available to a
+    * streaming aggregation, so the mirror carries count + decimal sum
+    * (the windowAgg shape). */
+  def streamReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.DecimalType
+    val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
+    val sinkName = s"replay_sink_${System.nanoTime()}"
+    // NO pre-agg filter on the control records: a filter between
+    // withWatermark and the agg is pushed BELOW the EventTimeWatermark
+    // node by PushPredicateThroughNonJoin (the predicate doesn't
+    // reference ts), so the watermark would never see the sentinels
+    // and the final windows would never close. Instead the sentinels
+    // aggregate into their own (window, '__flush__') group whose
+    // window NEVER closes (watermark peaks 1 h below the sentinel
+    // ts), so it cannot reach the append-mode sink; the post-sink
+    // batch filter below is defensive.
+    val q = s.readStream.format("graft.sources.ReplayLogProvider")
+      .option("path", logDir).option("maxRowsPerTrigger", "25000").load()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .filter(col("event_type") =!= graft.sources.ReplayLog.FlushType)
+  }
+
+  val streamReplaySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_batch" -> (streamDedupBatch _),
     "stream_rate_bench" -> (streamRateBench _),
     "stream_param_sweep" -> (streamParamSweep _),
-    "stream_soak" -> (streamSoak _))
+    "stream_soak" -> (streamSoak _),
+    "stream_replay" -> (streamReplay _))
 
   val oracle: Map[String, String] = Map(
-    "stream_dedup_batch" -> streamDedupBatchSql)
+    "stream_dedup_batch" -> streamDedupBatchSql,
+    "stream_replay" -> streamReplaySql)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.ReplayLog
+
+/** The Kafka-shaped DSv2 source: log faithfulness, per-partition
+  * ordering, admission control, and the oracled drain. */
+class ReplayLogSpec extends SparkSpec {
+
+  private def freshLog(nParts: Int): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_replayspec_${System.nanoTime()}"
+    ReplayLog.ingest(spark, Tables.events(spark, sfDir), nParts, dir)
+    dir
+  }
+
+  private def drainAll(logDir: String, maxRows: Option[Long] = None) = {
+    val sink = s"replayspec_${System.nanoTime()}"
+    val reader = spark.readStream.format("graft.sources.ReplayLogProvider")
+      .option("path", logDir)
+    val q = maxRows.fold(reader)(n => reader.option("maxRowsPerTrigger", n.toString))
+      .load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.table(sink), q)
+  }
+
+  test("replay log: streamed content equals the source events table") {
+    val dir = freshLog(4)
+    try {
+      val (got, _) = drainAll(dir)
+      val real = got.filter(col("event_type") =!= ReplayLog.FlushType)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val want = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      assert(real.exceptAll(want).isEmpty && want.exceptAll(real).isEmpty,
+        "replayed rows diverge from the source table")
+      // exactly one control record per partition, stamped past max ts
+      val flush = got.filter(col("event_type") === ReplayLog.FlushType)
+      assert(flush.count() == 4)
+      val maxReal = real.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      assert(flush.agg(min(unix_micros(col("ts")))).head.getLong(0) > maxReal)
+    } finally delete(dir)
+  }
+
+  test("replay log: per-partition offset order is (ts, event_id) and keys stay partition-local") {
+    val dir = freshLog(4)
+    try {
+      val meta = ReplayLog.readMeta(dir)
+      (0 until meta.nParts).foreach { p =>
+        val raf = new java.io.RandomAccessFile(new File(dir, s"p$p.seg"), "r")
+        try {
+          var prev = (Long.MinValue, Long.MinValue)
+          (0L until meta.counts(p)).foreach { _ =>
+            val id = raf.readLong(); val us = raf.readLong(); val uid = raf.readLong()
+            raf.readInt(); raf.readDouble()
+            assert(Ordering[(Long, Long)].compare((us, id), prev) > 0,
+              s"partition $p not offset-ordered")
+            prev = (us, id)
+            if (uid >= 0) // control record carries uid = -1
+              assert(ReplayLog.partitionOf(uid, meta.nParts) == p,
+                s"user $uid landed outside its producer partition")
+          }
+        } finally raf.close()
+      }
+    } finally delete(dir)
+  }
+
+  test("replay log: admission control bounds every micro-batch") {
+    val dir = freshLog(4)
+    try {
+      val cap = 500L
+      val (got, q) = drainAll(dir, Some(cap))
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.nonEmpty)
+      batches.foreach(p => assert(p.numInputRows <= cap,
+        s"batch ${p.batchId} read ${p.numInputRows} > maxRowsPerTrigger=$cap"))
+      val total = Tables.events(spark, sfDir).count() + 4 // + control records
+      assert(got.count() == total)
+      assert(batches.length >= (total / cap).toInt,
+        "drain finished in fewer batches than the admission limit allows")
+    } finally delete(dir)
+  }
+
+  test("stream_replay: windowed drain equals the batch aggregate") {
+    val streamed = graft.operators.StreamingOps.streamReplay(spark, sfDir)
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed windows diverge from the batch mirror — a window failed to close or double-emitted")
+  }
+
+  private def delete(dir: String): Unit =
+    graft.streaming.StreamingPipelines.deleteRecursively(new File(dir))
+}
