@@ -57,6 +57,10 @@ object RefCompare {
     // semantics, new_dedup.c:996 cache_hash_files per file — the
     // equal-work comparison cell; no cross-file digest shuffle needed)
     val scope = if (args.length > 3) args(3) else "global"
+    // fail fast: an unrecognized scope (e.g. "perfile") would silently
+    // run the global cell while LABELING the artifact with the bogus name
+    require(scope == "global" || scope == "file",
+      s"scope '$scope' (expected global/file)")
     // optional anchor algorithm (args 5 = warm reps, args 6 = anchor):
     // "buzhash" (repo default) or "rabin" (the reference's own
     // fingerprint, rabin.c — cuts comparable with the binary's .ddp
@@ -74,6 +78,7 @@ object RefCompare {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version" -> "2"))
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
     def onePass(tag: String): Map[String, Double] = {
       val out = s"$outDir/$tag"
@@ -85,37 +90,24 @@ object RefCompare {
         System.err.println(f"[$tag] $stage%-12s ${(now - tPrev) / 1e9}%8.3f s")
         tPrev = now
       }
-      // direct java.nio reads — the binaryFile source's Hadoop local
-      // FS layers cost a measured 10× on page-cached reads (see
-      // BinaryFiles.readDirDirect); the C binary reads with plain
-      // fread, so this is the apples-to-apples reader. No
-      // corpus-sized checkpoint either: the OS file cache IS the
-      // shared-read structure between the chunk and compress scans
-      val files = graft.sources.BinaryFiles.readDirDirect(spark, inDir, glob)
-      import spark.implicits._
-      // ONE fused job: chunk every file (identity = 20-byte binary
-      // SHA-1, the reference Deduplicate stage's own keying,
+      // ONE fused job: direct java.nio reads (the binaryFile source's
+      // Hadoop local FS layers cost a measured 10× on page-cached
+      // reads; the C binary reads with plain fread, so this is the
+      // apples-to-apples reader) → CDC chunk → 20-byte binary SHA-1
+      // identity (the reference Deduplicate stage's own keying,
       // dedupdef.h SHA1_LEN — half the digest cost of SHA-256 and
       // 3.2× narrower than hex rows; the restore proof below stays
-      // SHA-256 over whole files) and write the chunk table straight
+      // SHA-256 over whole files) → the chunk table written straight
       // out as the archive's refs side — stream-order restoration
       // info (the Reorder stage's state) plus the winner-selection
-      // metadata. Pieces are pre-deflated, so parquet recompression
-      // is pure waste inside the timed window — both tables raw.
-      files.as[(String, Array[Byte])]
-        .mapPartitions { it =>
-          it.flatMap { case (f, bytes) =>
-            val cuts = graft.functions.Chunker.boundaries(bytes, MinSize, MaxSize, MaskBits, anchor)
-            var start = 0
-            cuts.iterator.zipWithIndex.map { case (end, idx) =>
-              val off = start
-              start = end
-              (f, idx, off, end - off,
-                graft.functions.Chunker.digest(bytes, off, end - off, "SHA-1"))
-            }
-          }
-        }
-        .toDF("file", "chunk_idx", "offset", "length", "chunk_sha")
+      // metadata. The fused scan (BinaryFiles.chunkDirDirect) keeps
+      // payload bytes OUT of Spark's row format: one reused buffer
+      // per task, so the corpus is allocated ~0×, not 3× (readAllBytes
+      // + UnsafeRow encode + decode), per pass. Pieces are
+      // pre-deflated, so parquet recompression is pure waste inside
+      // the timed window — both tables raw.
+      graft.sources.BinaryFiles
+        .chunkDirDirect(spark, inDir, glob, MinSize, MaxSize, MaskBits, anchor)
         .write.mode("overwrite").option("compression", "none").parquet(s"$out/refs")
       lap("chunk+refs")
       // winner selection reads the just-written (small, columnar)
@@ -189,8 +181,11 @@ object RefCompare {
       val nChunks = refs.count().toDouble
       val nUnique = pieces.count().toDouble
       val outBytes = pieces.agg(sum(length(col("piece")))).collect().head.getLong(0).toDouble
-      val inBytes = graft.sources.BinaryFiles.readDir(spark, inDir, glob)
-        .agg(sum(col("length"))).collect().head.getLong(0).toDouble
+      // input size from the driver-side listing — re-scanning 682 MB
+      // of payload through the Hadoop reader just to sum lengths cost
+      // 2–5 s of (untimed) wall per pass and perturbed the next pass
+      val inBytes = graft.sources.BinaryFiles.listDir(inDir, glob)
+        .map(p => java.nio.file.Files.size(java.nio.file.Paths.get(p))).sum.toDouble
       // checkpoint-backed frames are invisible to CacheManager —
       // free the pass's blocks through the RDD registry (the
       // clustersFromPairs pattern)
@@ -204,13 +199,23 @@ object RefCompare {
         "mb_per_sec" -> inBytes / 1048576 / wall)
     }
 
-    val cold = onePass("cold")
+    // every measured pass carries the same contention telemetry as the
+    // bench artifact (EnvTelemetry): load at start, CPU-seconds other
+    // processes burned during the pass, hypervisor steal — so a
+    // pass-to-pass spread self-adjudicates as environmental or real
+    def measuredPass(tag: String): Map[String, Double] = {
+      val (m, env) = EnvTelemetry.measured(onePass(tag))
+      System.err.println(f"[$tag] env: load=${env.load}%.1f our_cpu=${env.ourCpuSec}%.1f other_cpu=${env.otherCpuSec}%.1f steal=${env.stealSec}%.1f")
+      m ++ Map("env_load" -> env.load, "env_other_cpu" -> env.otherCpuSec,
+        "env_steal" -> env.stealSec)
+    }
+    val cold = measuredPass("cold")
     // several warm passes, report the median — single-pass warm
     // numbers on a shared box swing ±50% (r9's contention dispute);
     // every pass overwrites the same archive dir, so the restore
     // check below always verifies the last one
     val nWarm = if (args.length > 4) args(4).toInt else 3
-    val warms = (1 to nWarm).map(_ => onePass("warm"))
+    val warms = (1 to nWarm).map(_ => measuredPass("warm"))
     val warm = warms.sortBy(_("wall_sec")).apply(nWarm / 2)
 
     // Restore verification (outside the timed region): the archive is

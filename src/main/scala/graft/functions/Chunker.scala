@@ -50,9 +50,16 @@ object Chunker {
     * the chunk start, which is the same computation unskipped.
     */
   def boundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                 maskBits: Int): Array[Int] =
+    boundaries(bytes, bytes.length, minSize, maxSize, maskBits)
+
+  /** Same cuts over `bytes(0 until n)` — the length-bounded form lets
+    * a scan task reuse ONE buffer across files instead of allocating
+    * a fresh multi-MB array per file (each of which is a G1 humongous
+    * allocation at the default region size). */
+  def boundaries(bytes: Array[Byte], n: Int, minSize: Int, maxSize: Int,
                  maskBits: Int): Array[Int] = {
     val mask = (1L << maskBits) - 1
-    val n = bytes.length
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var start = 0
     while (start < n) {
@@ -135,9 +142,13 @@ object Chunker {
     * the same skip-ahead applies since the fingerprint depends only
     * on the trailing 32 bytes. */
   def rabinBoundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                      maskBits: Int): Array[Int] =
+    rabinBoundaries(bytes, bytes.length, minSize, maxSize, maskBits)
+
+  /** Length-bounded form — see [[boundaries(bytes:Array[Byte],n:Int*]]. */
+  def rabinBoundaries(bytes: Array[Byte], n: Int, minSize: Int, maxSize: Int,
                       maskBits: Int): Array[Int] = {
     val mask = (1 << maskBits) - 1
-    val n = bytes.length
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var start = 0
     while (start < n) {
@@ -175,9 +186,13 @@ object Chunker {
   val Anchors: Set[String] = Set("buzhash", "rabin")
 
   def boundaries(bytes: Array[Byte], minSize: Int, maxSize: Int,
+                 maskBits: Int, anchor: String): Array[Int] =
+    boundaries(bytes, bytes.length, minSize, maxSize, maskBits, anchor)
+
+  def boundaries(bytes: Array[Byte], n: Int, minSize: Int, maxSize: Int,
                  maskBits: Int, anchor: String): Array[Int] = anchor match {
-    case "buzhash" => boundaries(bytes, minSize, maxSize, maskBits)
-    case "rabin"   => rabinBoundaries(bytes, minSize, maxSize, maskBits)
+    case "buzhash" => boundaries(bytes, n, minSize, maxSize, maskBits)
+    case "rabin"   => rabinBoundaries(bytes, n, minSize, maxSize, maskBits)
     case a => throw new IllegalArgumentException(
       s"unknown anchor '$a' (expected one of ${Anchors.mkString("/")})")
   }

@@ -42,7 +42,11 @@ object BinaryFiles {
     * Listing happens on the driver (one entry per FILE — path
     * strings only, not content; fine for any folder a single
     * directory listing can hold); content is read inside tasks. */
-  def readDirDirect(spark: SparkSession, path: String, glob: String): DataFrame = {
+  /** Driver-side sorted listing of `dir` entries matching `glob` —
+    * absolute path strings only, never content. Shared by the direct
+    * readers below and by harness accounting that needs file sizes
+    * without re-scanning payloads. */
+  def listDir(path: String, glob: String): Array[String] = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(path)
@@ -58,7 +62,13 @@ object BinaryFiles {
     // shell-quoted glob like '*.bin' reaching the JVM verbatim did
     // exactly that)
     require(paths.nonEmpty,
-      s"readDirDirect: no file in $path matches glob '$glob'")
+      s"listDir: no file in $path matches glob '$glob'")
+    paths
+  }
+
+  def readDirDirect(spark: SparkSession, path: String, glob: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val paths = listDir(path, glob)
     val slices = math.max(1, math.min(paths.length,
       spark.sparkContext.defaultParallelism))
     import spark.implicits._
@@ -68,6 +78,61 @@ object BinaryFiles {
         (q.getFileName.toString, Files.readAllBytes(q))
       }
       .toDF("file", "content")
+  }
+
+  /** Fused direct-read → CDC-chunk scan: each task reads its files
+    * into ONE reused buffer, cuts boundaries and digests in place,
+    * and emits only the columnar chunk rows — so payload bytes never
+    * enter Spark's row format at all. The readDirDirect → Dataset →
+    * mapPartitions shape round-trips every payload through UnsafeRow
+    * encode+decode: two extra corpus-sized copies, each a G1
+    * humongous allocation at multi-MB file sizes (measured as most of
+    * the pass-to-pass GC variance in the RefCompare harness). One
+    * SHA digester per task, reset per chunk.
+    *
+    * Returns (file, chunk_idx, offset, length, chunk_sha<binary>). */
+  def chunkDirDirect(spark: SparkSession, path: String, glob: String,
+                     minSize: Int, maxSize: Int, maskBits: Int,
+                     anchor: String, algo: String = "SHA-1"): DataFrame = {
+    val paths = listDir(path, glob)
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism))
+    import spark.implicits._
+    spark.sparkContext.parallelize(paths.toIndexedSeq, slices)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance(algo)
+        var buf: Array[Byte] = Array.emptyByteArray
+        it.flatMap { p =>
+          val q = java.nio.file.Paths.get(p)
+          val f = q.getFileName.toString
+          val size = java.nio.file.Files.size(q)
+          require(size <= Int.MaxValue, s"$p: ${size}B exceeds one-buffer scan")
+          val n = size.toInt
+          if (buf.length < n) buf = new Array[Byte](n)
+          val ch = java.nio.channels.FileChannel.open(q)
+          try {
+            val bb = java.nio.ByteBuffer.wrap(buf, 0, n)
+            while (bb.hasRemaining)
+              if (ch.read(bb) < 0) throw new java.io.EOFException(p)
+          } finally ch.close()
+          val cuts = graft.functions.Chunker.boundaries(
+            buf, n, minSize, maxSize, maskBits, anchor)
+          // NOT lazy: rows must be built before `buf` is overwritten
+          // by the next file in this flatMap
+          val rows = new Array[(String, Int, Int, Int, Array[Byte])](cuts.length)
+          var start = 0
+          var idx = 0
+          while (idx < cuts.length) {
+            val end = cuts(idx)
+            md.update(buf, start, end - start)
+            rows(idx) = (f, idx, start, end - start, md.digest())
+            start = end
+            idx += 1
+          }
+          rows
+        }
+      }
+      .toDF("file", "chunk_idx", "offset", "length", "chunk_sha")
   }
 
   /** The per-file CDC chunk table every accounting below derives from:

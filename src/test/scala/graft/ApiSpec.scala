@@ -74,6 +74,48 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("chunkDirDirect equals per-file chunk+digest (reused buffer, mixed sizes)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fused").toFile
+    try {
+      val rng = new scala.util.Random(41L)
+      // sorted listing order goes big → small → big, so a task's
+      // reused buffer carries a stale tail into the smaller files —
+      // the exact corruption mode the fused scan must not have
+      val sizes = Seq("a.bin" -> 9000, "b.bin" -> 700, "c.bin" -> 64, "d.bin" -> 5000)
+      val payloads = sizes.map { case (name, n) =>
+        val bytes = new Array[Byte](n)
+        rng.nextBytes(bytes)
+        java.nio.file.Files.write(tmp.toPath.resolve(name), bytes)
+        name -> bytes
+      }
+      val got = BinaryFiles
+        .chunkDirDirect(spark, tmp.toString, "*.bin", 64, 512, 6, "buzhash")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getAs[Array[Byte]](4).map("%02x".format(_)).mkString))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = payloads.flatMap { case (name, bytes) =>
+        val cuts = graft.functions.Chunker.boundaries(bytes, 64, 512, 6, "buzhash")
+        var start = 0
+        cuts.zipWithIndex.map { case (end, idx) =>
+          val sha = graft.functions.Chunker.digest(bytes, start, end - start, "SHA-1")
+          val row = (name, idx, start, end - start,
+            sha.map("%02x".format(_)).mkString)
+          start = end
+          row
+        }
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want)
+      // rows tile each file exactly (offset/length bookkeeping across
+      // the shared-buffer while loop)
+      payloads.foreach { case (name, bytes) =>
+        assert(got.filter(_._1 == name).map(_._4).sum == bytes.length)
+      }
+    } finally {
+      graft.streaming.StreamingPipelines.deleteRecursively(tmp)
+    }
+  }
+
   test("binaryFile source: file_dedup accounts every test file") {
     val res = BinaryFiles.fileDedup(spark, sfDir).collect()
     assert(res.length == 10) // one row per table file

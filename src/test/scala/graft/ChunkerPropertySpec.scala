@@ -241,4 +241,25 @@ class ChunkerPropertySpec extends AnyFunSuite {
       assert(Chunker.bzip2Len(bytes, 0, bytes.length) == buf.size())
     }
   }
+
+  test("length-bounded boundaries ignore stale bytes past n (buffer reuse)") {
+    // the fused scan (BinaryFiles.chunkDirDirect) reuses ONE buffer
+    // across files, so bytes(n until buf.length) hold the PREVIOUS
+    // file's tail — cuts over (buf, n) must equal cuts over an exact
+    // copy, for both anchors, or buffer reuse silently corrupts chunks
+    cases.filter(_.nonEmpty).foreach { bytes =>
+      val padded = bytes ++ Array.fill[Byte](517)(rng.nextInt.toByte)
+      for (anchor <- Chunker.Anchors) {
+        val exact = Chunker.boundaries(bytes, 32, 256, 5, anchor).toSeq
+        val bounded = Chunker.boundaries(padded, bytes.length, 32, 256, 5, anchor).toSeq
+        assert(bounded == exact, s"anchor=$anchor n=${bytes.length}")
+      }
+    }
+    // and the full-buffer overloads stay the n = length special case
+    val b = cases.find(_.length > 600).get
+    assert(Chunker.boundaries(b, 32, 256, 5).toSeq ==
+      Chunker.boundaries(b, b.length, 32, 256, 5).toSeq)
+    assert(Chunker.rabinBoundaries(b, 32, 256, 5).toSeq ==
+      Chunker.rabinBoundaries(b, b.length, 32, 256, 5).toSeq)
+  }
 }
