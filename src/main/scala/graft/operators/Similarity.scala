@@ -509,6 +509,77 @@ object Similarity {
     ivfProbe(emb(s, dir), index, cc, pruneCells = true)
   }
 
+  // ---- ann_stream_append: CONTINUOUS index maintenance (streaming) ----
+  /** The streaming twin of ann_ivf_append — the serving-index
+    * maintenance loop a production embedding pipeline actually runs:
+    * late vectors arrive as a STREAM, and each micro-batch lands as
+    * its own immutable, cell-partitioned delta segment beside the
+    * base (Structured Streaming foreachBatch, Trigger.AvailableNow;
+    * the same incremental-ingest surface as the dedup foreachBatch
+    * twins). Centroids stay frozen at base-build time; the probe
+    * reads base + every delta under the same cell pruning. Segment
+    * boundaries are invisible to the probe, so the final top-k must
+    * equal the batch append path EXACTLY (spec-pinned), and the
+    * emitted candidates are value-oracled like every ANN variant.
+    *
+    * Exactly-once: delta segments are keyed by batchId and written
+    * with overwrite, so a retried epoch rewrites its own segment
+    * idempotently — the checkpoint + idempotent-sink contract. The
+    * drain runs once per (session, dataset) behind a done-marker;
+    * re-querying probes the maintained index (the amortized
+    * one-ingest-many-queries shape every session store here uses).
+    * At 100 TB: each micro-batch costs ~batch × nearest-centroid
+    * scan, segments accumulate append-only (q_store_compact is the
+    * compaction posture), and nothing rereads the corpus. */
+  def annStreamAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") % 7 =!= 3)
+    val arrivals = e.filter(col("vec_id") % 7 === 3)
+    val cc = centroidArray(base)
+    val dirKey = ivfDirKey(dir)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_strm_${dirKey}_${sourceFingerprint(dir)}"
+    val rootName = new java.io.File(root).getName
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"graft_ivf_strm_${dirKey}_") &&
+        f.getName != rootName)
+      .foreach(graft.streaming.StreamingPipelines.deleteRecursively(_))
+    if (!new java.io.File(s"$root/base/_SUCCESS").isFile)
+      graft.sinks.Sinks.writePartitioned(
+        base.withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0)),
+        s"$root/base", Seq("cell"))
+    // the arrival feed: staged as a multi-file parquet folder so
+    // maxFilesPerTrigger=1 yields genuine successive micro-batches
+    // (4 epochs) — no driver-side row collection anywhere
+    val staging = s"$root/arrivals"
+    if (!new java.io.File(s"$staging/_SUCCESS").isFile)
+      arrivals.repartition(4, col("vec_id"))
+        .write.mode("overwrite").parquet(staging)
+    val done = new java.io.File(s"$root/_stream_done")
+    if (!done.isFile) {
+      val q = s.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sinks.Sinks.writePartitioned(
+            batch.withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0)),
+            f"$root/delta_$batchId%03d", Seq("cell"))
+        }
+        .option("checkpointLocation", s"$root/_ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(done.createNewFile(), s"marker exists: $done")
+    }
+    val segs = Option(new java.io.File(root).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        (f.getName == "base" || f.getName.startsWith("delta_")))
+      .map(_.getAbsolutePath).sorted
+    require(segs.length >= 2, s"no delta segments under $root")
+    val index = segs.map(s.read.parquet(_)).reduce(_.unionByName(_))
+    ivfProbe(e, index, cc, pruneCells = true)
+  }
+
   /** Spec reference: the same probe over an IN-MEMORY assignment of
     * the full corpus to the base-frozen centroids — what the segmented
     * layout must reproduce exactly. */
@@ -1072,6 +1143,7 @@ object Similarity {
     "ann_pq_residual" -> (annPqResidual _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "ann_stream_append" -> (annStreamAppend _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _),
     "emd_check" -> (emdCheck _))
@@ -1225,6 +1297,7 @@ object Similarity {
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
     "ann_ivf_append" -> annValueSql("ann_ivf_append"),
+    "ann_stream_append" -> annValueSql("ann_stream_append"),
     "ann_pq" -> annValueSql("ann_pq"),
     "ann_pq_residual" -> annValueSql("ann_pq_residual"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),

@@ -114,6 +114,35 @@ class SimilaritySpec extends SparkSpec {
     assert(total == Tables.embeddings(spark, sfDir).count())
   }
 
+  test("ann_stream_append: streamed delta segments reproduce the batch append exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = rows(Similarity.annStreamAppend(spark, sfDir))
+    val batch = rows(Similarity.annIvfAppend(spark, sfDir))
+    assert(streamed == batch,
+      s"stream twin diverged: ${streamed.diff(batch).take(5)} vs ${batch.diff(streamed).take(5)}")
+    // the maintenance loop really ran as MULTIPLE micro-batch epochs,
+    // each its own immutable delta segment, together holding every
+    // late arrival exactly once
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val root = Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ivf_strm_"))
+      .maxBy(_.lastModified)
+    val deltas = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
+    assert(deltas.length >= 2, s"expected multi-epoch ingest, got ${deltas.length}")
+    val nDelta = deltas.map(d => spark.read.parquet(d.getAbsolutePath).count()).sum
+    val nLate = Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 7 === 3).count()
+    assert(nDelta == nLate, s"delta rows $nDelta != late arrivals $nLate")
+    // re-query: the maintained index is probed, segments untouched
+    val mtimes = deltas.map(d => d.getName -> d.lastModified).toMap
+    assert(rows(Similarity.annStreamAppend(spark, sfDir)) == batch)
+    assert(deltas.map(d => d.getName -> d.lastModified).toMap == mtimes,
+      "re-query rewrote delta segments")
+  }
+
   test("ann_ivf_indexed: cache survives probes against OTHER datasets") {
     // build-once/probe-many contract: a probe against dataset A must
     // not evict dataset B's live index (the bench alternates its
