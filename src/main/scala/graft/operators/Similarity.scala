@@ -532,13 +532,27 @@ object Similarity {
     * scan, segments accumulate append-only (q_store_compact is the
     * compaction posture), and nothing rereads the corpus. */
   def annStreamAppend(s: SparkSession, dir: String): DataFrame = {
+    val (root, cc) = streamedIndex(s, dir)
+    ivfProbe(emb(s, dir), readSegments(s, root), cc, pruneCells = true)
+  }
+
+  /** Deterministic root of this dataset's streamed index — exposed so
+    * the spec inspects the exact layout its query just used (a
+    * newest-mtime guess can race a concurrent run against ANOTHER
+    * dataset, e.g. the bench touching the sf0.1 root mid-spec). */
+  private[graft] def streamIndexRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_strm_${ivfDirKey(dir)}_${sourceFingerprint(dir)}"
+
+  /** Build (once per session × dataset) the streamed multi-segment
+    * index and return its root + the frozen centroids. */
+  private def streamedIndex(s: SparkSession, dir: String): (String, Column) = {
     import org.apache.spark.sql.streaming.Trigger
     val e = emb(s, dir)
     val base = e.filter(col("vec_id") % 7 =!= 3)
     val arrivals = e.filter(col("vec_id") % 7 === 3)
     val cc = centroidArray(base)
     val dirKey = ivfDirKey(dir)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_strm_${dirKey}_${sourceFingerprint(dir)}"
+    val root = streamIndexRoot(dir)
     val rootName = new java.io.File(root).getName
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles).getOrElse(Array.empty)
@@ -571,13 +585,48 @@ object Similarity {
       q.awaitTermination()
       require(done.createNewFile(), s"marker exists: $done")
     }
+    (root, cc)
+  }
+
+  /** The gen-0 segment list (base + every streamed delta) as one
+    * frame — each dir is its own InMemoryFileIndex, so cell pruning
+    * applies to every segment of the union independently. */
+  private def readSegments(s: SparkSession, root: String): DataFrame = {
     val segs = Option(new java.io.File(root).listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
         (f.getName == "base" || f.getName.startsWith("delta_")))
       .map(_.getAbsolutePath).sorted
     require(segs.length >= 2, s"no delta segments under $root")
-    val index = segs.map(s.read.parquet(_)).reduce(_.unionByName(_))
-    ivfProbe(e, index, cc, pruneCells = true)
+    segs.map(s.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  // ---- ann_compact: LSM compaction of the streamed segments ----------
+  /** Snapshot-style compaction of the maintained index — the step an
+    * LSM/Iceberg table runs when the delta pile gets deep: rewrite
+    * base + every delta into ONE new cell-partitioned segment as a
+    * new GENERATION (`gen1/base`) beside the old one. The old
+    * generation stays in place, immutable and readable (removal is a
+    * separate snapshot-expiry GC, deliberately not performed here),
+    * so concurrent readers of gen-0 are never broken — and the probe
+    * over gen-1 must equal the probe over gen-0 EXACTLY, because
+    * compaction only reorganizes bytes. Spec pins that equality, the
+    * single-segment layout, row conservation, and gen-0 immutability;
+    * value-oracled like every ANN variant.
+    *
+    * At 100 TB: compaction is one cell-partitioned shuffle-free
+    * rewrite (the rows already carry their cell), its cost tracks
+    * live index bytes — not corpus bytes — and probe cost afterwards
+    * drops the per-segment planning fan-out (one InMemoryFileIndex
+    * instead of #epochs). */
+  def annCompact(s: SparkSession, dir: String): DataFrame = {
+    val (root, cc) = streamedIndex(s, dir)
+    val gen1 = s"$root/gen1/base"
+    if (!new java.io.File(s"$gen1/_SUCCESS").isFile)
+      // rows already carry `cell` from their original segment write:
+      // the rewrite repartitions nothing and re-derives nothing
+      readSegments(s, root)
+        .write.partitionBy("cell").mode("overwrite").parquet(gen1)
+    ivfProbe(emb(s, dir), s.read.parquet(gen1), cc, pruneCells = true)
   }
 
   /** Spec reference: the same probe over an IN-MEMORY assignment of
@@ -1144,6 +1193,7 @@ object Similarity {
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_append" -> (annIvfAppend _),
     "ann_stream_append" -> (annStreamAppend _),
+    "ann_compact" -> (annCompact _),
     "ferret_pipeline" -> (ferretPipeline _),
     "ferret_emd" -> (ferretEmd _),
     "emd_check" -> (emdCheck _))
@@ -1298,6 +1348,7 @@ object Similarity {
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
     "ann_ivf_append" -> annValueSql("ann_ivf_append"),
     "ann_stream_append" -> annValueSql("ann_stream_append"),
+    "ann_compact" -> annValueSql("ann_compact"),
     "ann_pq" -> annValueSql("ann_pq"),
     "ann_pq_residual" -> annValueSql("ann_pq_residual"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),

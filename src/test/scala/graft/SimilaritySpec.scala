@@ -125,10 +125,7 @@ class SimilaritySpec extends SparkSpec {
     // the maintenance loop really ran as MULTIPLE micro-batch epochs,
     // each its own immutable delta segment, together holding every
     // late arrival exactly once
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val root = Option(tmp.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("graft_ivf_strm_"))
-      .maxBy(_.lastModified)
+    val root = new java.io.File(Similarity.streamIndexRoot(sfDir))
     val deltas = Option(root.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("delta_"))
     assert(deltas.length >= 2, s"expected multi-epoch ingest, got ${deltas.length}")
@@ -141,6 +138,37 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(Similarity.annStreamAppend(spark, sfDir)) == batch)
     assert(deltas.map(d => d.getName -> d.lastModified).toMap == mtimes,
       "re-query rewrote delta segments")
+  }
+
+  test("ann_compact: gen-1 rewrite probes identically, gen-0 stays immutable") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val gen0 = rows(Similarity.annStreamAppend(spark, sfDir))
+    val root = new java.io.File(Similarity.streamIndexRoot(sfDir))
+    def gen0Files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      Option(root.listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          (f.getName == "base" || f.getName.startsWith("delta_")))
+        .flatMap(walk).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val before = gen0Files()
+    val gen1 = rows(Similarity.annCompact(spark, sfDir))
+    // compaction only reorganizes bytes: identical top-k
+    assert(gen1 == gen0,
+      s"compacted probe diverged: ${gen1.diff(gen0).take(5)} vs ${gen0.diff(gen1).take(5)}")
+    // old generation untouched (snapshot semantics — expiry is a
+    // separate GC step, deliberately not performed)
+    assert(gen0Files() == before, "compaction modified gen-0 segment files")
+    // new generation: ONE segment holding the whole corpus
+    val g1 = new java.io.File(root, "gen1/base")
+    assert(new java.io.File(g1, "_SUCCESS").isFile)
+    assert(spark.read.parquet(g1.toString).count() ==
+      Tables.embeddings(spark, sfDir).count())
   }
 
   test("ann_ivf_indexed: cache survives probes against OTHER datasets") {
