@@ -246,6 +246,50 @@ object Sampling {
       |) WHERE ${grid("cum_tokens")} - ${grid("(cum_tokens - n_tokens)")} >= 1""".stripMargin
   }
 
+  // ---- sample_weighted: PPS-without-replacement, fixed K ---------------
+  /** Sequential Poisson sampling (Ohlsson 1998): a fixed-size
+    * probability-proportional-to-size sample WITHOUT replacement —
+    * the weighted-document draw a mixture-building pipeline runs when
+    * it wants exactly K docs biased by length/quality. Each document
+    * gets priority `key = u / w` (u uniform, w = token count) and the
+    * K smallest keys are the sample; selection probability is
+    * asymptotically ∝ w (the estimator Efraimidis–Spirakis's
+    * `u^(1/w)` targets, but WITHOUT transcendental functions: ln/pow
+    * are libm-dependent and round differently across engines,
+    * whereas IEEE 754 division is correctly rounded EVERYWHERE).
+    * u is the first 13 hex digits of the salted md5 = an exact
+    * 52-bit integer (fits a double losslessly), so `key` is
+    * bit-identical in Spark and DuckDB and the oracle is FULL, not
+    * value-only. Deterministic, seeded, stable per doc under corpus
+    * growth (a doc's key never changes; only the cut moves).
+    *
+    * Scale: key assignment is a pure map; the K-smallest selection is
+    * TakeOrdered (per-partition top-K, then a K-row driver merge) —
+    * no global sort, no global window, no shuffle of the corpus. */
+  private[operators] val WeightedK = 100
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val u52 = conv(substring(hashKey(col("doc_id"), "sps"), 1, 13), 16, 10)
+      .cast("long")
+    val w = greatest(size(split(trim(col("text")), "\\s+")).cast("long"), lit(1L))
+    docs(s, dir)
+      .select(col("doc_id"), w.as("n_tokens"),
+        (u52.cast("double") / w.cast("double")).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(WeightedK)
+  }
+
+  val sampleWeightedSql: String =
+    s"""SELECT doc_id, n_tokens,
+      |  CAST(u AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS key
+      |FROM (
+      |  SELECT doc_id,
+      |    greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS n_tokens,
+      |    ('0x' || substr(${hashKeySql("doc_id", "sps")}, 1, 13))::BIGINT AS u
+      |  FROM documents
+      |)
+      |ORDER BY key, doc_id LIMIT $WeightedK""".stripMargin
+
   // ---- seq_pack: fixed-length training-sequence packing ----------------
   /** The step between shard_pack and the trainer: concatenate the
     * token stream in deterministic hash order and cut it into
@@ -456,6 +500,7 @@ object Sampling {
     "shard_pack" -> (shardPack _),
     "shard_manifest" -> (shardManifest _),
     "sample_pps" -> (samplePps _),
+    "sample_weighted" -> (sampleWeighted _),
     "seq_pack" -> (seqPack _),
     "mix_budget" -> (mixBudget _))
 
@@ -467,6 +512,7 @@ object Sampling {
     "shard_pack" -> shardPackSql,
     "shard_manifest" -> shardManifestSql,
     "sample_pps" -> samplePpsSql,
+    "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,
     "mix_budget" -> mixBudgetSql)
 }

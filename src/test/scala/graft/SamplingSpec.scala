@@ -111,6 +111,36 @@ class SamplingSpec extends SparkSpec {
     }.foreach(w => assert(w.partitionSpec.nonEmpty, "global window in sample_pps"))
   }
 
+  test("sample_weighted: exactly the K smallest keys, PPS bias, no global sort") {
+    val df = Sampling.sampleWeighted(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    // the emitted set IS the global K-smallest: recompute every key
+    // from the corpus and compare cut-exactly
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        greatest(size(split(trim(col("text")), "\\s+")).cast("long"), lit(1L)).as("w"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":sps"))
+          .cast("binary")), 1, 13), 16, 10).cast("long").as("u"))
+      .collect()
+      .map(r => (r.getAs[Long]("u").toDouble / r.getAs[Long]("w").toDouble,
+        r.getAs[Long]("doc_id"), r.getAs[Long]("w")))
+    val expect = all.map { case (k, id, _) => (k, id) }.sorted.take(100).toSeq
+    val got = rows.map(r => (r.getAs[Double]("key"), r.getAs[Long]("doc_id")))
+      .sorted.toSeq
+    assert(got == expect)
+    // PPS bias: the sample's mean token count exceeds the corpus mean
+    // (deterministic on this fixed corpus — longer docs are favored)
+    val sampleMean = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    val corpusMean = all.map(_._3).sum.toDouble / all.length
+    assert(sampleMean > corpusMean,
+      s"no length bias: sample $sampleMean vs corpus $corpusMean")
+    // scale shape: K-smallest runs as TakeOrdered (per-partition
+    // top-K + K-row merge), never a global Sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("seq_pack: segments tile every doc once and fill every sequence exactly") {
     val rows = Sampling.seqPack(spark, sfDir).collect()
     assert(rows.nonEmpty)
