@@ -43,13 +43,22 @@ if [ "$SKIP_REF" != "--skip-refbench" ]; then
   sbt -batch "runMain graft.RefCorpus /root/testdata/sf0.1 $CORPUS 80 6" \
     > "$OUT/refcorpus.log" 2>&1
   if [ -x "$REFBIN" ]; then
-    # reference side: 3 runs at t=32, its own post-setup pipeline clock
+    # reference side: 3 runs at t=32, its own post-setup pipeline clock.
+    # DEDUP_DIR_LOG is MANDATORY: print_time() sprintf's getenv(...)
+    # unchecked (new_dedup.c:99) — without it the binary dies before
+    # printing anything, which silently empties this file.
     : > "$OUT/REFBENCH_ref.txt"
     for i in 1 2 3; do
-      rm -rf /tmp/refbench/ref_out; mkdir -p /tmp/refbench/ref_out
-      "$REFBIN" -c -v -t 32 -i "$CORPUS" -o /tmp/refbench/ref_out \
+      rm -rf /tmp/refbench/ref_out /tmp/refbench/ref_log
+      mkdir -p /tmp/refbench/ref_out /tmp/refbench/ref_log
+      DEDUP_DIR_LOG=/tmp/refbench/ref_log \
+        "$REFBIN" -c -v -t 32 -i "$CORPUS" -o /tmp/refbench/ref_out \
         2>&1 | grep -i "Time Processing" >> "$OUT/REFBENCH_ref.txt" || true
     done
+    if [ ! -s "$OUT/REFBENCH_ref.txt" ]; then
+      echo "REFBENCH: reference binary produced no timing output" >&2
+      exit 1
+    fi
     cat "$OUT/REFBENCH_ref.txt"
   else
     echo "reference binary not present — skipping its side" \
