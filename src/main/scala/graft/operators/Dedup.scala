@@ -995,6 +995,60 @@ object Dedup {
       |  WHERE a.source = b.source AND a.doc_id < b.doc_id
       |) WHERE jaccard >= 0.5""".stripMargin
 
+  // ---- dedup_containment: asymmetric subset-duplication ---------------
+  /** Containment dedup — the asymmetric near-dup measure Jaccard
+    * misses: a short document wholly quoted inside a long one scores
+    * jaccard ≈ |A|/|B| (arbitrarily low) but containment
+    * |A∩B|/|A| ≈ 1. Training corpora are full of this shape (article
+    * + article-with-comments, doc + doc-in-digest), and symmetric
+    * thresholds silently keep both copies. Emits both directions
+    * (cont_a = how much of A lies inside B, cont_b vice versa) for
+    * source-blocked candidate pairs where either side ≥ 0.8.
+    *
+    * The intersect/size arithmetic runs on the same 64-bit hashed
+    * token sets as the Jaccard family (counts preserved; xxhash64
+    * collisions within a pair ~1e-15), so the DuckDB oracle — the
+    * identical formula over the raw token lists — is a FULL check.
+    * At 100 TB the candidate generator is the asymmetric one: prefix
+    * filtering on the CONTAINED side's tokens (a containment-s match
+    * must share a token in any (1-s)|A|+1 prefix of A — the PPJoin
+    * bound with |A| alone, dedup_prefix_filter's machinery), never
+    * this oracled all-pairs block. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(col("doc_id"), col("source"),
+      TextFns.hashedTokenSet(col("text")).as("hset")).localCheckpoint(true)
+    val ids = g.select("doc_id", "source")
+    val cand = ids.as("a").join(ids.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val a = attachSide(cand,
+      g.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+    val b = attachSide(a,
+      g.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+    b.withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / size(col("ha")).cast("double")).as("cont_a"),
+        (col("inter") / size(col("hb")).cast("double")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
+
+  val dedupContainmentSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |)
+      |SELECT * FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |      / CAST(len(a.ts) AS DOUBLE) AS cont_a,
+      |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |      / CAST(len(b.ts) AS DOUBLE) AS cont_b
+      |  FROM g a, g b
+      |  WHERE a.source = b.source AND a.doc_id < b.doc_id
+      |) WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
   // ---- dedup_prefix_filter: exact-recall candidates (PPJoin family) ----
   /** Prefix filtering (Chaudhuri et al. 2006 / PPJoin): the near-dup
     * candidate generator with an EXACT recall guarantee — unlike
@@ -1154,6 +1208,7 @@ object Dedup {
     "dedup_minhash_sweep" -> (dedupMinhashSweep _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   /** Echo-gate oracle for the codec menu (see chunkCompress doc). */
@@ -1199,5 +1254,6 @@ object Dedup {
     "dedup_minhash_sweep" -> dedupMinhashSweepSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql)
 }

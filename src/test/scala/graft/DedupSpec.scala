@@ -476,6 +476,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_containment: matches a local recompute exactly, both directions") {
+    val rows = Dedup.dedupContainment(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))).toMap
+    // ground truth from raw text, same tokenization contract
+    val d = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSet))
+    val expect = (for {
+      (ia, sa, ta) <- d; (ib, sb, tb) <- d
+      if sa == sb && ia < ib
+      inter = (ta & tb).size.toDouble
+      ca = inter / ta.size; cb = inter / tb.size
+      if math.max(ca, cb) >= 0.8
+    } yield ((ia, ib), (ca, cb))).toMap
+    assert(expect.nonEmpty, "corpus must contain containment pairs")
+    assert(rows.keySet == expect.keySet,
+      s"pair sets differ: +${(rows.keySet -- expect.keySet).take(3)} -${(expect.keySet -- rows.keySet).take(3)}")
+    rows.foreach { case (k, (ca, cb)) =>
+      assert(math.abs(ca - expect(k)._1) < 1e-12 &&
+        math.abs(cb - expect(k)._2) < 1e-12, s"$k: ($ca,$cb) vs ${expect(k)}")
+    }
+    // the asymmetric point: containment is NOT jaccard — at least one
+    // retained pair must be invisible to the 0.7 jaccard gate
+    // (a contained-but-much-shorter doc), else this operator is
+    // redundant with dedup_ngram_jaccard on this corpus
+    val byId = d.map(x => x._1 -> x._3).toMap
+    val asym = rows.keys.exists { case (a, b) =>
+      val j = (byId(a) & byId(b)).size.toDouble / (byId(a) | byId(b)).size.toDouble
+      j < 0.7
+    }
+    assert(asym, "no asymmetric containment pair found in corpus")
+  }
+
   test("dedup_incremental_nd: injected corpus — probe recall is unconditional") {
     import spark.implicits._
     // ids chosen against the md5 ':inc' rule: 1,2,4 are batch; 3,5 store
