@@ -66,6 +66,14 @@ object RefCompare {
     // fingerprint, rabin.c — cuts comparable with the binary's .ddp
     // segmentation)
     val anchor = if (args.length > 5) args(5) else "buzhash"
+    // optional piece codec (args 7): "deflate" (default — the gzip
+    // comparison cells) or "none" — the CODEC-ISOLATED cell pairing
+    // the binary's own `-w none` mode, which measures the pure
+    // chunk → dedup → reorder pipeline with compression cost removed
+    // from BOTH engines
+    val codec = if (args.length > 6) args(6) else "deflate"
+    require(codec == "deflate" || codec == "none",
+      s"codec '$codec' (expected deflate/none)")
     // harness-local tuning (documented deltas from the contract
     // session, which optimizes for the oracled analytic queries):
     // both jobs here have a fixed two-stage shape over known-tiny
@@ -159,7 +167,8 @@ object RefCompare {
                 s"$f truncated at $pos (want $len @ $off)")
               pos += n
             }
-            (sha, graft.functions.Chunker.deflate(buf.array(), 0, len))
+            (sha, if (codec == "none") buf.array()
+              else graft.functions.Chunker.deflate(buf.array(), 0, len))
           }
           new Iterator[(Array[Byte], Array[Byte])] {
             def hasNext: Boolean = {
@@ -239,7 +248,8 @@ object RefCompare {
         .as[(String, Seq[Array[Byte]])]
         .map { case (f, ps) =>
           val md = java.security.MessageDigest.getInstance("SHA-256")
-          ps.foreach(p => md.update(graft.functions.Chunker.inflate(p)))
+          ps.foreach(p => md.update(
+            if (codec == "none") p else graft.functions.Chunker.inflate(p)))
           (f, md.digest().map("%02x".format(_)).mkString)
         }
         .toDF("file", "sha_restored")
@@ -252,7 +262,7 @@ object RefCompare {
     def j(m: Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
         .mkString("{", ",", "}")
-    println(s"""{"harness":"ref_compare","in_dir":"$inDir","scope":"$scope","anchor":"$anchor","cores":${spark.sparkContext.defaultParallelism},"restore_mismatches":$nBad,"cold":${j(cold)},"warm":${j(warm)}}""")
+    println(s"""{"harness":"ref_compare","in_dir":"$inDir","scope":"$scope","anchor":"$anchor","codec":"$codec","cores":${spark.sparkContext.defaultParallelism},"restore_mismatches":$nBad,"cold":${j(cold)},"warm":${j(warm)}}""")
     spark.stop()
   }
 }
