@@ -820,7 +820,99 @@ object TextAnalysis {
       |        ORDER BY para_idx), '')) AS kept_digest
       |FROM j GROUP BY doc_id""".stripMargin
 
+  // ---- text_perplexity: unigram-LM cross-entropy quality filter --------
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets"): score each
+    * document by the cross-entropy in bits/token of a unigram language
+    * model trained on the corpus itself — add-one smoothed,
+    * p(t) = (c(t)+1)/(N+V) — then split the corpus into head/middle/
+    * tail TERCILES of the score distribution, the bucketing CCNet
+    * feeds to downstream sampling (keep head, resample middle, drop
+    * tail). Decomposition keeps everything distributive:
+    * bits = (ln(N+V) − Σ_t tf·ln(c(t)+1)/n_d) / ln 2 — one vocab-sized
+    * count table (shuffle on term, the TF-IDF shape), one broadcast
+    * 1-row totals attach, one per-doc agg. The tercile's global rank
+    * rides [[PrefixSum.runningSumWithTotal]] (range-partition +
+    * broadcast offsets), never Spark's single-task global window.
+    *
+    * Oracle: integer columns and the tercile arithmetic are
+    * recomputed exactly; `bits` crosses engines through ln(), which
+    * neither engine guarantees correctly rounded, so the oracle
+    * recomputes it with DuckDB's ln and FILTERS on
+    * |echo − recompute| ≤ 1e-9·max(1,|recompute|) (emd_check's
+    * certificate pattern — a drifted row drops out and fails the
+    * row-count compare), then re-derives the tercile from the ECHOED
+    * bits, which are bit-identical by construction. */
+  private val PplTerciles = 3
+
+  def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityFromDocs(docs(s, dir))
+
+  private[graft] def perplexityFromDocs(d: DataFrame): DataFrame = {
+    val tf = d
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("term").agg(sum("tf").as("c"))
+    val tot = counts.agg(sum("c").as("n_total"), count(lit(1)).as("v_vocab"))
+    val perDoc = tf.join(counts, "term")
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf").cast("double") *
+          log(col("c").cast("double") + lit(1.0))).as("sumlog"))
+    val scored = perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((log(col("n_total").cast("double") + col("v_vocab").cast("double")) -
+          col("sumlog") / col("n_tokens").cast("double")) / log(lit(2.0)))
+          .as("bits"))
+    val (ranked, n) = PrefixSum.runningSumWithTotal(
+      scored.withColumn("one", lit(1L)),
+      Seq(col("bits"), col("doc_id")), "one", "rk")
+    ranked.select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bits"),
+      (floor((col("rk") - 1) * PplTerciles / lit(n.toDouble)) + 1)
+        .cast("int").as("tercile"))
+  }
+
+  val textPerplexitySql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, n_tokens, n_distinct, bits
+      |  FROM read_parquet('{VERIFY_OUT}/text_perplexity/*.parquet')
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      |), c AS (
+      |  SELECT term, SUM(tf) AS c FROM tf GROUP BY term
+      |), tot AS (
+      |  SELECT SUM(c) AS n_total, COUNT(*) AS v_vocab FROM c
+      |), d AS (
+      |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    SUM(CAST(tf.tf AS DOUBLE) * ln(CAST(c.c AS DOUBLE) + 1.0)) AS sumlog
+      |  FROM tf JOIN c USING (term) GROUP BY tf.doc_id
+      |), x AS (
+      |  SELECT d.doc_id, d.n_tokens, d.n_distinct,
+      |    (ln(CAST(tot.n_total AS DOUBLE) + CAST(tot.v_vocab AS DOUBLE))
+      |      - d.sumlog / CAST(d.n_tokens AS DOUBLE)) / ln(2.0) AS bits_x
+      |  FROM d CROSS JOIN tot
+      |), ok AS (
+      |  SELECT p.doc_id, p.n_tokens, p.n_distinct, p.bits
+      |  FROM p JOIN x USING (doc_id)
+      |  WHERE p.n_tokens = x.n_tokens AND p.n_distinct = x.n_distinct
+      |    AND abs(p.bits - x.bits_x) <= 1e-9 * greatest(abs(x.bits_x), 1.0)
+      |), r AS (
+      |  SELECT doc_id, n_tokens, n_distinct, bits,
+      |    row_number() OVER (ORDER BY bits, doc_id) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM ok
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, bits,
+      |  CAST(floor((rk - 1) * $PplTerciles / CAST(n AS DOUBLE)) + 1 AS INTEGER) AS tercile
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (textPerplexity _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "dedup_substring" -> (dedupSubstring _),
     "text_source_overlap" -> (textSourceOverlap _),
@@ -837,6 +929,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_perplexity" -> textPerplexitySql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "dedup_substring" -> dedupSubstringSql,
     "text_source_overlap" -> textSourceOverlapSql,

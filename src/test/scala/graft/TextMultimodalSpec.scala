@@ -655,4 +655,44 @@ class TextMultimodalSpec extends SparkSpec {
     }
     res.unpersist()
   }
+
+  test("text_perplexity: hand-computed bits on a tiny corpus") {
+    import spark.implicits._
+    // corpus: counts a=3 b=1 c=1 → N=5, V=3, N+V=8=2^3
+    //   doc 1 [a a b]: bits = 3 − (2·ln4 + ln2)/(3·ln2) = 4/3
+    //   doc 2 [a c]  : bits = 3 − (ln4 + ln2)/(2·ln2)   = 3/2
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.perplexityFromDocs(d)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val r1 = got(0); val r2 = got(1)
+    assert(r1.getAs[Long]("n_tokens") == 3 && r1.getAs[Long]("n_distinct") == 2)
+    assert(r2.getAs[Long]("n_tokens") == 2 && r2.getAs[Long]("n_distinct") == 2)
+    assert(math.abs(r1.getAs[Double]("bits") - 4.0 / 3.0) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("bits") - 1.5) < 1e-12)
+    // lower-bits doc ranks into the earlier tercile
+    assert(r1.getAs[Int]("tercile") == 1 && r2.getAs[Int]("tercile") == 2)
+  }
+
+  test("text_perplexity: one row per doc, balanced terciles, rank-consistent") {
+    val res = TextAnalysis.textPerplexity(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(res.count() == n)
+    // floor((rk-1)·3/n)+1 splits |tercile sizes| within 1 of each other
+    val sizes = res.groupBy("tercile").count()
+      .collect().map(r => r.getAs[Int]("tercile") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // tercile is monotone in (bits, doc_id): max of tercile t sorts
+    // strictly before min of tercile t+1
+    val rows = res.select("bits", "doc_id", "tercile").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getInt(2)))
+    val byT = rows.groupBy(_._3)
+    for (t <- Seq(1, 2)) {
+      val hi = byT(t).map(r => (r._1, r._2)).max
+      val lo = byT(t + 1).map(r => (r._1, r._2)).min
+      assert(Ordering[(Double, Long)].lt(hi, lo), s"tercile $t overlaps ${t + 1}")
+    }
+    res.unpersist()
+  }
 }
