@@ -807,6 +807,78 @@ object Similarity {
         (col("qnorm") * col("vnorm")))
   }
 
+  // ---- ann_sq: SQ8 scalar-quantized flat search ------------------------
+  /** Scalar quantization (SQ8) — the third standard serving-index
+    * compression next to PQ (ann_pq) and IVFADC (ann_pq_residual):
+    * each dimension is affinely mapped to one byte against per-dim
+    * corpus [min, max], so a vector stores dim bytes (4× less than
+    * float32; no codebook, exact per-dim error bound step/2). Phase 1
+    * scans the DEQUANTIZED codes flat (the FAISS SQ8 flat layout),
+    * keeps a 4·topK over-fetch, and the exact cosine re-ranks — same
+    * contract, tie-breaks, and value oracle as every ANN variant.
+    *
+    * Training is two tiny driver collects: per-dim min/max come from
+    * ONE map-side-combined 64-group aggregation (corpus-size-
+    * independent partials, like the k-means trainer). At 100 TB the
+    * flat scan shards perfectly (pure map + per-partition top-k
+    * before the window); the IVF-composed variant is ann_ivf with
+    * these codes in place of raw vectors. */
+  private val SqLevels = 255
+  private val SqOverFetch = 4 * TopK
+
+  /** Per-dim (min, step) SQ8 params — #dims rows to the driver. */
+  private[graft] def sqParams(e: DataFrame): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1).toIndexedSeq
+    (stats.map(_._2),
+      stats.map { case (_, lo, hi) => if (hi > lo) (hi - lo) / SqLevels else 0.0 })
+  }
+
+  private[graft] def sqEncode(v: Column, mn: IndexedSeq[Double],
+                              step: IndexedSeq[Double]): Column = {
+    val mnCol = typedLit(mn); val stCol = typedLit(step)
+    transform(v, (x, i) =>
+      when(element_at(stCol, i + 1) === 0.0, 0)
+        .otherwise(least(lit(SqLevels), greatest(lit(0),
+          floor((x.cast("double") - element_at(mnCol, i + 1)) /
+            element_at(stCol, i + 1) + lit(0.5)).cast("int")))))
+  }
+
+  private[graft] def sqDequant(codes: Column, mn: IndexedSeq[Double],
+                               step: IndexedSeq[Double]): Column = {
+    val mnCol = typedLit(mn); val stCol = typedLit(step)
+    transform(codes, (c, i) =>
+      element_at(mnCol, i + 1) + c.cast("double") * element_at(stCol, i + 1))
+  }
+
+  def annSq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (mn, step) = sqParams(e)
+    val coded = e
+      .select(col("vec_id"), sqDequant(sqEncode(col("v"), mn, step), mn, step).as("deq"))
+      .withColumn("dnorm", VectorFns.norm(col("deq")))
+    val q = queriesDf(e).withColumn("qnorm", VectorFns.norm(col("qv")))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val cand = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("approx_cos",
+        VectorFns.dot(col("deq"), VectorFns.asDouble(col("qv"))) /
+          (col("dnorm") * col("qnorm")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= SqOverFetch)
+      .select("query_id", "vec_id")
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e, "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
   /** The reference's 6-stage ferret pipeline made real end to end:
     * t_seg SEGMENTS each decoded image with SRM
@@ -1190,6 +1262,7 @@ object Similarity {
     "ann_nprobe_sweep" -> (annNprobeSweep _),
     "ann_pq" -> (annPq _),
     "ann_pq_residual" -> (annPqResidual _),
+    "ann_sq" -> (annSq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_append" -> (annIvfAppend _),
     "ann_stream_append" -> (annStreamAppend _),
@@ -1351,6 +1424,7 @@ object Similarity {
     "ann_compact" -> annValueSql("ann_compact"),
     "ann_pq" -> annValueSql("ann_pq"),
     "ann_pq_residual" -> annValueSql("ann_pq_residual"),
+    "ann_sq" -> annValueSql("ann_sq"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),
     "emd_check" -> emdCheckSql)
 }

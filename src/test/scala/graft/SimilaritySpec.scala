@@ -372,6 +372,39 @@ class SimilaritySpec extends SparkSpec {
     assert(resRecall >= 0.5, s"IVFADC recall collapsed: $resRecall")
   }
 
+  test("ann_sq: codes bounded, per-dim error within step/2, near-exact recall") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.parallel(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").as("v"))
+    val (mn, step) = Similarity.sqParams(e)
+    // codes live in [0, 255]
+    val codes = e.select(explode(Similarity.sqEncode(col("v"), mn, step)).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") > 255).count() == 0)
+    // SQ8 guarantee: |dequant − v| <= step/2 per dimension (+1 ulp slack)
+    val worst = e
+      .withColumn("deq", Similarity.sqDequant(
+        Similarity.sqEncode(col("v"), mn, step), mn, step))
+      .withColumn("vd", transform(col("v"), _.cast("double")))
+      .withColumn("excess", expr(
+        s"aggregate(zip_with(deq, vd, (a, b) -> abs(a - b)), cast(0.0 as double), " +
+          "(acc, x) -> greatest(acc, x))"))
+      .agg(max(col("excess"))).collect().head.getDouble(0)
+    assert(worst <= step.max / 2.0 + 1e-12,
+      s"SQ8 error bound breached: $worst > ${step.max / 2.0}")
+    // flat SQ8 + exact re-rank is near-exact at this corpus scale
+    val r1 = Similarity.annSq(spark, sfDir).collect()
+    r1.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rs => assert(rs.length <= Similarity.TopK))
+    val r2 = Similarity.annSq(spark, sfDir).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = r1.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size.toDouble
+    assert(recall >= 0.9, s"SQ8 recall collapsed: $recall")
+  }
+
   test("vec_centroids: shape complete, means match a driver recomputation") {
     val rows = Similarity.vecCentroids(spark, sfDir).collect()
     val embs = Tables.embeddings(spark, sfDir)
