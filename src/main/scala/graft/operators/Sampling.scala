@@ -400,6 +400,59 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- mix_curriculum: quality-ordered curriculum staging --------------
+  /** Curriculum / annealing data ordering — the corpus-assembly step
+    * after mixing: rank every document by the curation quality score
+    * globally, cut the ranking into [[CurriculumStages]] equal-depth
+    * stages (stage 1 = lowest quality, trained first; the top stage is
+    * the high-quality annealing set modern pretraining recipes reserve
+    * for the end of the run), and give each document a deterministic
+    * within-stage shuffle key, so the full training order is the total
+    * order (stage, shuffle_key, doc_id) — reproducible on any engine,
+    * stable under re-runs, no RNG.
+    *
+    * The global rank is [[PrefixSum.runningSumWithTotal]] (range-
+    * partition + broadcast offsets, never a single-task global
+    * window); the stage cut is the same integer arithmetic as
+    * q_histogram_eqdepth; the shuffle key is the corpus-wide salted
+    * md5 primitive. Quality doubles are bit-exact cross-engine
+    * (text_quality's oracle), so the double ORDER BY is stable and
+    * the whole operator is FULLY oracled. */
+  private[operators] val CurriculumStages = 4
+
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .withColumn("one", lit(1L))
+    val (ranked, n) = PrefixSum.runningSumWithTotal(base,
+      Seq(col("quality_score"), col("doc_id")), "one", "rk")
+    ranked.select(col("doc_id"), col("n_tokens"), col("quality_score"),
+      col("rk"),
+      (floor((col("rk") - 1) * CurriculumStages / lit(n.toDouble)) + 1)
+        .cast("int").as("stage"),
+      hashKey(col("doc_id"), "curr").as("shuffle_key"))
+  }
+
+  val mixCurriculumSql: String =
+    s"""WITH qp AS (
+      |  ${TextAnalysis.QualityPartsSubSql}
+      |), q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    ${TextAnalysis.QualityScoreExprSql} AS quality_score
+      |  FROM qp
+      |), r AS (
+      |  SELECT doc_id, n_tokens, quality_score,
+      |    CAST(row_number() OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM q
+      |)
+      |SELECT doc_id, n_tokens, quality_score, rk,
+      |  CAST(floor((rk - 1) * $CurriculumStages / CAST(n AS DOUBLE)) + 1 AS INTEGER) AS stage,
+      |  ${hashKeySql("doc_id", "curr")} AS shuffle_key
+      |FROM r""".stripMargin
+
   // ---- mix_temperature: temperature-scaled source mixing weights -------
   /** The other half of corpus mixing (complement of mix_budget's
     * within-source admission): ACROSS sources, compute each source's
@@ -502,7 +555,8 @@ object Sampling {
     "sample_pps" -> (samplePps _),
     "sample_weighted" -> (sampleWeighted _),
     "seq_pack" -> (seqPack _),
-    "mix_budget" -> (mixBudget _))
+    "mix_budget" -> (mixBudget _),
+    "mix_curriculum" -> (mixCurriculum _))
 
   val oracle: Map[String, String] = Map(
     "mix_temperature" -> mixTemperatureSql,
@@ -514,5 +568,6 @@ object Sampling {
     "sample_pps" -> samplePpsSql,
     "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,
-    "mix_budget" -> mixBudgetSql)
+    "mix_budget" -> mixBudgetSql,
+    "mix_curriculum" -> mixCurriculumSql)
 }

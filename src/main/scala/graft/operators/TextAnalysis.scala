@@ -76,15 +76,11 @@ object TextAnalysis {
       lenNorm(col("text")).as("len_norm"),
       qualityScore(col("text")).as("quality_score"))
 
-  val textQualitySql: String =
-    """SELECT doc_id,
-      |  length(text) AS n_chars,
-      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-      |  stop_r AS stopword_ratio, punct_r AS punct_ratio,
-      |  alpha_r AS alpha_ratio, len_norm,
-      |  stop_r * 0.25 + alpha_r * 0.25 + (1.0 - punct_r) * 0.25 + len_norm * 0.25 AS quality_score
-      |FROM (
-      |  SELECT doc_id, text,
+  /** DuckDB subquery computing the quality-score components per doc —
+    * shared by the text_quality oracle and the mix_curriculum oracle
+    * (Sampling), so the score definition cannot drift between them. */
+  private[graft] val QualityPartsSubSql: String =
+    """SELECT doc_id, text,
       |    CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
       |      ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as)\b')) AS DOUBLE)
       |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS stop_r,
@@ -95,7 +91,22 @@ object TextAnalysis {
       |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
       |        / CAST(length(text) AS DOUBLE) END AS alpha_r,
       |    least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0) AS len_norm
-      |  FROM documents
+      |  FROM documents""".stripMargin
+
+  /** The composite score over [[QualityPartsSubSql]]'s columns, in
+    * Spark's left-to-right evaluation order (bit-exact parity). */
+  private[graft] val QualityScoreExprSql: String =
+    "stop_r * 0.25 + alpha_r * 0.25 + (1.0 - punct_r) * 0.25 + len_norm * 0.25"
+
+  val textQualitySql: String =
+    s"""SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+      |  stop_r AS stopword_ratio, punct_r AS punct_ratio,
+      |  alpha_r AS alpha_ratio, len_norm,
+      |  $QualityScoreExprSql AS quality_score
+      |FROM (
+      |  $QualityPartsSubSql
       |)""".stripMargin
 
   // ---- text_gopher_filter: Gopher rule-based quality gate --------------

@@ -354,4 +354,35 @@ class SamplingSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("mix_curriculum: rank is a permutation, stages balanced and quality-monotone") {
+    val rows = Sampling.mixCurriculum(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n)
+    // rk is exactly 1..n (the distributed prefix rank is a permutation)
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to n).toSeq)
+    // stage sizes within 1 of each other, full 1..4 coverage
+    val sizes = rows.groupBy(_.getAs[Int]("stage")).view.mapValues(_.length)
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // stage is monotone in (quality_score, doc_id): the whole ordering
+    // by rank must produce non-decreasing quality stage boundaries
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        val qa = (a.getAs[Double]("quality_score"), a.getAs[Long]("doc_id"))
+        val qb = (b.getAs[Double]("quality_score"), b.getAs[Long]("doc_id"))
+        assert(Ordering[(Double, Long)].lt(qa, qb), "rank order broke quality order")
+        assert(a.getAs[Int]("stage") <= b.getAs[Int]("stage"))
+      case _ => ()
+    }
+    // shuffle key is the salted md5 primitive — driver recompute
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.take(20).foreach { r =>
+      assert(r.getAs[String]("shuffle_key") ==
+        md5hex(s"${r.getAs[Long]("doc_id")}:curr"))
+    }
+  }
 }
