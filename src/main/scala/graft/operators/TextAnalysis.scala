@@ -922,7 +922,137 @@ object TextAnalysis {
       |  CAST(floor((rk - 1) * $PplTerciles / CAST(n AS DOUBLE)) + 1 AS INTEGER) AS tercile
       |FROM r""".stripMargin
 
+  // ---- text_bpe_train: BPE tokenizer-vocabulary training ---------------
+  /** Byte-pair-encoding vocabulary training (Sennrich et al. 2016) —
+    * the tokenizer-construction step of an LLM data pipeline, run the
+    * way the reference algorithm actually runs: over the WORD-
+    * FREQUENCY DICTIONARY, not the running text (state is
+    * distinct-word-sized — at 100 TB the dictionary is millions of
+    * rows while the corpus is trillions of tokens, and pair counts
+    * are frequency-weighted aggregates over it). Each round: count
+    * all adjacent symbol pairs weighted by word frequency (one
+    * explode + map-side-combined agg), pick the most frequent pair
+    * (count DESC, pair ASC tie-break — deterministic, no RNG; the
+    * global argmax is orderBy+limit(1) = per-partition top-1 + a
+    * 1-row driver merge, never a global sort), then merge every
+    * greedy left-to-right non-overlapping occurrence via a codegen'd
+    * `aggregate` fold over the symbol array. Rounds are
+    * driver-looped with scoped checkpoints ([[CheckpointScope]]) —
+    * the standard iterative-operator shape (pagerank, clusters).
+    *
+    * FULLY oracled: DuckDB replays all [[BpeMerges]] rounds from the
+    * same dictionary with generated SQL — the greedy fold is
+    * re-expressed relationally (pair-start runs + parity selection,
+    * equivalent to the fold because starts can only be adjacent when
+    * a = b), so merges, counts, and tie-breaks are bit-identical
+    * cross-engine. Words are ASCII letter runs ([a-z]+ of the
+    * lowercased text, the BPE pre-tokenizer convention), so
+    * char-splitting agrees on every engine. */
+  private[graft] val BpeMerges = 6
+  private val BpeWordRe = "[a-z]+"
+
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainFromDocs(s, docs(s, dir))
+
+  /** One greedy non-overlapping merge pass of pair (a,b) over a
+    * symbol array, as a left fold: append t, except when the
+    * accumulator ends with `a` and t = `b` — then replace that tail
+    * element with the merged symbol. Runs like "aaa" under pair
+    * (a,a) merge at alternate positions, exactly BPE's rule. */
+  private def bpeMergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, t) =>
+      when(size(acc) === 0, concat(acc, array(t)))
+        .when(element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
+
+  private[graft] def bpeTrainFromDocs(s: SparkSession, d: DataFrame): DataFrame = {
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    CheckpointScope.scoped(s) { ck =>
+      var st = ck(d
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit(BpeWordRe), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", split(col("w"), "")))
+      var exhausted = false
+      for (r <- 1 to BpeMerges if !exhausted) {
+        val best = st.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "i -> struct(element_at(syms, i + 1) AS a, element_at(syms, i + 2) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) =
+            (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+          merges += ((r, a, b, cnt))
+          st = ck(st.withColumn("syms", bpeMergeFold(col("syms"), a, b)))
+        }
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("round", "merge_a", "merge_b", "pair_count")
+      .withColumn("new_symbol", concat(col("merge_a"), col("merge_b")))
+  }
+
+  /** Generated R-round replay: each round re-derives the pair counts,
+    * the argmax, and the greedy merge (run-parity formulation) from
+    * the previous round's state. */
+  val textBpeTrainSql: String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"st${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2
+         |), best$r AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1
+         |), pos$r AS (
+         |  SELECT w, freq, i, syms[i] AS t,
+         |    COALESCE(i < len(syms) AND syms[i] = (SELECT a FROM best$r)
+         |      AND syms[i + 1] = (SELECT b FROM best$r), FALSE) AS is_start
+         |  FROM $prev, unnest(generate_series(1, len(syms))) AS u(i)
+         |), mk$r AS (
+         |  SELECT w, freq, i, t, is_start,
+         |    CASE WHEN is_start
+         |      THEN i - row_number() OVER (PARTITION BY w, is_start ORDER BY i)
+         |      ELSE -1 END AS run_id
+         |  FROM pos$r
+         |), mg$r AS (
+         |  SELECT w, freq, i, t,
+         |    is_start AND ((row_number() OVER (PARTITION BY w, is_start, run_id ORDER BY i) - 1) % 2 = 0) AS merge_at
+         |  FROM mk$r
+         |), dr$r AS (
+         |  SELECT w, freq, i, t, merge_at,
+         |    COALESCE(lag(merge_at) OVER (PARTITION BY w ORDER BY i), FALSE) AS prev_merged
+         |  FROM mg$r
+         |), st$r AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    list(CASE WHEN merge_at
+         |      THEN (SELECT a FROM best$r) || (SELECT b FROM best$r)
+         |      ELSE t END ORDER BY i) AS syms
+         |  FROM dr$r WHERE NOT prev_merged
+         |  GROUP BY w, freq
+         |)""".stripMargin
+    }
+    val rounds = (1 to BpeMerges).map(roundCtes).mkString(",\n")
+    val finals = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS round, a AS merge_a, b AS merge_b, cnt AS pair_count, a || b AS new_symbol FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH st0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY w
+       |),
+       |$rounds
+       |$finals""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
     "text_perplexity" -> (textPerplexity _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "dedup_substring" -> (dedupSubstring _),
@@ -940,6 +1070,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> textBpeTrainSql,
     "text_perplexity" -> textPerplexitySql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "dedup_substring" -> dedupSubstringSql,

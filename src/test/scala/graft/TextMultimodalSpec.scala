@@ -656,6 +656,50 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("text_bpe_train: hand-traced merges on the classic corpus") {
+    import spark.implicits._
+    // "low low lower": words low×2 lower×1 → pairs (l,o):3 (o,w):3
+    // (w,e):1 (e,r):1. Round 1 tie at 3 breaks to (l,o); round 2
+    // merges (lo,w); round 3 tie at 1 breaks to (e,r) ('e' < 'low');
+    // round 4 merges (low,er); then no pairs remain → 4 rows despite
+    // BpeMerges = 6 (exhaustion stops the loop).
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrainFromDocs(spark, d)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("merge_a"),
+        r.getAs[String]("merge_b"), r.getAs[Long]("pair_count"),
+        r.getAs[String]("new_symbol")))
+    assert(got.toSeq == Seq(
+      (1, "l", "o", 3L, "lo"),
+      (2, "lo", "w", 3L, "low"),
+      (3, "e", "r", 1L, "er"),
+      (4, "low", "er", 1L, "lower")))
+  }
+
+  test("text_bpe_train: deterministic, counts non-increasing, symbols compose") {
+    val r1 = TextAnalysis.textBpeTrain(spark, sfDir).orderBy("round").collect()
+    val r2 = TextAnalysis.textBpeTrain(spark, sfDir).orderBy("round").collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    assert(r1.length == 6)
+    // a merged pair's count can never exceed an earlier round's best:
+    // merging only consumes occurrences, and new pairs containing the
+    // merged symbol are bounded by its occurrence count
+    val counts = r1.map(_.getAs[Long]("pair_count"))
+    counts.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, s"pair counts rose: $a -> $b")
+      case _ => ()
+    }
+    // every merge operand is either a single char or a previously
+    // produced symbol (the BPE vocabulary-closure property)
+    val produced = scala.collection.mutable.Set[String]()
+    r1.foreach { r =>
+      for (sym <- Seq(r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+        assert(sym.length == 1 || produced.contains(sym),
+          s"merge operand $sym is neither a char nor a prior symbol")
+      produced += r.getAs[String]("new_symbol")
+    }
+  }
+
   test("text_perplexity: hand-computed bits on a tiny corpus") {
     import spark.implicits._
     // corpus: counts a=3 b=1 c=1 → N=5, V=3, N+V=8=2^3
