@@ -519,8 +519,49 @@ object Curation {
       |  GROUP BY cluster_id
       |) GROUP BY sz""".stripMargin
 
+  // ---- dedup_weights: duplicate-aware soft sampling weights ------------
+  /** SoftDeDup — the duplicate-handling alternative to dropping: keep
+    * every document but down-weight it by its duplicate-cluster size
+    * (weight = 1/|cluster|), so a training sampler or loss scaler sees
+    * each piece of CONTENT with total mass 1 regardless of how many
+    * copies the crawl produced. Emits the hash-order rank within the
+    * cluster too, so the same table drives "first occurrence wins"
+    * hard dedup when a consumer wants it. Σweight = #clusters (the
+    * effective corpus size) by construction.
+    *
+    * Cost on top of the cluster labels: one partitioned window over
+    * (doc_id, cluster_id) — cluster-keyed, spread across the cluster
+    * like every other per-group window here. Fully oracled: cluster
+    * labels are dedup_clusters' own (proven by recursive-CTE closure),
+    * sizes are integer counts, and the weight a single IEEE division. */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val wCl = Window.partitionBy("cluster_id")
+    val wRk = Window.partitionBy("cluster_id").orderBy(
+      md5(concat(col("doc_id").cast("string"), lit(":sw")).cast("binary")),
+      col("doc_id"))
+    dedupClusters(s, dir)
+      .withColumn("cluster_size", count(lit(1)).over(wCl))
+      .withColumn("dup_rank", row_number().over(wRk).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("dup_rank"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
+
+  /** Recomputed from the (fully oracled) dedup_clusters dump: sizes by
+    * window count, rank by the same salted-md5 order, weight by the
+    * same single division. */
+  val dedupWeightsSql: String =
+    """SELECT doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sw'), doc_id) AS BIGINT)
+      |    AS dup_rank,
+      |  1.0 / CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS DOUBLE) AS weight
+      |FROM read_parquet('{VERIFY_OUT}/dedup_clusters/*.parquet')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> (dedupClusterStats _),
+    "dedup_weights" -> (dedupWeights _),
     "dedup_hubs" -> (dedupHubs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_lsh" -> (dedupClustersLsh _),
@@ -573,6 +614,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "dedup_cluster_stats" -> dedupClusterStatsSql,
+    "dedup_weights" -> dedupWeightsSql,
     "dedup_hubs" -> dedupHubsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_lsh" -> dedupClustersLshSql,

@@ -545,8 +545,126 @@ object Sampling {
       |    AS BIGINT) AS alloc
       |FROM r, l""".stripMargin
 
+  // ---- mix_epochs: per-source epoch-repetition plan ---------------------
+  /** Epoch-repetition mixing — the step that turns mix_temperature's
+    * ACROSS-source token allocation into a per-DOCUMENT repeat count
+    * (the "how many epochs of Wikipedia vs one pass of CommonCrawl"
+    * schedule every pretraining recipe publishes): the total corpus
+    * token count is re-apportioned across sources under √-temperature
+    * smoothing (small sources up-weighted past 1 epoch, huge sources
+    * damped below 1), then each source's allocation becomes
+    * `full_epochs = alloc div src_tokens` whole passes plus a partial
+    * pass of `alloc mod src_tokens` tokens filled by the deterministic
+    * hash-order prefix of its documents (the sample_hash primitive —
+    * reproducible, growth-stable, no RNG). Every document's repeat
+    * count is `full_epochs + (1 iff in the partial-pass prefix)`.
+    *
+    * Scale: one partial→final token agg over the corpus, the
+    * source-cardinality allocation table broadcast (the
+    * mix_temperature shape — the largest-remainder rank is a
+    * broadcast theta-join, never an unpartitioned window), then one
+    * per-SOURCE window for the prefix cumsum (strata spread like
+    * sample_stratified/mix_budget). Integer arithmetic end-to-end —
+    * exact-sqrt weights, floor division, no float rounding — so the
+    * operator is FULLY oracled. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val per = base.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("weight", isqrt(col("src_tokens")))
+    val tot = per.agg(sum("weight").as("w_total"), sum("src_tokens").as("budget"))
+    val based = per.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr("(budget * weight) div w_total"))
+      .withColumn("remainder", expr("(budget * weight) % w_total"))
+    val leftover = based.agg((max("budget") - sum("base_quota")).as("leftover"))
+    val alloc = based.join(
+        broadcast(based.select(col("source").as("s2"), col("remainder").as("r2"))),
+        col("r2") > col("remainder") ||
+          (col("r2") === col("remainder") && col("s2") < col("source")),
+        "left")
+      .groupBy("source", "src_tokens", "base_quota", "remainder")
+      .agg(count(col("s2")).as("ahead"))
+      .crossJoin(broadcast(leftover))
+      .withColumn("alloc", col("base_quota") +
+        when(col("ahead") < col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("src_tokens"), col("alloc"),
+        expr("alloc div src_tokens").as("full_epochs"),
+        expr("alloc % src_tokens").as("rem_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("epoch_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("epoch_key", hashKey(col("doc_id"), "epoch"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(alloc), "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("epoch_key"),
+        col("cum_tokens"), col("src_tokens"), col("alloc"), col("full_epochs"),
+        (col("cum_tokens") <= col("rem_tokens")).as("extra"),
+        (col("full_epochs") +
+          when(col("cum_tokens") <= col("rem_tokens"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+
+  val mixEpochsSql: String =
+    s"""WITH base AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), per AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM base GROUP BY source
+      |), w AS (
+      |  SELECT source, src_tokens,
+      |    CASE WHEN g1 * g1 > src_tokens THEN g1 - 1 ELSE g1 END AS weight
+      |  FROM (
+      |    SELECT source, src_tokens,
+      |      CASE WHEN (g0 + 1) * (g0 + 1) <= src_tokens THEN g0 + 1 ELSE g0 END AS g1
+      |    FROM (
+      |      SELECT source, src_tokens,
+      |        CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS g0
+      |      FROM per
+      |    )
+      |  )
+      |), t AS (
+      |  SELECT CAST(SUM(weight) AS BIGINT) AS w_total,
+      |    (SELECT CAST(SUM(src_tokens) AS BIGINT) FROM w) AS budget
+      |  FROM w
+      |), q AS (
+      |  SELECT w.source, w.src_tokens,
+      |    CAST((t.budget * w.weight) // t.w_total AS BIGINT) AS base_quota,
+      |    CAST((t.budget * w.weight) % t.w_total AS BIGINT) AS remainder
+      |  FROM w, t
+      |), l AS (
+      |  SELECT CAST((SELECT budget FROM t) - SUM(base_quota) AS BIGINT) AS leftover
+      |  FROM q
+      |), a AS (
+      |  SELECT source, src_tokens,
+      |    CAST(base_quota + CASE WHEN
+      |      ROW_NUMBER() OVER (ORDER BY remainder DESC, source) <= l.leftover
+      |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |  FROM q, l
+      |), e AS (
+      |  SELECT source, src_tokens, alloc,
+      |    CAST(alloc // src_tokens AS BIGINT) AS full_epochs,
+      |    CAST(alloc % src_tokens AS BIGINT) AS rem_tokens
+      |  FROM a
+      |), c AS (
+      |  SELECT base.*, ${hashKeySql("doc_id", "epoch")} AS epoch_key,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY ${hashKeySql("doc_id", "epoch")}, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM base
+      |)
+      |SELECT c.source, c.doc_id, c.n_tokens, c.epoch_key, c.cum_tokens,
+      |  e.src_tokens, e.alloc, e.full_epochs,
+      |  c.cum_tokens <= e.rem_tokens AS extra,
+      |  CAST(e.full_epochs + CASE WHEN c.cum_tokens <= e.rem_tokens
+      |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      |FROM c JOIN e USING (source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mix_temperature" -> (mixTemperature _),
+    "mix_epochs" -> (mixEpochs _),
     "sample_hash" -> (sampleHash _),
     "sample_split" -> (sampleSplit _),
     "sample_stratified" -> (sampleStratified _),
@@ -569,5 +687,6 @@ object Sampling {
     "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,
     "mix_budget" -> mixBudgetSql,
+    "mix_epochs" -> mixEpochsSql,
     "mix_curriculum" -> mixCurriculumSql)
 }

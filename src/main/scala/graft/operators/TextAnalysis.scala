@@ -998,10 +998,72 @@ object TextAnalysis {
       .withColumn("new_symbol", concat(col("merge_a"), col("merge_b")))
   }
 
+  // ---- text_bpe_encode: apply the trained vocabulary to the corpus -----
+  /** BPE ENCODING — the other half of the tokenizer lifecycle: train
+    * the [[BpeMerges]]-round vocabulary (exactly [[textBpeTrain]]),
+    * then encode every document with it and report the token
+    * accounting every pretraining data pipeline needs per doc — word
+    * count, word characters, post-BPE token count, and the
+    * compression ratio (chars per BPE token, the standard tokenizer
+    * fertility metric).
+    *
+    * Shape at 100 TB: the merge list is ≤[[BpeMerges]] driver rows;
+    * encoding happens on the distinct-word DICTIONARY (millions of
+    * rows when the corpus is trillions of tokens) by re-applying the
+    * merge folds lazily — higher-order `aggregate` expressions over
+    * short symbol arrays, no checkpoint state, no UDF. Per-doc totals
+    * are then a word-keyed equi-join of the per-(doc, word) counts
+    * against the encoded dictionary (the TF-IDF shuffle shape) +
+    * one map-side-combined agg. Nothing is corpus-quadratic; the
+    * dictionary join key is the word itself (xxhash64 at 100 TB, the
+    * crossdup note). Docs with no `[a-z]+` words are preserved with
+    * zero counts (left join), so the output is exactly one row per
+    * document.
+    *
+    * FULLY oracled: DuckDB replays the training rounds (the shared
+    * [[bpeRoundsSql]] CTE chain — the same SQL text_bpe_train
+    * verifies, so the two operators can never train different
+    * vocabularies) and re-encodes from its own final round state;
+    * counts are integers and the ratio a single IEEE division,
+    * bit-exact cross-engine. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeFromDocs(s, docs(s, dir))
+
+  private[graft] def bpeEncodeFromDocs(s: SparkSession, d: DataFrame): DataFrame = {
+    val merges = bpeTrainFromDocs(s, d).orderBy("round").collect()
+      .map(r => (r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+    val docWords = d.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit(BpeWordRe), lit(0))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    // distinct-word dictionary, every trained merge applied in order —
+    // lazy nested folds (HOFs are interpreted expressions; the state
+    // is dictionary-sized, so no checkpoint rounds are needed here)
+    val dict = merges.foldLeft(
+        docWords.select("w").distinct().withColumn("syms", split(col("w"), ""))) {
+        case (df, (a, b)) => df.withColumn("syms", bpeMergeFold(col("syms"), a, b))
+      }
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"))
+    val perDoc = docWords.join(dict, "w")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("word_chars"),
+        sum(col("cnt") * col("n_syms")).as("bpe_tokens"))
+    d.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("word_chars"), lit(0L)).as("word_chars"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+        when(coalesce(col("bpe_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("word_chars").cast("double") /
+            col("bpe_tokens").cast("double")).as("chars_per_token"))
+  }
+
   /** Generated R-round replay: each round re-derives the pair counts,
     * the argmax, and the greedy merge (run-parity formulation) from
-    * the previous round's state. */
-  val textBpeTrainSql: String = {
+    * the previous round's state. Shared by the text_bpe_train and
+    * text_bpe_encode oracles so both engines provably train the SAME
+    * vocabulary. */
+  private val bpeRoundsSql: String = {
     def roundCtes(r: Int): String = {
       val prev = s"st${r - 1}"
       s"""p$r AS (
@@ -1039,20 +1101,50 @@ object TextAnalysis {
          |)""".stripMargin
     }
     val rounds = (1 to BpeMerges).map(roundCtes).mkString(",\n")
-    val finals = (1 to BpeMerges).map(r =>
-      s"SELECT $r AS round, a AS merge_a, b AS merge_b, cnt AS pair_count, a || b AS new_symbol FROM best$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH st0 AS MATERIALIZED (
+    s"""st0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, regexp_extract_all(w, '.') AS syms
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
        |  GROUP BY w
        |),
-       |$rounds
-       |$finals""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  val textBpeTrainSql: String = {
+    val finals = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS round, a AS merge_a, b AS merge_b, cnt AS pair_count, a || b AS new_symbol FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH $bpeRoundsSql\n$finals"
+  }
+
+  /** Encode replay: re-derive the per-word symbol counts from the
+    * final training round's state and aggregate per document. */
+  val textBpeEncodeSql: String =
+    s"""WITH $bpeRoundsSql,
+       |enc AS (
+       |  SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM st$BpeMerges
+       |), dw AS (
+       |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT dw.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(cnt * length(w)) AS BIGINT) AS word_chars,
+       |    CAST(SUM(cnt * n_syms) AS BIGINT) AS bpe_tokens
+       |  FROM dw JOIN enc USING (w) GROUP BY dw.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(agg.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(agg.word_chars, 0) AS BIGINT) AS word_chars,
+       |  CAST(COALESCE(agg.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN COALESCE(agg.bpe_tokens, 0) = 0 THEN 0.0
+       |    ELSE CAST(agg.word_chars AS DOUBLE) / CAST(agg.bpe_tokens AS DOUBLE)
+       |  END AS chars_per_token
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_perplexity" -> (textPerplexity _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "dedup_substring" -> (dedupSubstring _),
@@ -1071,6 +1163,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_perplexity" -> textPerplexitySql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "dedup_substring" -> dedupSubstringSql,

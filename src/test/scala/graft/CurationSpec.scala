@@ -119,6 +119,24 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 9L -> 9L, 2L -> 2L))
   }
 
+  test("dedup_weights: mass 1 per cluster, ranks a permutation, Σweight = #clusters") {
+    val rows = Curation.dedupWeights(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rs) =>
+      val size = rs.head.getAs[Long]("cluster_size")
+      assert(rs.length == size, s"cluster_size drifted for $cid")
+      // each cluster carries total sampling mass exactly 1
+      assert(math.abs(rs.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+      // ranks are the permutation 1..size
+      assert(rs.map(_.getAs[Long]("dup_rank")).sorted.toSeq ==
+        (1L to size).toSeq)
+    }
+    val sumW = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(sumW - byCluster.size) < 1e-6,
+      "Σweight must equal the number of clusters (effective corpus size)")
+  }
+
   test("dedup_canonical: picks the highest-quality member of each cluster") {
     val canon = Curation.dedupCanonical(spark, sfDir)
     val labels = Curation.dedupClusters(spark, sfDir)

@@ -325,6 +325,61 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mix_epochs: repeats realize the allocation, temperature orders epochs") {
+    val rows = Sampling.mixEpochs(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count(),
+      "one row per document")
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    // the total budget is the corpus token count, apportioned exactly
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val allocs = bySource.map { case (_, rs) => rs.head.getAs[Long]("alloc") }
+    assert(allocs.sum == totTokens, "Σalloc must equal the corpus tokens")
+    bySource.foreach { case (src, rs) =>
+      val alloc = rs.head.getAs[Long]("alloc")
+      val srcTokens = rs.head.getAs[Long]("src_tokens")
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum == srcTokens)
+      val full = rs.head.getAs[Long]("full_epochs")
+      val rem = alloc - full * srcTokens
+      assert(full == alloc / srcTokens, s"full_epochs drifted for $src")
+      // realized tokens = full epochs + the admitted prefix: within
+      // one document of the partial-pass target (prefix cut is at doc
+      // granularity, cum <= rem admits only whole docs)
+      val realized = rs.map(r => r.getAs[Long]("n_repeats") * r.getAs[Long]("n_tokens")).sum
+      val maxDoc = rs.map(_.getAs[Long]("n_tokens")).max
+      assert(realized <= full * srcTokens + rem)
+      assert(realized > full * srcTokens + rem - maxDoc,
+        s"partial pass under-filled for $src: $realized vs ${full * srcTokens + rem}")
+      // the extra pick set is exactly the hash-order token prefix
+      val inOrder = rs.sortBy(r =>
+        (r.getAs[String]("epoch_key"), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      inOrder.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") == cum)
+        assert(r.getAs[Boolean]("extra") == (cum <= rem))
+        assert(r.getAs[Long]("n_repeats") == full + (if (cum <= rem) 1L else 0L))
+      }
+    }
+    // √-temperature monotonicity: the continuous epoch rate 1/√n is
+    // decreasing, but the EXACT integer weights floor it (isqrt(1332)
+    // = 36 vs isqrt(1369) = 37 inverts near-equal sizes by < 1/w
+    // relative) — so assert monotone within the rounding bound, and
+    // strictly at the endpoints when sizes differ materially
+    val eff = bySource.values.map { rs =>
+      (rs.head.getAs[Long]("src_tokens"),
+        rs.head.getAs[Long]("alloc").toDouble / rs.head.getAs[Long]("src_tokens"))
+    }.toSeq.sortBy(_._1)
+    eff.sliding(2).foreach {
+      case Seq((n1, e1), (n2, e2)) if n1 < n2 =>
+        val slack = 2.0 / math.sqrt(n1.toDouble) // isqrt floor bound
+        assert(e1 >= e2 * (1.0 - slack), s"epoch rate not damped: $n1→$e1 vs $n2→$e2")
+      case _ => ()
+    }
+    val (nLo, eLo) = eff.head; val (nHi, eHi) = eff.last
+    if (nHi >= 2 * nLo)
+      assert(eLo > eHi, "smallest source must get strictly more epochs")
+  }
+
   test("shard_manifest: lines match a driver recompute from the assignment") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

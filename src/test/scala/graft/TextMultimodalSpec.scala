@@ -700,6 +700,57 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_encode: hand-traced encoding on the classic corpus") {
+    import spark.implicits._
+    // merges on "low low lower" (see the train spec): lo, low, er,
+    // lower — both words encode to ONE symbol each, so the doc's 3
+    // word occurrences (11 chars) become 3 BPE tokens at 11/3 chars
+    // per token.
+    val d = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeEncodeFromDocs(spark, d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Long]("word_chars") == 11L)
+    assert(r.getAs[Long]("bpe_tokens") == 3L)
+    assert(math.abs(r.getAs[Double]("chars_per_token") - 11.0 / 3.0) < 1e-12)
+  }
+
+  test("text_bpe_encode: matches a driver re-encode; bounds hold corpus-wide") {
+    val res = TextAnalysis.textBpeEncode(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    assert(res.count() == docs.count(), "one row per document")
+    // every word is at least 1 and at most len(word) symbols
+    assert(res.filter(col("bpe_tokens") < col("n_words") ||
+      col("bpe_tokens") > col("word_chars")).count() == 0)
+    // driver reference encoder: the trained merges applied as greedy
+    // left-to-right non-overlapping passes, word by word
+    val merges = TextAnalysis.textBpeTrain(spark, sfDir).orderBy("round")
+      .collect().map(r =>
+        (r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+    def encLen(word: String): Int =
+      merges.foldLeft(word.map(_.toString).toVector) { case (v, (a, b)) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        for (t <- v) {
+          if (buf.nonEmpty && buf.last == a && t == b)
+            buf(buf.length - 1) = a + b
+          else buf += t
+        }
+        buf.toVector
+      }.length
+    val got = res.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("word_chars"),
+        r.getAs[Long]("bpe_tokens"))).toMap
+    docs.limit(40).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = "[a-z]+".r.findAllIn(r.getAs[String]("text").toLowerCase).toSeq
+      val want = (ws.size.toLong, ws.map(_.length.toLong).sum,
+        ws.map(encLen(_).toLong).sum)
+      assert(got(id) == want, s"encode accounting drifted for doc $id")
+    }
+    res.unpersist()
+  }
+
   test("text_perplexity: hand-computed bits on a tiny corpus") {
     import spark.implicits._
     // corpus: counts a=3 b=1 c=1 → N=5, V=3, N+V=8=2^3
