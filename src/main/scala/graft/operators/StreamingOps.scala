@@ -194,8 +194,49 @@ object StreamingOps {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  // ---- stream_sessions: streaming sessionization, fully oracled --------
+  /** Session windows — the hardest streaming state shape (windows
+    * MERGE as events arrive) — run end-to-end through the Kafka-shaped
+    * replay log and proven equal to the batch session_window TVF: the
+    * rate-limited drain (multiple micro-batches, so sessions really
+    * span triggers and the state-store merge path really runs) feeds
+    * a watermarked session_window aggregation; the per-partition
+    * flush sentinels push the watermark past every real session's end
+    * (sentinel ts is 3 h past max event time, delay 1 h, gap 30 min),
+    * so append mode emits exactly the batch result. The sentinel's
+    * own session (user_id −1) can never close — watermark peaks 1 h
+    * below its ts — so it stays in state and never reaches the sink;
+    * the post-sink filter is defensive. A user's events live in ONE
+    * log partition (producer key-partitioning), so a session's events
+    * arrive in ts order and the 1 h delay bounds cross-partition ts
+    * skew exactly as in stream_replay.
+    *
+    * Oracle: q_session_tvf's SQL verbatim (gaps-and-islands
+    * reconstruction in DuckDB) — the whole chain (log write →
+    * offset planning → admission control → watermarked session merge
+    * → append emission) is cross-engine-proven. */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
+    val sinkName = s"sessions_sink_${System.nanoTime()}"
+    val q = s.readStream.format("graft.sources.ReplayLogProvider")
+      .option("path", logDir).option("maxRowsPerTrigger", "25000").load()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sinkName).filter(col("user_id") =!= -1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_batch" -> (streamDedupBatch _),
+    "stream_sessions" -> (streamSessions _),
     "stream_rate_bench" -> (streamRateBench _),
     "stream_param_sweep" -> (streamParamSweep _),
     "stream_soak" -> (streamSoak _),
@@ -203,5 +244,6 @@ object StreamingOps {
 
   val oracle: Map[String, String] = Map(
     "stream_dedup_batch" -> streamDedupBatchSql,
+    "stream_sessions" -> Relational.qSessionTvfSql,
     "stream_replay" -> streamReplaySql)
 }

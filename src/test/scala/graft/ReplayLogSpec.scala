@@ -132,6 +132,15 @@ class ReplayLogSpec extends SparkSpec {
       "streamed windows diverge from the batch mirror — a window failed to close or double-emitted")
   }
 
+  test("stream_sessions: streamed session windows equal the batch TVF") {
+    val streamed = graft.operators.StreamingOps.streamSessions(spark, sfDir)
+    val batch = graft.operators.Relational.qSessionTvf(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed sessions diverge from the batch session_window TVF — " +
+        "a session failed to close, merged wrong, or dropped a late event")
+  }
+
   private def delete(dir: String): Unit =
     graft.streaming.StreamingPipelines.deleteRecursively(new File(dir))
 }
