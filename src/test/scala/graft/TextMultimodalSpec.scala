@@ -728,6 +728,10 @@ class TextMultimodalSpec extends SparkSpec {
     val merges = TextAnalysis.textBpeTrain(spark, sfDir).orderBy("round")
       .collect().map(r =>
         (r.getAs[String]("merge_a"), r.getAs[String]("merge_b")))
+    // the encode query's session merge cache must agree with a fresh
+    // training run (cache ≡ fresh)
+    assert(graft.operators.TextAnalysis.trainedMerges(spark, sfDir) ==
+      merges.toSeq, "merge cache drifted from a fresh training run")
     def encLen(word: String): Int =
       merges.foldLeft(word.map(_.toString).toVector) { case (v, (a, b)) =>
         val buf = scala.collection.mutable.ArrayBuffer[String]()
