@@ -1249,9 +1249,79 @@ object Similarity {
       |)
       |GROUP BY label, dim""".stripMargin
 
+  // ---- ann_rank_fusion: hybrid retrieval via Reciprocal Rank Fusion ----
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
+    * hybrid-retrieval combiner: two scorers rank the same candidate
+    * pool per query (here cosine and raw inner product, which order
+    * differently whenever vector norms vary), each contributes
+    * 1/(60 + rank) for its top-[[TopK]] picks, and the fused top-k is
+    * ranked by the summed score. Rank 0 = "not in that scorer's list"
+    * (kept integer-non-null so the oracle hash is stable). RRF is the
+    * fusion every lexical+vector stack runs; the scorers here are the
+    * exact baselines so the WHOLE operator is fully oracled — the
+    * fusion arithmetic is rank integers and two exact IEEE divisions,
+    * and it applies unchanged to any two ANN variants' outputs.
+    *
+    * One pass: both ranks ride one window stage (two orders over the
+    * same query_id partitioning — no self-join, no recompute of the
+    * scored table), then a k-bounded filter and the fused window.
+    * Scale: the scorer is the brute-force baseline (documented); the
+    * fusion itself touches ≤ 2k rows per query. */
+  private val RrfC = 60
+
+  def annRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val wDot = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    val wF = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"),
+        VectorFns.dot(col("qv"), col("v")).as("dot"))
+      .withColumn("rc", row_number().over(wCos))
+      .withColumn("rd", row_number().over(wDot))
+      .filter(col("rc") <= TopK || col("rd") <= TopK)
+      .select(col("query_id"), col("vec_id"),
+        when(col("rc") <= TopK, col("rc")).otherwise(0).as("rank_cos"),
+        when(col("rd") <= TopK, col("rd")).otherwise(0).as("rank_dot"),
+        (when(col("rc") <= TopK, lit(1.0) / (lit(RrfC) + col("rc")).cast("double"))
+          .otherwise(0.0) +
+         when(col("rd") <= TopK, lit(1.0) / (lit(RrfC) + col("rd")).cast("double"))
+          .otherwise(0.0)).as("rrf"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= TopK)
+  }
+
+  val annRankFusionSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos,
+       |    list_inner_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS dot
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rd
+       |  FROM scored),
+       |fused AS (
+       |  SELECT query_id, vec_id,
+       |    CASE WHEN rc <= $TopK THEN rc ELSE 0 END AS rank_cos,
+       |    CASE WHEN rd <= $TopK THEN rd ELSE 0 END AS rank_dot,
+       |    (CASE WHEN rc <= $TopK THEN 1.0 / CAST($RrfC + rc AS DOUBLE) ELSE 0.0 END
+       |     + CASE WHEN rd <= $TopK THEN 1.0 / CAST($RrfC + rd AS DOUBLE) ELSE 0.0 END) AS rrf
+       |  FROM ranked WHERE rc <= $TopK OR rd <= $TopK)
+       |SELECT * FROM (
+       |  SELECT query_id, vec_id, rank_cos, rank_dot, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS INT) AS rank
+       |  FROM fused) WHERE rank <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_rank_fusion" -> (annRankFusion _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1411,6 +1481,7 @@ object Similarity {
     "ferret_emd" -> ferretEmdSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_rank_fusion" -> annRankFusionSql,
     "ann_filtered" -> annFilteredSql,
     "ann_depth_picks" -> annDepthPicksSql,
     "ann_depth_sweep" -> annDepthSweepSql,

@@ -18,6 +18,40 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ann_rank_fusion: RRF arithmetic exact, cosine top set preserved") {
+    val res = Similarity.annRankFusion(spark, sfDir).cache()
+    assert(res.count() == Similarity.NQueries.toLong * Similarity.TopK)
+    val rows = res.collect()
+    rows.foreach { r =>
+      val rc = r.getAs[Int]("rank_cos"); val rd = r.getAs[Int]("rank_dot")
+      assert(rc >= 0 && rc <= Similarity.TopK && rd >= 0 && rd <= Similarity.TopK)
+      assert(rc > 0 || rd > 0, "a fused row must come from at least one list")
+      val want = (if (rc > 0) 1.0 / (60 + rc) else 0.0) +
+        (if (rd > 0) 1.0 / (60 + rd) else 0.0)
+      assert(r.getAs[Double]("rrf") == want, s"rrf arithmetic drifted: $r")
+    }
+    // a vec ranked 1 by BOTH scorers holds the maximum possible rrf
+    // and must be fused rank 1
+    rows.filter(r => r.getAs[Int]("rank_cos") == 1 && r.getAs[Int]("rank_dot") == 1)
+      .foreach(r => assert(r.getAs[Int]("rank") == 1))
+    // every bruteforce (cosine) top-K pick appears with its exact
+    // cosine rank — fusion may only ADD dot-ranked rows, never lose
+    // or re-rank the cosine list
+    val bf = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val fusedCos = rows.filter(_.getAs[Int]("rank_cos") > 0)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Int]("rank_cos")).toMap
+    // the fused output keeps only fused-top-K rows, so the cosine list
+    // inside it must be a consistent SUBSET of bruteforce
+    fusedCos.foreach { case (k, rc) =>
+      assert(bf.get(k).contains(rc), s"cosine rank drifted for $k")
+    }
+    res.unpersist()
+  }
+
   test("ann_filtered: label-constrained top-k, pre-filter beats post-filter") {
     val res = Similarity.annFiltered(spark, sfDir).cache()
     // exactly K rows per query (every label has > K members at this sf)
