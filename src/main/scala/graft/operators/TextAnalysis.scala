@@ -342,6 +342,130 @@ object TextAnalysis {
       |  FROM tf JOIN df USING (term) CROSS JOIN n
       |) WHERE rank <= 5""".stripMargin
 
+  // ---- text_bm25: lexical retrieval scoring (oracled) ------------------
+  /** BM25 ranking (Robertson et al.; k1 = 1.2, b = 0.75) — the lexical
+    * retrieval primitive of every search / RAG stack, over a
+    * deterministic query set derived from the corpus itself: the
+    * [[Bm25QTerms]] highest-df terms of length ≥ 4 (df DESC, term ASC
+    * — a TakeOrderedAndProject, no global sort). Per query term the
+    * top-[[Bm25TopK]] documents by
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, where idf is
+    * the RATIONAL (N+1)/(df+1) — the tfidf note: ln() is not
+    * correctly rounded cross-engine, while the ratio and the length
+    * normalization are single correctly-rounded IEEE operations in an
+    * evaluation order the oracle mirrors token for token.
+    *
+    * Scale: tf is the (doc,term) partial→final agg; the query-term
+    * join broadcasts [[Bm25QTerms]] rows so only their postings are
+    * ever scored; dl attaches by doc-keyed equi-join; the per-term
+    * top-k is a partitioned window (WindowGroupLimit pushes the k
+    * cut into each partition). Nothing touches non-matching docs. */
+  private val Bm25QTerms = 8
+  private val Bm25TopK = 10
+
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("dl"))
+    val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(length(col("term")) >= 4)
+      .orderBy(col("df").desc, col("term")).limit(Bm25QTerms)
+    val tot = d.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextFns.tokens(col("text"))).cast("long")).as("tot_tokens"))
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        ((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("tot_tokens").cast("double") / col("n_docs").cast("double")))))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select("term", "df", "doc_id", "tf", "dl", "score", "rank")
+  }
+
+  val textBm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS dl
+       |  FROM documents
+       |), qterms AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |  HAVING length(term) >= 4 ORDER BY df DESC, term LIMIT $Bm25QTerms
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (SELECT CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT)
+       |     FROM documents) AS tot_tokens
+       |  FROM documents
+       |), scored AS (
+       |  SELECT q.term, q.df, tf.doc_id, tf.tf, dl.dl,
+       |    (CAST(t.n_docs + 1 AS DOUBLE) / CAST(q.df + 1 AS DOUBLE)) *
+       |      ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |        (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |          (CAST(dl.dl AS DOUBLE) /
+       |            (CAST(t.tot_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))))) AS score
+       |  FROM tf JOIN qterms q USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t
+       |)
+       |SELECT term, df, doc_id, tf, dl, score, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY term
+       |    ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $Bm25TopK""".stripMargin
+
+  // ---- text_inverted_index: search-index build accounting (oracled) ----
+  /** Inverted-index BUILD — the term-dictionary + postings accounting
+    * a search stack materializes from a corpus: per term, document
+    * frequency, collection frequency, the posting id range, and an
+    * ORDER-INDEPENDENT postings integrity digest (Σ over postings of
+    * the 40-bit salted-md5 integer of the doc id — commutative, so it
+    * aggregates map-side with no sort and no collect_list; a dropped,
+    * duplicated, or foreign posting breaks the sum). The digest is
+    * the load-time check shard_manifest performs for shards, applied
+    * to postings — 40 bits keeps Σ within BIGINT for df up to ~2^23
+    * per term; beyond that a production build accumulates it modulo
+    * 2^63 on both engines (engine-specific overflow semantics differ,
+    * the reason the width is capped here).
+    *
+    * Scale: one (doc,term) agg then one term-keyed agg, both
+    * map-side combined; postings are never materialized as a list
+    * anywhere. Output is vocabulary-sized. */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val h40 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":ii")).cast("binary")), 1, 10), 16, 10).cast("long")
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("cf"),
+      min("doc_id").as("doc_min"),
+      max("doc_id").as("doc_max"),
+      sum(h40).as("postings_sum"))
+  }
+
+  val textInvertedIndexSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+      |)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max,
+      |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ii'), 1, 10))::BIGINT)
+      |    AS BIGINT) AS postings_sum
+      |FROM tf GROUP BY term""".stripMargin
+
   // ---- text_pii: PII detection + redaction accounting (oracled) --------
   /** PII scrubbing pass of a training-data pipeline: per-doc match
     * counts for email / IPv4 / phone patterns, and the digest of the
@@ -1179,6 +1303,8 @@ object TextAnalysis {
     "text_gopher_filter" -> (textGopherFilter _),
     "text_langid" -> (textLangid _),
     "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
+    "text_inverted_index" -> (textInvertedIndex _),
     "text_fingerprint" -> (textFingerprint _),
     "text_pii" -> (textPii _),
     "text_repetition" -> (textRepetition _),
@@ -1198,6 +1324,8 @@ object TextAnalysis {
     "text_gopher_filter" -> textGopherFilterSql,
     "text_langid" -> textLangidSql,
     "text_tfidf" -> textTfidfSql,
+    "text_bm25" -> textBm25Sql,
+    "text_inverted_index" -> textInvertedIndexSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_pii" -> textPiiSql,
     "text_repetition" -> textRepetitionSql,

@@ -755,6 +755,74 @@ class TextMultimodalSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("text_bm25: query set is the top-df long terms, scores match a driver recompute") {
+    val res = TextAnalysis.textBm25(spark, sfDir).cache()
+    val rows = res.collect()
+    assert(rows.length > 0 && rows.length <= 8 * 10)
+    // rebuild tf/df/dl from the raw corpus with the same tokenizer
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+").toSeq).toMap
+    val dl = docs.view.mapValues(_.size.toLong).toMap
+    val tf = docs.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val qwant = df.filter(_._1.length >= 4).toSeq
+      .sortBy { case (t, d) => (-d, t) }.take(8).map(_._1).toSet
+    assert(rows.map(_.getAs[String]("term")).toSet == qwant,
+      "query-term selection drifted from top-df length>=4")
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs.toDouble
+    val tfMap = tf.map { case (id, t, c) => (id, t) -> c }.toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("term"); val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("tf") == tfMap((id, t)))
+      assert(r.getAs[Long]("df") == df(t))
+      assert(r.getAs[Long]("dl") == dl(id))
+      val want = ((nDocs + 1).toDouble / (df(t) + 1).toDouble) *
+        ((tfMap((id, t)).toDouble * 2.2) /
+          (tfMap((id, t)).toDouble + 1.2 * (0.25 + 0.75 * (dl(id).toDouble / avgdl))))
+      assert(r.getAs[Double]("score") == want, s"bm25 arithmetic drifted for ($t, $id)")
+    }
+    // per term: ranks are 1..k and scores non-increasing in rank order
+    rows.groupBy(_.getAs[String]("term")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length).toSeq)
+      sorted.map(_.getAs[Double]("score")).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b)
+        case _ => ()
+      }
+    }
+    res.unpersist()
+  }
+
+  test("text_inverted_index: df/cf conservation, postings digest matches a driver sum") {
+    val res = TextAnalysis.textInvertedIndex(spark, sfDir).cache()
+    val rows = res.collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+").toSeq).toMap
+    // Σcf over terms = total corpus tokens; df <= cf per term
+    assert(rows.map(_.getAs[Long]("cf")).sum == docs.values.map(_.size.toLong).sum)
+    rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("cf")))
+    def h40(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:ii".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    val postings = docs.toSeq.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("term"); val ps = postings(t)
+      assert(r.getAs[Long]("df") == ps.size.toLong)
+      assert(r.getAs[Long]("doc_min") == ps.min && r.getAs[Long]("doc_max") == ps.max)
+      assert(r.getAs[Long]("postings_sum") == ps.map(h40).sum,
+        s"postings digest drifted for term $t")
+    }
+    assert(rows.map(_.getAs[String]("term")).toSet == postings.keySet)
+    res.unpersist()
+  }
+
   test("text_perplexity: hand-computed bits on a tiny corpus") {
     import spark.implicits._
     // corpus: counts a=3 b=1 c=1 → N=5, V=3, N+V=8=2^3
