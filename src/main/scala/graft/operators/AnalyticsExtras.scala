@@ -824,7 +824,41 @@ object AnalyticsExtras {
       |SELECT price, strftime(d, '%Y-%m-%d') AS order_date, n_orders
       |FROM s WHERE mp IS NULL OR d < mp""".stripMargin
 
+  // ---- q_scd2: slowly-changing-dimension type-2 intervals --------------
+  /** SCD2 interval construction — the warehouse verb that turns an
+    * event CHANGELOG into validity intervals ("what was each user's
+    * state at time T"): per user, each event opens an interval at its
+    * timestamp that the NEXT event closes (lead over the per-user
+    * order); the open interval carries the -1 sentinel and the
+    * is_current flag. Timestamps surface as epoch micros so the whole
+    * operator is integer arithmetic. One PARTITIONED window (user-
+    * keyed, spread like every window in this file); an as-of lookup
+    * downstream becomes `valid_from <= T < valid_to` — the q_asof
+    * complement from the build side. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === -1L)
+  }
+
+  val qScd2Sql: String =
+    """SELECT user_id, event_id, event_type, valid_from_us,
+      |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_us, event_id), -1) AS valid_to_us,
+      |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_us, event_id), -1) = -1 AS is_current
+      |FROM (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS valid_from_us
+      |  FROM events
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_skyline" -> (qSkyline _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
@@ -851,6 +885,7 @@ object AnalyticsExtras {
     "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_skyline" -> qSkylineSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,

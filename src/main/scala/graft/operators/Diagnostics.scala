@@ -115,11 +115,60 @@ object Diagnostics {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY e.event_type""".stripMargin
 
+  // ---- profile_integrity: cross-table referential-integrity audit ------
+  /** The pre-join data-quality gate: before a pipeline joins two
+    * curated tables (documents ↔ embeddings by id — the text↔vector
+    * alignment every embedding-dependent operator assumes), count key
+    * cardinalities, duplicate keys per side, matched keys, and
+    * each side's orphans. A non-zero orphan or duplicate count means
+    * every downstream equi-join silently drops or fans out rows —
+    * this one-row report is the cheap scan that catches it first.
+    *
+    * Cost: two distinct-key aggregations + one equi-join and two
+    * anti-joins over the DISTINCT key sets (key-cardinality-sized,
+    * not row-sized), all crossed into one row via broadcast — the
+    * scalar-subquery shape. */
+  def profileIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("k"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id").as("k"))
+    val dd = d.distinct(); val ed = e.distinct()
+    val dK = d.agg(count(lit(1)).as("n_doc_rows"),
+      countDistinct(col("k")).as("n_doc_keys"))
+    val eK = e.agg(count(lit(1)).as("n_vec_rows"),
+      countDistinct(col("k")).as("n_vec_keys"))
+    val matched = dd.join(ed, "k").agg(count(lit(1)).as("n_matched"))
+    val dOnly = dd.join(ed, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_doc_only"))
+    val eOnly = ed.join(dd, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_vec_only"))
+    dK.crossJoin(broadcast(eK)).crossJoin(broadcast(matched))
+      .crossJoin(broadcast(dOnly)).crossJoin(broadcast(eOnly))
+      .withColumn("n_dup_doc_keys", col("n_doc_rows") - col("n_doc_keys"))
+      .withColumn("n_dup_vec_keys", col("n_vec_rows") - col("n_vec_keys"))
+  }
+
+  val profileIntegritySql: String =
+    """WITH d AS (SELECT doc_id AS k FROM documents),
+      |e AS (SELECT vec_id AS k FROM embeddings),
+      |dd AS (SELECT DISTINCT k FROM d), ed AS (SELECT DISTINCT k FROM e)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_doc_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_doc_keys,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_vec_rows,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_vec_keys,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd JOIN ed USING (k)) AS n_matched,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dd WHERE k NOT IN (SELECT k FROM ed)) AS n_doc_only,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ed WHERE k NOT IN (SELECT k FROM dd)) AS n_vec_only,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d) - (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_dup_doc_keys,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) - (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_dup_vec_keys""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_skew" -> (profileSkew _),
+    "profile_integrity" -> (profileIntegrity _),
     "q_skew_join" -> (qSkewJoin _))
 
   val oracle: Map[String, String] = Map(
     "profile_skew" -> profileSkewSql,
+    "profile_integrity" -> profileIntegritySql,
     "q_skew_join" -> qSkewJoinSql)
 }

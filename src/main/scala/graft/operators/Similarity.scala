@@ -1249,6 +1249,48 @@ object Similarity {
       |)
       |GROUP BY label, dim""".stripMargin
 
+  // ---- vec_quality: embedding-table QA before indexing -----------------
+  /** Embedding-table health audit — the gate a pipeline runs before
+    * spending cluster-hours building an ANN index over a corpus-scale
+    * vector table: per label, cardinality, dimension bounds (a mixed-
+    * dim table breaks every kernel downstream), zero-vector count
+    * (they poison cosine), and the L2-norm distribution (min/max/
+    * sum/mean — collapsed or exploded norms flag a broken encoder).
+    * One map stage + one label-keyed agg with map-side combine; the
+    * norm sum follows the §5 decimal-sum convention so the double is
+    * partition-order-independent and bit-exact cross-engine (sqrt and
+    * the self-inner-product are correctly-rounded IEEE ops in the
+    * proven dot-kernel class). */
+  def vecQuality(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+    val nrm = sqrt(VectorFns.dot(col("embedding"), col("embedding")))
+    e.select(col("label"), size(col("embedding")).cast("long").as("dim"),
+        nrm.as("nrm"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        min("dim").as("dim_min"), max("dim").as("dim_max"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min("nrm").as("norm_min"), max("nrm").as("norm_max"),
+        sum(col("nrm").cast(DecimalType(24, 12))).cast("double").as("norm_sum"))
+      .withColumn("norm_mean", col("norm_sum") / col("n_vecs").cast("double"))
+  }
+
+  val vecQualitySql: String =
+    """WITH v AS (
+      |  SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+      |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                            CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+      |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  MIN(nrm) AS norm_min, MAX(nrm) AS norm_max,
+      |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS norm_sum,
+      |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS norm_mean
+      |FROM v GROUP BY label""".stripMargin
+
   // ---- ann_rank_fusion: hybrid retrieval via Reciprocal Rank Fusion ----
   /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
     * hybrid-retrieval combiner: two scorers rank the same candidate
@@ -1322,6 +1364,7 @@ object Similarity {
     "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_rank_fusion" -> (annRankFusion _),
+    "vec_quality" -> (vecQuality _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1482,6 +1525,7 @@ object Similarity {
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_rank_fusion" -> annRankFusionSql,
+    "vec_quality" -> vecQualitySql,
     "ann_filtered" -> annFilteredSql,
     "ann_depth_picks" -> annDepthPicksSql,
     "ann_depth_sweep" -> annDepthSweepSql,

@@ -336,4 +336,28 @@ class AnalyticsExtrasSpec extends SparkSpec {
     // the corpus exercises the full funnel and at least one shallower depth
     assert(got.values.exists(_._1 == 3), "no user completed the funnel")
   }
+
+  test("q_scd2: intervals chain per user, exactly one open interval each") {
+    val rows = AnalyticsExtras.qScd2(spark, sfDir).collect()
+    assert(rows.length == Tables.events(spark, sfDir).count(),
+      "one interval per changelog event")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val inOrder = rs.sortBy(r =>
+        (r.getAs[Long]("valid_from_us"), r.getAs[Long]("event_id")))
+      // each interval closes at the next one's open; the last is open
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"interval chain broken for user $u")
+        case _ => ()
+      }
+      assert(inOrder.last.getAs[Long]("valid_to_us") == -1L)
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u must have exactly one open interval")
+      // closed intervals are non-degenerate or zero-length, never inverted
+      rs.filter(r => r.getAs[Long]("valid_to_us") != -1L).foreach { r =>
+        assert(r.getAs[Long]("valid_to_us") >= r.getAs[Long]("valid_from_us"))
+      }
+    }
+  }
 }

@@ -64,4 +64,19 @@ class DiagnosticsSpec extends SparkSpec {
     assert(plan.contains("explode") || plan.contains("Expand") ||
       plan.contains("Generate"), s"no salt replication in plan:\n$plan")
   }
+
+  test("profile_integrity: set identities hold against direct counts") {
+    val r = Diagnostics.profileIntegrity(spark, sfDir).collect().head
+    val docKeys = r.getAs[Long]("n_doc_keys"); val vecKeys = r.getAs[Long]("n_vec_keys")
+    // matched + one-side-only partitions each key set exactly
+    assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_doc_only") == docKeys)
+    assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_vec_only") == vecKeys)
+    assert(r.getAs[Long]("n_dup_doc_keys") ==
+      r.getAs[Long]("n_doc_rows") - docKeys)
+    assert(r.getAs[Long]("n_dup_vec_keys") ==
+      r.getAs[Long]("n_vec_rows") - vecKeys)
+    // direct recount of both sides
+    assert(r.getAs[Long]("n_doc_rows") == Tables.documents(spark, sfDir).count())
+    assert(r.getAs[Long]("n_vec_rows") == Tables.embeddings(spark, sfDir).count())
+  }
 }

@@ -18,6 +18,23 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("vec_quality: norms bounded and consistent, counts conserve the table") {
+    val rows = Similarity.vecQuality(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim_min") == r.getAs[Long]("dim_max"),
+        "synthetic embeddings must be fixed-dim")
+      val mn = r.getAs[Double]("norm_min"); val mx = r.getAs[Double]("norm_max")
+      val mean = r.getAs[Double]("norm_mean")
+      assert(mn >= 0.0 && mn <= mx)
+      // the decimal-summed mean sits within the min/max envelope (up
+      // to the 1e-12 decimal quantization of each summand)
+      assert(mean >= mn - 1e-9 && mean <= mx + 1e-9)
+      assert(r.getAs[Long]("n_zero") == 0, "generator emits no zero vectors")
+    }
+  }
+
   test("ann_rank_fusion: RRF arithmetic exact, cosine top set preserved") {
     val res = Similarity.annRankFusion(spark, sfDir).cache()
     assert(res.count() == Similarity.NQueries.toLong * Similarity.TopK)
