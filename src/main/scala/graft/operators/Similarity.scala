@@ -1256,11 +1256,19 @@ object Similarity {
     * dim table breaks every kernel downstream), zero-vector count
     * (they poison cosine), and the L2-norm distribution (min/max/
     * sum/mean — collapsed or exploded norms flag a broken encoder).
-    * One map stage + one label-keyed agg with map-side combine; the
-    * norm sum follows the §5 decimal-sum convention so the double is
-    * partition-order-independent and bit-exact cross-engine (sqrt and
-    * the self-inner-product are correctly-rounded IEEE ops in the
-    * proven dot-kernel class). */
+    * One map stage + one label-keyed agg with map-side combine.
+    *
+    * The norm sum is BINARY Q40 fixed-point (⌊nrm·2⁴⁰⌋ summed as
+    * BIGINT), NOT the §5 decimal convention: norms carry full 52-bit
+    * mantissas, and rounding such a double to DECIMAL(24,12) lands on
+    * the 12th-digit boundary differently across engines (measured:
+    * 2/10 labels off by one decimal ulp at sf1 — the sf0.01 pass
+    * hid it; the step-up caught it). Multiplying by 2⁴⁰ is EXACT in
+    * IEEE (no mantissa rounding), floor is exact, and the integer sum
+    * is order-independent — bit-identical everywhere, headroom to
+    * 2⁶³⁻⁴⁰ ≈ 8M unit-norm rows per group (re-scale for more). */
+  private val NormQ = 1099511627776.0 // 2^40
+
   def vecQuality(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, Tables.embeddings(s, dir))
     val nrm = sqrt(VectorFns.dot(col("embedding"), col("embedding")))
@@ -1271,8 +1279,9 @@ object Similarity {
         min("dim").as("dim_min"), max("dim").as("dim_max"),
         sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
         min("nrm").as("norm_min"), max("nrm").as("norm_max"),
-        sum(col("nrm").cast(DecimalType(24, 12))).cast("double").as("norm_sum"))
-      .withColumn("norm_mean", col("norm_sum") / col("n_vecs").cast("double"))
+        sum(floor(col("nrm") * lit(NormQ))).as("norm_sum_q40"))
+      .withColumn("norm_mean", col("norm_sum_q40").cast("double") /
+        (col("n_vecs").cast("double") * lit(NormQ)))
   }
 
   val vecQualitySql: String =
@@ -1286,9 +1295,9 @@ object Similarity {
       |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
       |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  MIN(nrm) AS norm_min, MAX(nrm) AS norm_max,
-      |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE) AS norm_sum,
-      |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(24,12))) AS VARCHAR) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS norm_mean
+      |  CAST(SUM(CAST(floor(nrm * 1099511627776.0) AS BIGINT)) AS BIGINT) AS norm_sum_q40,
+      |  CAST(CAST(SUM(CAST(floor(nrm * 1099511627776.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS norm_mean
       |FROM v GROUP BY label""".stripMargin
 
   // ---- ann_rank_fusion: hybrid retrieval via Reciprocal Rank Fusion ----
