@@ -857,7 +857,70 @@ object AnalyticsExtras {
       |  FROM events
       |)""".stripMargin
 
+  // ---- q_recursive: hierarchy closure via pointer doubling -------------
+  /** Recursive-CTE semantics (the `WITH RECURSIVE` ancestor closure
+    * every warehouse engine ships and Spark SQL lacks): resolve each
+    * node of a forest to its ROOT ancestor and DEPTH. The hierarchy
+    * derives deterministically from the customer table — parent(v) =
+    * (v − R) div F for v ≥ R, nodes below R are roots — so both
+    * engines build the identical forest with no synthetic input.
+    *
+    * The Spark plan is POINTER DOUBLING, not depth-step iteration:
+    * each round joins the state table with itself on the current
+    * ancestor pointer (anc ← anc∘anc, depth additive), so a
+    * depth-D hierarchy resolves in ⌈log₂ D⌉ self-joins instead of
+    * D semi-naive passes — at 100 TB a 30-deep corporate hierarchy
+    * costs 5 shuffles, not 30. Roots are fixpoints (anc = v,
+    * d = 0), so the join never loses rows; convergence is detected
+    * by the total-depth sum going stationary (1-row agg per round),
+    * and rounds are eagerly checkpointed + freed on exit
+    * ([[CheckpointScope]] — the pagerank lifecycle).
+    *
+    * Oracle: DuckDB evaluates the same closure with a genuine
+    * `WITH RECURSIVE` — integer end-to-end, exact hash compare. */
+  private[operators] val RecRoots = 3L
+  private[operators] val RecFanout = 8L
+
+  def qRecursive(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.customer(s, dir).select(col("c_custkey").as("v"))
+    val result = CheckpointScope.scoped(s) { ck =>
+      var st = ck(nodes.select(col("v"),
+        when(col("v") < RecRoots, col("v"))
+          .otherwise(expr(s"(v - $RecRoots) div $RecFanout")).as("anc"),
+        when(col("v") < RecRoots, lit(0L)).otherwise(lit(1L)).as("d")))
+      var total = -1L
+      var converged = false
+      while (!converged) {
+        val hop = st.select(col("v").as("anc"), col("anc").as("anc2"),
+          col("d").as("d2"))
+        val next = ck(st.join(hop, "anc")
+          .select(col("v"), col("anc2").as("anc"), (col("d") + col("d2")).as("d")))
+        val sumD = next.agg(sum("d")).first().getLong(0)
+        converged = sumD == total
+        total = sumD
+        st = next
+      }
+      // materialized OUTSIDE ck: node-sized result survives the
+      // scope's round-block cleanup
+      st.select(col("v").as("custkey"), col("anc").as("root"),
+        col("d").as("depth")).localCheckpoint(true)
+    }
+    result
+  }
+
+  val qRecursiveSql: String =
+    s"""WITH RECURSIVE h AS (
+      |  SELECT c_custkey AS v, c_custkey AS root, CAST(0 AS BIGINT) AS depth
+      |  FROM customer WHERE c_custkey < $RecRoots
+      |  UNION ALL
+      |  SELECT c.c_custkey, h.root, h.depth + 1
+      |  FROM customer c JOIN h ON (c.c_custkey - $RecRoots) // $RecFanout = h.v
+      |  WHERE c.c_custkey >= $RecRoots
+      |)
+      |SELECT v AS custkey, root, depth FROM h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive" -> (qRecursive _),
     "q_scd2" -> (qScd2 _),
     "q_skyline" -> (qSkyline _),
     "q_retention" -> (qRetention _),
@@ -885,6 +948,7 @@ object AnalyticsExtras {
     "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_recursive" -> qRecursiveSql,
     "q_scd2" -> qScd2Sql,
     "q_skyline" -> qSkylineSql,
     "q_retention" -> qRetentionSql,

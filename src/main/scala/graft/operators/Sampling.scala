@@ -662,7 +662,146 @@ object Sampling {
       |    THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
       |FROM c JOIN e USING (source)""".stripMargin
 
+  // ---- mix_dsir: hashed-n-gram importance resampling (DSIR) ------------
+  /** DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much it
+    * looks like a TARGET corpus under two bag-of-hashed-n-grams
+    * unigram models, then resample ∝ the importance weight. Features
+    * are unigrams + word bigrams hashed into [[DsirBuckets]] buckets
+    * (md5 prefix, the file's cross-engine randomness primitive);
+    * target = the `lang = 'en'` slice (stand-in for "high-quality
+    * reference corpus"), raw = the whole corpus. Per bucket b the
+    * log-likelihood ratio is ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))
+    * (add-one smoothing), and a document's log-weight is the
+    * c_b-weighted sum — DSIR eq. (3) specialised to unigram models
+    * over hashed features, exactly the paper's instantiation.
+    * Resampling is sampling-without-replacement ∝ softmax(logw) via
+    * the Gumbel-top-K identity: key = logw + Gumbel(md5-uniform),
+    * take the K largest keys — deterministic because the Gumbel
+    * uniform derives from the salted doc hash, not an RNG.
+    *
+    * Scale: the feature stream shuffles once on (doc_id, bucket)
+    * with map-side combine; both unigram models are BUCKET-sized
+    * (B rows — bounded state regardless of corpus size, the whole
+    * point of hashed features) and broadcast back; the global top-K
+    * rank rides [[PrefixSum.runningSumWithTotal]] (range partition +
+    * broadcast offsets), never a single-task global window. At
+    * 100 TB: one map pass + one bounded-key shuffle + a B-row
+    * broadcast — the paper's own posture (they stream 400 GB of
+    * Pile through fixed 10k-bucket models).
+    *
+    * Oracle: bucket ids, counts, and both model tables are exact
+    * integer arithmetic recomputed by DuckDB; logw/sel_key cross
+    * engines through ln(), so the oracle recomputes both and
+    * FILTERS on |echo − recompute| ≤ 1e-9·max(1,|·|) (the
+    * text_perplexity certificate pattern), then re-derives rank and
+    * selection from the ECHOED sel_key — bit-identical by
+    * construction. */
+  private[operators] val DsirBuckets = 256
+  private[operators] val DsirK = 100
+  private val DsirTargetLang = "en"
+  private val Two52 = 4503599627370496.0 // 2^52, top 13 md5 hex chars
+
+  def mixDsir(s: SparkSession, dir: String): DataFrame = {
+    val ts = TextFnsTokens(col("text"))
+    val bigrams = when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ts) - 1),
+        i => concat(element_at(ts, i), lit("_"), element_at(ts, i + 1))))
+    val feats = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(ts, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(col("f"), lit(":dsir")).cast("binary")),
+          1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
+    val perDoc = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val rawB = feats.groupBy("b").agg(count(lit(1)).as("r"))
+    val tgtB = feats.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(count(lit(1)).as("t"))
+    val models = rawB.join(tgtB, Seq("b"), "left")
+      .select(col("b"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+    val totals = models.agg(sum("r").as("rt"), sum("t").as("tt"))
+    val lr = models.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("t") + lit(1L)).cast("double") /
+            (col("tt").cast("double") + lit(DsirBuckets.toDouble))) -
+          log((col("r") + lit(1L)).cast("double") /
+            (col("rt").cast("double") + lit(DsirBuckets.toDouble)))).as("lr"))
+    val scored = perDoc.join(broadcast(lr), "b")
+      .groupBy("doc_id").agg(
+        sum("c").as("n_feats"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":dsg")).cast("binary")), 1, 13), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(Two52)
+    val keyed = scored
+      .withColumn("sel_key", col("logw") - log(-log(u)))
+      .withColumn("one", lit(1L))
+    val (ranked, _) = PrefixSum.runningSumWithTotal(keyed,
+      Seq(negate(col("sel_key")), col("doc_id")), "one", "rk")
+    ranked.select(col("doc_id"), col("n_feats"), col("logw"),
+      col("sel_key"), col("rk"), (col("rk") <= DsirK).as("selected"))
+  }
+
+  /** Sampling keeps its own alias so the file stays self-contained:
+    * the token convention is TextAnalysis's (lower, trim, \s+). */
+  private def TextFnsTokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  val mixDsirSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, n_feats, logw, sel_key
+      |  FROM read_parquet('{VERIFY_OUT}/mix_dsir/*.parquet')
+      |), toks AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(f || ':dsir'), 1, 4))::BIGINT % $DsirBuckets AS b
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_concat(ts, CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i+1])
+      |        END)) AS f
+      |    FROM toks
+      |  )
+      |), dc AS (
+      |  SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY doc_id, b
+      |), m AS (
+      |  SELECT b, COUNT(*) AS r,
+      |    COUNT(*) FILTER (WHERE lang = '$DsirTargetLang') AS t
+      |  FROM feats GROUP BY b
+      |), tot AS (
+      |  SELECT CAST(SUM(r) AS BIGINT) AS rt, CAST(SUM(t) AS BIGINT) AS tt FROM m
+      |), lr AS (
+      |  SELECT m.b,
+      |    ln(CAST(m.t + 1 AS DOUBLE) / (CAST(tot.tt AS DOUBLE) + $DsirBuckets.0))
+      |      - ln(CAST(m.r + 1 AS DOUBLE) / (CAST(tot.rt AS DOUBLE) + $DsirBuckets.0)) AS lr
+      |  FROM m CROSS JOIN tot
+      |), x AS (
+      |  SELECT dc.doc_id, CAST(SUM(dc.c) AS BIGINT) AS n_feats,
+      |    SUM(CAST(dc.c AS DOUBLE) * lr.lr) AS logw_x
+      |  FROM dc JOIN lr USING (b) GROUP BY dc.doc_id
+      |), xx AS (
+      |  SELECT x.doc_id, x.n_feats, x.logw_x,
+      |    x.logw_x - ln(-ln((('0x' || substr(${hashKeySql("x.doc_id", "dsg")}, 1, 13))::BIGINT
+      |      + 0.5) / $Two52)) AS key_x
+      |  FROM x
+      |), ok AS (
+      |  SELECT p.doc_id, p.n_feats, p.logw, p.sel_key
+      |  FROM p JOIN xx USING (doc_id)
+      |  WHERE p.n_feats = xx.n_feats
+      |    AND abs(p.logw - xx.logw_x) <= 1e-9 * greatest(abs(xx.logw_x), 1.0)
+      |    AND abs(p.sel_key - xx.key_x) <= 1e-9 * greatest(abs(xx.key_x), 1.0)
+      |), r AS (
+      |  SELECT doc_id, n_feats, logw, sel_key,
+      |    CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rk
+      |  FROM ok
+      |)
+      |SELECT doc_id, n_feats, logw, sel_key, rk, rk <= $DsirK AS selected
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mix_dsir" -> (mixDsir _),
     "mix_temperature" -> (mixTemperature _),
     "mix_epochs" -> (mixEpochs _),
     "sample_hash" -> (sampleHash _),
@@ -677,6 +816,7 @@ object Sampling {
     "mix_curriculum" -> (mixCurriculum _))
 
   val oracle: Map[String, String] = Map(
+    "mix_dsir" -> mixDsirSql,
     "mix_temperature" -> mixTemperatureSql,
     "sample_hash" -> sampleHashSql,
     "sample_split" -> sampleSplitSql,

@@ -360,4 +360,29 @@ class AnalyticsExtrasSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_recursive: closure matches the parent relation exactly, log-round depth") {
+    val rows = AnalyticsExtras.qRecursive(spark, sfDir).collect()
+    val n = Tables.customer(spark, sfDir).count()
+    assert(rows.length == n, "closure must cover every node exactly once")
+    val byV = rows.map(r => r.getAs[Long]("custkey") ->
+      (r.getAs[Long]("root"), r.getAs[Long]("depth"))).toMap
+    assert(byV.size == n, "duplicate nodes in closure")
+    val R = 3L; val F = 8L
+    byV.foreach { case (v, (root, depth)) =>
+      if (v < R) {
+        assert(root == v && depth == 0L, s"root row wrong for $v")
+      } else {
+        val p = (v - R) / F
+        val (pr, pd) = byV(p)
+        assert(root == pr, s"node $v root differs from its parent's")
+        assert(depth == pd + 1, s"node $v depth is not parent+1")
+        assert(root < R, s"node $v resolved to a non-root $root")
+      }
+    }
+    // depth is logarithmic in n (the forest is F-ary by construction)
+    val maxDepth = byV.values.map(_._2).max
+    assert(maxDepth <= (math.log(n.toDouble) / math.log(F.toDouble)).ceil.toLong + 1,
+      s"depth $maxDepth exceeds the F-ary bound")
+  }
 }

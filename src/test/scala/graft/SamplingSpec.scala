@@ -440,4 +440,45 @@ class SamplingSpec extends SparkSpec {
         md5hex(s"${r.getAs[Long]("doc_id")}:curr"))
     }
   }
+
+  test("mix_dsir: permutation rank, exact-K selection, target-likeness, Gumbel key recompute") {
+    val rows = Sampling.mixDsir(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n, "every document must be scored")
+    // rk is exactly 1..n and selection is exactly the top-K keys
+    assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to n).toSeq)
+    assert(rows.count(_.getAs[Boolean]("selected")) == math.min(100, n))
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        val ka = (-a.getAs[Double]("sel_key"), a.getAs[Long]("doc_id"))
+        val kb = (-b.getAs[Double]("sel_key"), b.getAs[Long]("doc_id"))
+        assert(Ordering[(Double, Long)].lt(ka, kb), "rank order broke key order")
+      case _ => ()
+    }
+    // sel_key − logw is the deterministic Gumbel: recompute from md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.take(20).foreach { r =>
+      val u52 = java.lang.Long.parseLong(
+        md5hex(s"${r.getAs[Long]("doc_id")}:dsg").take(13), 16)
+      val g = -math.log(-math.log((u52 + 0.5) / 4503599627370496.0))
+      val echo = r.getAs[Double]("sel_key") - r.getAs[Double]("logw")
+      assert(math.abs(echo - g) <= 1e-9 * math.max(1.0, math.abs(g)),
+        s"Gumbel drift for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // the point of DSIR: target-language docs score higher on average
+    val langs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val (en, rest) = rows.partition(r => langs(r.getAs[Long]("doc_id")) == "en")
+    val meanEn = en.map(_.getAs[Double]("logw")).sum / en.length
+    val meanRest = rest.map(_.getAs[Double]("logw")).sum / rest.length
+    assert(meanEn > meanRest,
+      s"target docs must out-score raw on average: en=$meanEn rest=$meanRest")
+    // deterministic end-to-end
+    val again = Sampling.mixDsir(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }
