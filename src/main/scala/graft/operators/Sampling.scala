@@ -713,10 +713,16 @@ object Sampling {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(concat(col("f"), lit(":dsir")).cast("binary")),
           1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
-    val perDoc = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    val rawB = feats.groupBy("b").agg(count(lit(1)).as("r"))
-    val tgtB = feats.filter(col("lang") === DsirTargetLang)
-      .groupBy("b").agg(count(lit(1)).as("t"))
+    // ONE tokenize+hash pass: everything downstream (both models,
+    // totals, the per-doc score) derives from this bounded table
+    // (≤ B rows per doc, ~32 B each — far smaller than the text it
+    // summarizes), eagerly checkpointed so the explode subtree is
+    // never recomputed (unchecked it ran 5×: r11q bench 11.0 s → this)
+    val perDoc = feats.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val rawB = perDoc.groupBy("b").agg(sum("c").as("r"))
+    val tgtB = perDoc.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(sum("c").as("t"))
     val models = rawB.join(tgtB, Seq("b"), "left")
       .select(col("b"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
     val totals = models.agg(sum("r").as("rt"), sum("t").as("tt"))
