@@ -919,7 +919,60 @@ object AnalyticsExtras {
       |)
       |SELECT v AS custkey, root, depth FROM h""".stripMargin
 
+  // ---- q_interval_merge: coalesce overlapping validity intervals -------
+  /** Interval coalescing (the warehouse "merge overlapping periods"
+    * verb — distinct from q_sessionize, which islands POINTS by gap;
+    * here the inputs are INTERVALS with ends, and two intervals merge
+    * iff they overlap or touch). Each event opens a 30-minute
+    * validity interval; per user, overlapping-or-adjacent intervals
+    * collapse to one row with the merged span and member count.
+    * The classic two-window formulation: running max of prior ends
+    * (ROWS to -1), an island increments where start > that max, then
+    * one grouped agg per (user, island). Both windows share the
+    * single user_id partition — ONE shuffle, integer micros
+    * end-to-end, exact oracle. */
+  private[operators] val IvLenUs = 1800000000L // 30 min
+
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("start_us"), col("end_us"), col("event_id"))
+    val iv = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(IvLenUs))
+      .withColumn("prev_max_end",
+        max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    iv.withColumn("island",
+        sum(when(col("prev_max_end").isNull ||
+          col("start_us") > col("prev_max_end"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("start_us").as("start_us"), max("end_us").as("end_us"),
+        count(lit(1)).as("n_merged"))
+  }
+
+  val qIntervalMergeSql: String =
+    s"""WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + $IvLenUs AS end_us
+      |  FROM events
+      |), pm AS (
+      |  SELECT *, max(end_us) OVER (PARTITION BY user_id
+      |    ORDER BY start_us, end_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |  FROM iv
+      |), isl AS (
+      |  SELECT *, CAST(SUM(CASE WHEN prev_max_end IS NULL
+      |      OR start_us > prev_max_end THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY start_us, end_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM pm
+      |)
+      |SELECT user_id, island, MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_merged
+      |FROM isl GROUP BY user_id, island""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_merge" -> (qIntervalMerge _),
     "q_recursive" -> (qRecursive _),
     "q_scd2" -> (qScd2 _),
     "q_skyline" -> (qSkyline _),
@@ -948,6 +1001,7 @@ object AnalyticsExtras {
     "q_percent_rank" -> (qPercentRank _))
 
   val oracle: Map[String, String] = Map(
+    "q_interval_merge" -> qIntervalMergeSql,
     "q_recursive" -> qRecursiveSql,
     "q_scd2" -> qScd2Sql,
     "q_skyline" -> qSkylineSql,

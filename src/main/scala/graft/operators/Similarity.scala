@@ -1300,6 +1300,76 @@ object Similarity {
       |    / (CAST(COUNT(*) AS DOUBLE) * 1099511627776.0) AS norm_mean
       |FROM v GROUP BY label""".stripMargin
 
+  // ---- vec_cov: exact distributed covariance (the PCA reduction) -------
+  /** The distributed half of PCA/whitening over the embedding table:
+    * the d×d covariance matrix as one upper-triangle row set
+    * (i ≤ j), computed EXACTLY — each pairwise product is floored to
+    * binary Q40 fixed-point per term (float→double cast and the one
+    * product rounding are IEEE-deterministic; ×2⁴⁰ is an exact
+    * exponent shift; floor is exact) and summed as BIGINT, so the
+    * moment sums are bit-identical on any engine and any partition
+    * order. cov = E[xy] − E[x]E[y] is then derived from the exact
+    * integers by one fixed expression shape both engines evaluate
+    * identically. The d×d eigen-solve that completes PCA is a
+    * driver-side O(d³) step on this 2080-row result (the same split
+    * Spark MLlib uses: distributed Gramian, local eigen) — the
+    * ENGINE's job, done here, is the corpus-sized reduction.
+    *
+    * Scale: the upper triangle explodes d(d+1)/2 terms per row from
+    * WITHIN the row (no self-join — candidate pairs never shuffle),
+    * and the only exchange is the (i,j)-keyed partial→final agg of
+    * d(d+1)/2 groups. Headroom: |x|≤1 terms sum to < 2⁶³ up to ~8M
+    * rows per group at Q40; re-scale Q for more. */
+  private val CovQ = 1099511627776.0 // 2^40
+
+  def vecCov(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+    val v = col("embedding")
+    val upper = flatten(transform(sequence(lit(0), size(v) - 1), i =>
+      transform(sequence(i, size(v) - 1), j => struct(
+        i.as("i"), j.as("j"),
+        floor(element_at(v, i + 1).cast("double") *
+          element_at(v, j + 1).cast("double") * lit(CovQ)).as("pq")))))
+    val moments = e.select(explode(upper).as("p"))
+      .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), sum("p.pq").as("sxx_q40"))
+    val firsts = e.select(posexplode(v).as(Seq("i", "x")))
+      .groupBy(col("i").cast("long").as("i"))
+      .agg(sum(floor(col("x").cast("double") * lit(CovQ))).as("sx_q40"))
+    def m(c: String) = col(c).cast("double") / lit(CovQ) / col("n").cast("double")
+    moments
+      .join(broadcast(firsts.select(col("i"), col("sx_q40").as("sxi_q40"))), "i")
+      .join(broadcast(firsts.select(col("i").as("j"), col("sx_q40").as("sxj_q40"))), "j")
+      .select(col("i"), col("j"), col("n"), col("sxx_q40"),
+        col("sxi_q40"), col("sxj_q40"),
+        (m("sxx_q40") - m("sxi_q40") * m("sxj_q40")).as("cov"))
+  }
+
+  val vecCovSql: String =
+    """WITH e AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), px AS (
+      |  SELECT ii.i AS i, jj.j AS j,
+      |    CAST(floor(v[ii.i + 1] * v[jj.j + 1] * 1099511627776.0) AS BIGINT) AS pq
+      |  FROM e, unnest(generate_series(0, len(v) - 1)) AS ii(i),
+      |       unnest(generate_series(0, len(v) - 1)) AS jj(j)
+      |  WHERE jj.j >= ii.i
+      |), m AS (
+      |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pq) AS BIGINT) AS sxx_q40
+      |  FROM px GROUP BY i, j
+      |), f AS (
+      |  SELECT ii.i AS i,
+      |    CAST(SUM(CAST(floor(v[ii.i + 1] * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sx_q40
+      |  FROM e, unnest(generate_series(0, len(v) - 1)) AS ii(i)
+      |  GROUP BY ii.i
+      |)
+      |SELECT m.i, m.j, m.n, m.sxx_q40, fi.sx_q40 AS sxi_q40, fj.sx_q40 AS sxj_q40,
+      |  CAST(m.sxx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE)
+      |    - (CAST(fi.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE))
+      |      * (CAST(fj.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE)) AS cov
+      |FROM m JOIN f fi ON m.i = fi.i JOIN f fj ON m.j = fj.i""".stripMargin
+
   // ---- ann_rank_fusion: hybrid retrieval via Reciprocal Rank Fusion ----
   /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
     * hybrid-retrieval combiner: two scorers rank the same candidate
@@ -1374,6 +1444,7 @@ object Similarity {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_rank_fusion" -> (annRankFusion _),
     "vec_quality" -> (vecQuality _),
+    "vec_cov" -> (vecCov _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1535,6 +1606,7 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_rank_fusion" -> annRankFusionSql,
     "vec_quality" -> vecQualitySql,
+    "vec_cov" -> vecCovSql,
     "ann_filtered" -> annFilteredSql,
     "ann_depth_picks" -> annDepthPicksSql,
     "ann_depth_sweep" -> annDepthSweepSql,

@@ -385,4 +385,39 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(maxDepth <= (math.log(n.toDouble) / math.log(F.toDouble)).ceil.toLong + 1,
       s"depth $maxDepth exceeds the F-ary bound")
   }
+
+  test("q_interval_merge: islands disjoint with real gaps, conservation, driver replay") {
+    val rows = AnalyticsExtras.qIntervalMerge(spark, sfDir).collect()
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s")))
+    val len = 1800000000L
+    // conservation: every event lands in exactly one island
+    assert(rows.map(_.getAs[Long]("n_merged")).sum == events.length)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, rs) =>
+      val spans = rs.sortBy(_.getAs[Long]("island"))
+      // islands are numbered 1..k and strictly separated (gap > 0)
+      assert(spans.map(_.getAs[Long]("island")).toSeq ==
+        (1L to spans.length).toSeq, s"island numbering broken for user $u")
+      spans.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_us") < b.getAs[Long]("start_us"),
+            s"adjacent islands overlap/touch for user $u")
+        case _ => ()
+      }
+      // driver replay of the merge for this user
+      val ivs = events.filter(_._1 == u).map(_._2).sorted.map(s => (s, s + len))
+      val merged = ivs.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ms, me, n) :: tail if s <= me =>
+            (ms, math.max(me, e), n + 1) :: tail
+          case _ => (s, e, 1L) :: acc
+        }
+      }.reverse
+      val got = spans.map(r => (r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_merged"))).toList
+      assert(got == merged, s"merge replay mismatch for user $u")
+    }
+  }
 }

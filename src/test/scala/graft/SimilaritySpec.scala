@@ -477,4 +477,38 @@ class SimilaritySpec extends SparkSpec {
         s"centroid drifted for label $l: ${r.getAs[Double]("mean_v")} vs $mean")
     }
   }
+
+  test("vec_cov: full upper triangle, exact Q40 sums vs driver recompute, PSD diagonals") {
+    val rows = Similarity.vecCov(spark, sfDir).collect()
+    val embs = Tables.embeddings(spark, sfDir)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val d = embs.head.length
+    assert(rows.length == d * (d + 1) / 2, "upper triangle incomplete")
+    val byIj = rows.map(r =>
+      (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+    assert(byIj.size == rows.length, "duplicate (i,j) cells")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("i") <= r.getAs[Long]("j"))
+      assert(r.getAs[Long]("n") == embs.length)
+    }
+    // bit-exact driver recompute of the Q40 moment sums for a cell row
+    val q = 1099511627776.0
+    for (j <- Seq(0L, 1L, (d - 1).toLong)) {
+      val r = byIj((0L, j))
+      val sxx = embs.map(e =>
+        math.floor(e(0).toDouble * e(j.toInt).toDouble * q).toLong).sum
+      val sxi = embs.map(e => math.floor(e(0).toDouble * q).toLong).sum
+      assert(r.getAs[Long]("sxx_q40") == sxx, s"sxx_q40 drift at (0,$j)")
+      assert(r.getAs[Long]("sxi_q40") == sxi, s"sxi_q40 drift at (0,$j)")
+    }
+    // diagonal variances are positive; off-diagonals obey Cauchy-Schwarz
+    val diag = (0 until d).map(i => byIj((i.toLong, i.toLong)).getAs[Double]("cov"))
+    diag.foreach(v => assert(v > 0.0, "zero/negative variance on real data"))
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val c = r.getAs[Double]("cov")
+      assert(c * c <= diag(i) * diag(j) * (1.0 + 1e-6) + 1e-12,
+        s"Cauchy-Schwarz violated at ($i,$j)")
+    }
+  }
 }
