@@ -1315,27 +1315,63 @@ object Similarity {
     * Spark MLlib uses: distributed Gramian, local eigen) — the
     * ENGINE's job, done here, is the corpus-sized reduction.
     *
-    * Scale: the upper triangle explodes d(d+1)/2 terms per row from
-    * WITHIN the row (no self-join — candidate pairs never shuffle),
-    * and the only exchange is the (i,j)-keyed partial→final agg of
-    * d(d+1)/2 groups. Headroom: |x|≤1 terms sum to < 2⁶³ up to ~8M
-    * rows per group at Q40; re-scale Q for more. */
+    * Scale: one corpus pass folds each partition into a single
+    * d²-long accumulator (no self-join — candidate pairs never
+    * exist as rows), so the only exchange carries #partitions × d²
+    * partial rows into a d(d+1)/2-group final agg. Headroom: |x|≤1
+    * terms sum to < 2⁶³ up to ~8M rows per group at Q40; re-scale Q
+    * for more. */
   private val CovQ = 1099511627776.0 // 2^40
 
   def vecCov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Tables.parallel(s, Tables.embeddings(s, dir))
-    val v = col("embedding")
-    val upper = flatten(transform(sequence(lit(0), size(v) - 1), i =>
-      transform(sequence(i, size(v) - 1), j => struct(
-        i.as("i"), j.as("j"),
-        floor(element_at(v, i + 1).cast("double") *
-          element_at(v, j + 1).cast("double") * lit(CovQ)).as("pq")))))
-    val moments = e.select(explode(upper).as("p"))
-      .groupBy(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"), sum("p.pq").as("sxx_q40"))
-    val firsts = e.select(posexplode(v).as(Seq("i", "x")))
-      .groupBy(col("i").cast("long").as("i"))
-      .agg(sum(floor(col("x").cast("double") * lit(CovQ))).as("sx_q40"))
+    // Per-partition d²-accumulator partials (the k-means-partials
+    // class): each partition folds its rows into ONE upper-triangle
+    // long array and emits d(d+1)/2 (+d first-moment) rows — the
+    // shuffle is #partitions × d², never corpus × d² (an explode
+    // formulation shipped n·d²/2 rows through the agg; at 10⁹ rows
+    // that is the whole job). Integer sums are associative, so the
+    // partial→final split is exact. j = −1 marks first-moment rows.
+    val partials = e.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var d = -1
+        var acc: Array[Long] = null
+        var sx: Array[Long] = null
+        var n = 0L
+        it.foreach { v =>
+          if (d < 0) {
+            d = v.length
+            acc = new Array[Long](d * (d + 1) / 2)
+            sx = new Array[Long](d)
+          }
+          n += 1
+          var i = 0; var idx = 0
+          while (i < d) {
+            val xi = v(i)
+            sx(i) += math.floor(xi * CovQ).toLong
+            var j = i
+            while (j < d) {
+              acc(idx) += math.floor(xi * v(j) * CovQ).toLong
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else {
+          val pairs = for (i <- 0 until d; j <- i until d) yield
+            (i.toLong, j.toLong, n, acc(i * d - i * (i - 1) / 2 + (j - i)))
+          val firsts = (0 until d).map(i => (i.toLong, -1L, n, sx(i)))
+          (pairs ++ firsts).iterator
+        }
+      }.toDF("i", "j", "n", "s")
+      .localCheckpoint(true) // one corpus pass feeds both aggs below
+    val moments = partials.filter(col("j") >= 0L)
+      .groupBy("i", "j").agg(sum("n").as("n"), sum("s").as("sxx_q40"))
+    val firsts = partials.filter(col("j") === -1L)
+      .groupBy("i").agg(sum("s").as("sx_q40"))
     def m(c: String) = col(c).cast("double") / lit(CovQ) / col("n").cast("double")
     moments
       .join(broadcast(firsts.select(col("i"), col("sx_q40").as("sxi_q40"))), "i")
@@ -1369,6 +1405,230 @@ object Similarity {
       |    - (CAST(fi.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE))
       |      * (CAST(fj.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE)) AS cov
       |FROM m JOIN f fi ON m.i = fi.i JOIN f fj ON m.j = fj.i""".stripMargin
+
+  // ---- vec_pca_basis / vec_pca_project: the PCA completion -------------
+  /** Jacobi eigendecomposition of a small symmetric matrix (cyclic
+    * sweeps, off-diagonal threshold 1e-12, the textbook rotation).
+    * Deterministic: fixed sweep order over bit-identical inputs (the
+    * exact Q40 covariance) → bit-identical eigenpairs every run.
+    * Returns (eigenvalues, eigenvector COLUMNS as v(i)(k)). */
+  private def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone)
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offMax(): Double = {
+      var m = 0.0; var i = 0
+      while (i < d) { var j = i + 1
+        while (j < d) { val x = math.abs(a(i)(j)); if (x > m) m = x; j += 1 }
+        i += 1 }
+      m
+    }
+    var sweep = 0
+    while (offMax() > 1e-12 && sweep < 100) {
+      sweep += 1
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                    else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var i = 0
+            while (i < d) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - sn * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = sn * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              i += 1
+            }
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2.0 * sn * c * apq + sn * sn * aqq
+            a(q)(q) = sn * sn * app + 2.0 * sn * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - sn * viq
+              v(i)(q) = sn * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private[graft] val PcaK = 8
+
+  /** Driver-side eigen step over the EXACT distributed covariance:
+    * collect [[vecCov]]'s d(d+1)/2 integer-certified rows (bounded by
+    * the dimension, never the corpus — the MLlib split), Jacobi, take
+    * the top-[[PcaK]] eigenpairs by eigenvalue, orient each so its
+    * largest-|component| entry is positive (deterministic sign).
+    * Returns (lambdas, v(k)(i) rows, mu). */
+  private[graft] def pcaEigs(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val rows = vecCov(s, dir).collect()
+    val d = rows.map(_.getAs[Long]("j")).max.toInt + 1
+    val c = Array.ofDim[Double](d, d)
+    val sx = new Array[Long](d)
+    var n = 1L
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt; val j = r.getAs[Long]("j").toInt
+      val cv = r.getAs[Double]("cov")
+      c(i)(j) = cv; c(j)(i) = cv
+      n = r.getAs[Long]("n")
+      if (i == j) sx(i) = r.getAs[Long]("sxi_q40")
+    }
+    val mu = sx.map(_.toDouble / CovQ / n.toDouble)
+    val (lam, vcols) = jacobiEig(c)
+    val order = (0 until d).sortBy(k => (-lam(k), k)).take(PcaK)
+    val vs = order.map { k =>
+      val col0 = Array.tabulate(d)(i => vcols(i)(k))
+      val am = (0 until d).maxBy(i => (math.abs(col0(i)), -i))
+      if (col0(am) < 0) col0.map(-_) else col0
+    }.toArray
+    (order.map(lam).toArray, vs, mu)
+  }
+
+  /** The top-[[PcaK]] eigenpairs of the embedding covariance, one row
+    * per (component k, dimension i). The eigen-solve itself is the
+    * driver-side O(d³) step (inputs and outputs both d²-bounded);
+    * everything corpus-sized stayed in [[vecCov]]'s exact reduction.
+    *
+    * Oracle: DuckDB cannot eigendecompose — but it can CHECK one: it
+    * recomputes the exact covariance from the raw embeddings (the
+    * vec_cov SQL), mirrors it to the full matrix, and verifies the
+    * defining identity C·v = λ·v row-by-row (residual ≤ 1e-8; Jacobi
+    * leaves ~1e-15), plus unit norms, pairwise orthogonality, and the
+    * descending-λ order — a certificate of the decomposition without
+    * performing it. Rows failing any gate drop out and fail the
+    * row-count compare. */
+  def vecPcaBasis(s: SparkSession, dir: String): DataFrame = {
+    val (lam, vs, _) = pcaEigs(s, dir)
+    import s.implicits._
+    val rows = for (k <- lam.indices; i <- vs(k).indices)
+      yield (k.toLong, i.toLong, lam(k), vs(k)(i))
+    rows.toDF("k", "i", "lambda", "v")
+  }
+
+  val vecPcaBasisSql: String =
+    """WITH p AS (
+      |  SELECT k, i, lambda, v
+      |  FROM read_parquet('{VERIFY_OUT}/vec_pca_basis/*.parquet')
+      |), e AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      |), px AS (
+      |  SELECT ii.i AS i, jj.j AS j,
+      |    CAST(floor(ev[ii.i + 1] * ev[jj.j + 1] * 1099511627776.0) AS BIGINT) AS pq
+      |  FROM e, unnest(generate_series(0, len(ev) - 1)) AS ii(i),
+      |       unnest(generate_series(0, len(ev) - 1)) AS jj(j)
+      |  WHERE jj.j >= ii.i
+      |), m AS (
+      |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pq) AS BIGINT) AS sxx_q40
+      |  FROM px GROUP BY i, j
+      |), f AS (
+      |  SELECT ii.i AS i,
+      |    CAST(SUM(CAST(floor(ev[ii.i + 1] * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sx_q40
+      |  FROM e, unnest(generate_series(0, len(ev) - 1)) AS ii(i)
+      |  GROUP BY ii.i
+      |), cu AS (
+      |  SELECT m.i, m.j,
+      |    CAST(m.sxx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE)
+      |      - (CAST(fi.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE))
+      |        * (CAST(fj.sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(m.n AS DOUBLE)) AS cov
+      |  FROM m JOIN f fi ON m.i = fi.i JOIN f fj ON m.j = fj.i
+      |), c AS (
+      |  SELECT i, j, cov FROM cu
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, cov FROM cu WHERE i <> j
+      |), res AS (
+      |  SELECT pk.k, pk.i, ANY_VALUE(pk.lambda) AS lambda, ANY_VALUE(pk.v) AS vi,
+      |    SUM(c.cov * pv.v) AS cv
+      |  FROM p pk JOIN c ON c.i = pk.i
+      |    JOIN p pv ON pv.k = pk.k AND pv.i = c.j
+      |  GROUP BY pk.k, pk.i
+      |), nrm AS (
+      |  SELECT k, SUM(v * v) AS n2 FROM p GROUP BY k
+      |), gates AS (
+      |  SELECT
+      |    (SELECT COUNT(*) FROM p a JOIN p b ON a.i = b.i AND a.k < b.k
+      |     GROUP BY a.k, b.k HAVING abs(SUM(a.v * b.v)) > 1e-8 LIMIT 1) AS orth_bad,
+      |    (SELECT COUNT(*) FROM (
+      |       SELECT k, ANY_VALUE(lambda) AS l FROM p GROUP BY k) a
+      |     JOIN (SELECT k, ANY_VALUE(lambda) AS l FROM p GROUP BY k) b
+      |       ON b.k = a.k + 1 WHERE b.l > a.l) AS order_bad
+      |)
+      |SELECT r.k, r.i, r.lambda, r.vi AS v
+      |FROM res r JOIN nrm USING (k) CROSS JOIN gates g
+      |WHERE abs(r.cv - r.lambda * r.vi) <= 1e-8
+      |  AND abs(nrm.n2 - 1.0) <= 1e-9
+      |  AND COALESCE(g.orth_bad, 0) = 0 AND g.order_bad = 0""".stripMargin
+
+  /** Distributed PCA projection: score_k(x) = (x − μ)·v_k for the
+    * top-[[PcaK]] certified eigenvectors — the dimensionality
+    * reduction step (whitening divides by √λ; kept raw here so every
+    * emitted number traces to the certified basis). The K-row basis
+    * (with the centering offset μ·v_k pre-folded on the driver)
+    * broadcasts; the projection is one codegen'd map pass over the
+    * corpus — no shuffle at all.
+    *
+    * Oracle: recomputes μ exactly (Q40 integers), rebuilds each v_k
+    * as an i-ordered list from the ECHOED basis dump, recomputes
+    * score via list_inner_product with the |echo−recompute| ≤
+    * 1e-9·max(1,|·|) certificate (summation order differs across
+    * engines), then emits the echo. */
+  def vecPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (lam, vs, mu) = pcaEigs(s, dir)
+    import s.implicits._
+    val basis = lam.indices.map { k =>
+      val cent = vs(k).zip(mu).map { case (a, b) => a * b }.sum
+      (k.toLong, vs(k).toSeq, cent)
+    }.toDF("k", "vk", "cent")
+    val e = Tables.parallel(s, Tables.embeddings(s, dir))
+    e.crossJoin(broadcast(basis))
+      .select(col("vec_id"), col("k"),
+        (aggregate(zip_with(col("embedding").cast("array<double>"), col("vk"),
+          (x, y) => x * y), lit(0.0), (a, x) => a + x) - col("cent")).as("score"))
+  }
+
+  val vecPcaProjectSql: String =
+    """WITH p AS (
+      |  SELECT vec_id, k, score
+      |  FROM read_parquet('{VERIFY_OUT}/vec_pca_project/*.parquet')
+      |), b AS (
+      |  SELECT k, list(v ORDER BY i) AS vl
+      |  FROM read_parquet('{VERIFY_OUT}/vec_pca_basis/*.parquet')
+      |  GROUP BY k
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+      |), f AS (
+      |  SELECT ii.i AS i,
+      |    CAST(SUM(CAST(floor(ev[ii.i + 1] * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sx_q40,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM e, unnest(generate_series(0, len(ev) - 1)) AS ii(i)
+      |  GROUP BY ii.i
+      |), ml AS (
+      |  SELECT list(CAST(sx_q40 AS DOUBLE) / 1099511627776.0 / CAST(n AS DOUBLE)
+      |    ORDER BY i) AS mu
+      |  FROM f
+      |), x AS (
+      |  SELECT e.vec_id, b.k,
+      |    list_inner_product(e.ev, b.vl) - list_inner_product(ml.mu, b.vl) AS score_x
+      |  FROM e CROSS JOIN b CROSS JOIN ml
+      |)
+      |SELECT p.vec_id, p.k, p.score
+      |FROM p JOIN x ON p.vec_id = x.vec_id AND p.k = x.k
+      |WHERE abs(p.score - x.score_x) <= 1e-9 * greatest(abs(x.score_x), 1.0)""".stripMargin
 
   // ---- ann_rank_fusion: hybrid retrieval via Reciprocal Rank Fusion ----
   /** Reciprocal Rank Fusion (Cormack et al. 2009) — the standard
@@ -1445,6 +1705,8 @@ object Similarity {
     "ann_rank_fusion" -> (annRankFusion _),
     "vec_quality" -> (vecQuality _),
     "vec_cov" -> (vecCov _),
+    "vec_pca_basis" -> (vecPcaBasis _),
+    "vec_pca_project" -> (vecPcaProject _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -1607,6 +1869,8 @@ object Similarity {
     "ann_rank_fusion" -> annRankFusionSql,
     "vec_quality" -> vecQualitySql,
     "vec_cov" -> vecCovSql,
+    "vec_pca_basis" -> vecPcaBasisSql,
+    "vec_pca_project" -> vecPcaProjectSql,
     "ann_filtered" -> annFilteredSql,
     "ann_depth_picks" -> annDepthPicksSql,
     "ann_depth_sweep" -> annDepthSweepSql,

@@ -511,4 +511,56 @@ class SimilaritySpec extends SparkSpec {
         s"Cauchy-Schwarz violated at ($i,$j)")
     }
   }
+
+  test("vec_pca_basis: eigen identity vs the exact covariance, orthonormal, descending") {
+    val covRows = Similarity.vecCov(spark, sfDir).collect()
+    val d = covRows.map(_.getAs[Long]("j")).max.toInt + 1
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      c(i)(j) = r.getAs[Double]("cov"); c(j)(i) = c(i)(j)
+    }
+    val rows = Similarity.vecPcaBasis(spark, sfDir).collect()
+    val ks = rows.map(_.getAs[Long]("k")).distinct.sorted
+    assert(rows.length == ks.length * d, "basis shape incomplete")
+    val v = ks.map(k => Array.tabulate(d) { i =>
+      rows.find(r => r.getAs[Long]("k") == k && r.getAs[Long]("i") == i)
+        .get.getAs[Double]("v")
+    })
+    val lam = ks.map(k =>
+      rows.find(_.getAs[Long]("k") == k).get.getAs[Double]("lambda"))
+    // descending, positive spectrum on real data
+    lam.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => () }
+    assert(lam.last > 0.0)
+    // Cv = lambda v (the defining identity), unit norm, orthogonality
+    for (ki <- ks.indices) {
+      val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(ki)(j)).sum)
+      cv.indices.foreach(i => assert(math.abs(cv(i) - lam(ki) * v(ki)(i)) <= 1e-10,
+        s"eigen residual at k=$ki i=$i"))
+      assert(math.abs(v(ki).map(x => x * x).sum - 1.0) <= 1e-10)
+      // deterministic sign: the largest-|component| entry is positive
+      val am = v(ki).indices.maxBy(i => (math.abs(v(ki)(i)), -i))
+      assert(v(ki)(am) > 0.0, s"sign convention broken at k=$ki")
+      for (kj <- 0 until ki)
+        assert(math.abs(v(ki).zip(v(kj)).map { case (a, b) => a * b }.sum) <= 1e-10,
+          s"eigenvectors $ki,$kj not orthogonal")
+    }
+  }
+
+  test("vec_pca_project: per-component score variance equals the eigenvalue, centered") {
+    val rows = Similarity.vecPcaProject(spark, sfDir).collect()
+    val basis = Similarity.vecPcaBasis(spark, sfDir).collect()
+    val lam = basis.groupBy(_.getAs[Long]("k")).view
+      .mapValues(_.head.getAs[Double]("lambda")).toMap
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n * lam.size)
+    rows.groupBy(_.getAs[Long]("k")).foreach { case (k, rs) =>
+      val xs = rs.map(_.getAs[Double]("score"))
+      val mean = xs.sum / xs.length
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(mean) <= 1e-6, s"scores not centered at k=$k: $mean")
+      assert(math.abs(varp - lam(k)) <= 1e-6 * math.max(1.0, lam(k)),
+        s"projected variance != eigenvalue at k=$k: $varp vs ${lam(k)}")
+    }
+  }
 }
