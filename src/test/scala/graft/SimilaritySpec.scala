@@ -423,6 +423,81 @@ class SimilaritySpec extends SparkSpec {
     assert(resRecall >= 0.5, s"IVFADC recall collapsed: $resRecall")
   }
 
+  test("ann_pq_rotated: OPQ-lite deterministic, recall in raw-PQ's band, cos is exact") {
+    val r1 = Similarity.annPqRotated(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(rs => assert(rs.length <= Similarity.TopK))
+    val r2 = Similarity.annPqRotated(spark, sfDir).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val a = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+      (exact & a).size.toDouble / exact.size.toDouble
+    }
+    val rotRecall = recallOf(r1)
+    val rawRecall = recallOf(Similarity.annPq(spark, sfDir).collect())
+    // the PCA rotation shrinks subspace quantization error at the same
+    // code size, so recall must sit in (or above) raw PQ's band — both
+    // are capped by the shared nprobe probe recall
+    assert(rotRecall >= rawRecall - 0.05,
+      s"rotated PQ recall fell below raw PQ: $rotRecall vs $rawRecall")
+    assert(rotRecall >= 0.5, s"OPQ-lite recall collapsed: $rotRecall")
+    // phase-2 re-ranks with RAW vectors: emitted cos must equal the
+    // exact cosine of the raw embeddings (rotation never leaks out)
+    val raw = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    r1.take(40).foreach { r =>
+      val want = cos(raw(r.getAs[Long]("query_id")), raw(r.getAs[Long]("vec_id")))
+      assert(math.abs(r.getAs[Double]("cos") - want) <= 1e-9,
+        "emitted cos is not the raw exact cosine")
+    }
+  }
+
+  test("ann_pq_rotated: PCA rotation reduces mean ADC error at equal code size") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.parallel(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding").as("v"))
+    val (lam, pcaBasis, _) = Similarity.pcaEigs(spark, sfDir, 64)
+    val basis = Similarity.eigenvalueAllocate(lam, Similarity.PqM).map(pcaBasis)
+    val eRot = Similarity.rotateFrame(spark, e, basis).localCheckpoint(true)
+    // mean |adc_cos − exact_cos| of a frame against ITS OWN exact
+    // cosine (rotation preserves cosine, so both frames chase the
+    // same target up to float32 rounding)
+    def meanAdcErr(frame: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Similarity.pqCodebook(frame)
+      val q = frame.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      frame.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("codes",
+          graft.functions.NativePq.encode(col("v"), cb, Similarity.PqM, Similarity.PqK))
+        .select(abs(
+          graft.functions.NativePq.adcDot(col("codes"), col("qv"), cb, Similarity.PqK) /
+            (graft.functions.VectorFns.norm(col("qv")) *
+              graft.functions.VectorFns.norm(col("v"))) -
+          graft.functions.VectorFns.cosine(col("qv"), col("v"))).as("err"))
+        .agg(avg("err")).first().getDouble(0)
+    }
+    val errRaw = meanAdcErr(e)
+    val errRot = meanAdcErr(eRot)
+    // the OPQ-P claim: principal-axis subspaces quantize tighter than
+    // arbitrary coordinate blocks at the identical 8-byte code size
+    assert(errRot < errRaw,
+      s"rotation did not reduce ADC error: rot=$errRot raw=$errRaw")
+  }
+
   test("ann_sq: codes bounded, per-dim error within step/2, near-exact recall") {
     import org.apache.spark.sql.functions._
     val e = Tables.parallel(spark, Tables.embeddings(spark, sfDir))
