@@ -151,6 +151,58 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- shard_tar: WebDataset-style tar shard sink -----------------------
+  /** Materialize the shard_pack assignment as REAL training shards —
+    * one POSIX-ustar tar per shard with a `{doc_id}.txt` member per
+    * document in pack order, the WebDataset layout every large-scale
+    * training loader consumes. One shuffle on shard_id, one writer
+    * task per shard (exactly how WebDataset shards are produced at
+    * any scale; the local tmp sink swaps for object storage without
+    * touching the grouping). Emits the per-shard accounting the
+    * loader's manifest needs: member count, payload bytes, and the
+    * EXACT archive size.
+    *
+    * Oracle: the tar layout arithmetic is fixed (member = 512 +
+    * ⌈bytes/512⌉·512, archive = Σ + 1024), so DuckDB recomputes
+    * every emitted number from the fully-oracled shard_pack
+    * assignment and UTF-8 byte lengths — the on-disk FORMAT verified
+    * relationally. Byte-level fidelity (payload round-trip against
+    * the table, header checksums, member order) is pinned by
+    * SamplingSpec's read-back through [[graft.sinks.TarShards]]. */
+  def shardTar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_tar_shards")
+    outDir.mkdirs()
+    val outPath = outDir.getAbsolutePath
+    shardPack(s, dir).select("doc_id", "cum_tokens", "shard_id")
+      .join(docs(s, dir).select("doc_id", "text"), "doc_id")
+      .select(col("shard_id"), col("cum_tokens"), col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.toArray.sortBy(t => (t._2, t._3))
+        val entries = members.map(t => (s"${t._3}.txt", t._4.getBytes("UTF-8")))
+        val tar = graft.sinks.TarShards.archive(entries.toIndexedSeq)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath, f"shard-$shard%05d.tar"), tar)
+        (shard, members.length.toLong,
+          entries.map(_._2.length.toLong).sum, tar.length.toLong)
+      }
+      .toDF("shard_id", "n_docs", "payload_bytes", "tar_bytes")
+  }
+
+  val shardTarSql: String =
+    s"""WITH sp AS (
+      |${shardPackSql.linesIterator.map("  " + _).mkString("\n")}
+      |)
+      |SELECT sp.shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(strlen(d.text)) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(512 + ((strlen(d.text) + 511) // 512) * 512) + 1024 AS BIGINT)
+      |    AS tar_bytes
+      |FROM sp JOIN documents d USING (doc_id)
+      |GROUP BY sp.shard_id""".stripMargin
+
   // ---- shard_manifest: per-shard training-data manifest ----------------
   /** The manifest a training loader consumes alongside the packed
     * shards: per shard, its document count, token total, global
@@ -815,6 +867,7 @@ object Sampling {
     "sample_stratified" -> (sampleStratified _),
     "shard_pack" -> (shardPack _),
     "shard_manifest" -> (shardManifest _),
+    "shard_tar" -> (shardTar _),
     "sample_pps" -> (samplePps _),
     "sample_weighted" -> (sampleWeighted _),
     "seq_pack" -> (seqPack _),
@@ -829,6 +882,7 @@ object Sampling {
     "sample_stratified" -> sampleStratifiedSql,
     "shard_pack" -> shardPackSql,
     "shard_manifest" -> shardManifestSql,
+    "shard_tar" -> shardTarSql,
     "sample_pps" -> samplePpsSql,
     "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,

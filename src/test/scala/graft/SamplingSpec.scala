@@ -441,6 +441,48 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shard_tar: byte-exact payload round-trip, valid checksums, pack order, exact sizes") {
+    val rows = Sampling.shardTar(spark, sfDir).collect()
+    val pack = Sampling.shardPack(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard_id"), r.getAs[Long]("cum_tokens"))).toMap
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == texts.size,
+      "every document must land in exactly one shard")
+    val outDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_tar_shards")
+    val seen = scala.collection.mutable.Set[Long]()
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard_id")
+      val f = new java.io.File(outDir, f"shard-$shard%05d.tar")
+      assert(f.isFile, s"missing shard file $f")
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(bytes.length.toLong == r.getAs[Long]("tar_bytes"),
+        s"on-disk size differs from emitted tar_bytes for shard $shard")
+      // parse validates every header checksum
+      val members = graft.sinks.TarShards.parse(bytes)
+      assert(members.length.toLong == r.getAs[Long]("n_docs"))
+      assert(members.map(_._2.length.toLong).sum == r.getAs[Long]("payload_bytes"))
+      // member order IS pack order (cum_tokens ascending)
+      val ids = members.map(m => m._1.stripSuffix(".txt").toLong)
+      val cums = ids.map(id => pack(id)._2)
+      assert(cums == cums.sorted, s"members out of pack order in shard $shard")
+      ids.foreach { id =>
+        assert(pack(id)._1 == shard, s"doc $id landed in the wrong shard")
+        assert(!seen(id), s"doc $id appears twice"); seen += id
+      }
+      // byte-exact payload round-trip against the table
+      members.foreach { case (name, data) =>
+        val id = name.stripSuffix(".txt").toLong
+        assert(java.util.Arrays.equals(data, texts(id).getBytes("UTF-8")),
+          s"payload corrupted for doc $id")
+      }
+    }
+    assert(seen.size == texts.size)
+  }
+
   test("mix_dsir: permutation rank, exact-K selection, target-likeness, Gumbel key recompute") {
     val rows = Sampling.mixDsir(spark, sfDir).collect()
     val n = Tables.documents(spark, sfDir).count()
