@@ -169,11 +169,19 @@ object Sampling {
     * relationally. Byte-level fidelity (payload round-trip against
     * the table, header checksums, member order) is pinned by
     * SamplingSpec's read-back through [[graft.sinks.TarShards]]. */
+  /** Per-dataset shard directory — shard counts differ across SFs, so
+    * a shared dir would leave stale higher-numbered shards behind for
+    * shard_untar to read. Cleaned of shard files on every build. */
+  private[graft] def tarShardDir(dir: String): java.io.File =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_tar_shards_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+
   def shardTar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val outDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_tar_shards")
+    val outDir = tarShardDir(dir)
     outDir.mkdirs()
+    Option(outDir.listFiles).foreach(_.filter(_.getName.endsWith(".tar"))
+      .foreach(_.delete()))
     val outPath = outDir.getAbsolutePath
     shardPack(s, dir).select("doc_id", "cum_tokens", "shard_id")
       .join(docs(s, dir).select("doc_id", "text"), "doc_id")
@@ -202,6 +210,34 @@ object Sampling {
       |    AS tar_bytes
       |FROM sp JOIN documents d USING (doc_id)
       |GROUP BY sp.shard_id""".stripMargin
+
+  // ---- shard_untar: distributed read-back of the tar shards ------------
+  /** The matching SOURCE: read the WebDataset shards back
+    * distributively — Spark's binaryFile source (one task per shard
+    * file, embarrassingly parallel at any shard count), each task
+    * parsing its archive with the checksum-validating
+    * [[graft.sinks.TarShards.parse]] and re-emitting (doc_id, text).
+    * Builds the shards first (cheap, deterministic overwrite), so
+    * the key is self-contained.
+    *
+    * Oracle: the round-trip identity itself — `SELECT doc_id, text
+    * FROM documents`. A single corrupted byte anywhere in the
+    * write→read path breaks the hash compare. */
+  def shardUntar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // materialize the shards (deterministic; overwrites stale files)
+    shardTar(s, dir).write.format("noop").mode("overwrite").save()
+    s.read.format("binaryFile")
+      .load(tarShardDir(dir).getAbsolutePath + "/shard-*.tar")
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => graft.sinks.TarShards.parse(bytes).map {
+        case (name, data) =>
+          (name.stripSuffix(".txt").toLong, new String(data, "UTF-8"))
+      })
+      .toDF("doc_id", "text")
+  }
+
+  val shardUntarSql: String = "SELECT doc_id, text FROM documents"
 
   // ---- shard_manifest: per-shard training-data manifest ----------------
   /** The manifest a training loader consumes alongside the packed
@@ -868,6 +904,7 @@ object Sampling {
     "shard_pack" -> (shardPack _),
     "shard_manifest" -> (shardManifest _),
     "shard_tar" -> (shardTar _),
+    "shard_untar" -> (shardUntar _),
     "sample_pps" -> (samplePps _),
     "sample_weighted" -> (sampleWeighted _),
     "seq_pack" -> (seqPack _),
@@ -883,6 +920,7 @@ object Sampling {
     "shard_pack" -> shardPackSql,
     "shard_manifest" -> shardManifestSql,
     "shard_tar" -> shardTarSql,
+    "shard_untar" -> shardUntarSql,
     "sample_pps" -> samplePpsSql,
     "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,

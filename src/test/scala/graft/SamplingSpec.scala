@@ -451,8 +451,7 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(rows.map(_.getAs[Long]("n_docs")).sum == texts.size,
       "every document must land in exactly one shard")
-    val outDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_tar_shards")
+    val outDir = Sampling.tarShardDir(sfDir)
     val seen = scala.collection.mutable.Set[Long]()
     rows.foreach { r =>
       val shard = r.getAs[Long]("shard_id")
@@ -481,6 +480,18 @@ class SamplingSpec extends SparkSpec {
       }
     }
     assert(seen.size == texts.size)
+  }
+
+  test("shard_untar: distributed read-back reproduces the documents table exactly") {
+    val got = Sampling.shardUntar(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val want = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got.size == want.size, "round-trip row count drifted")
+    want.foreach { case (id, text) =>
+      assert(got.get(id).contains(text), s"round-trip corrupted doc $id")
+    }
   }
 
   test("mix_dsir: permutation rank, exact-K selection, target-likeness, Gumbel key recompute") {
