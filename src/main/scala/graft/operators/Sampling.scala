@@ -151,6 +151,64 @@ object Sampling {
       |  FROM documents
       |)""".stripMargin
 
+  // ---- sample_bootstrap: deterministic Poisson bootstrap ---------------
+  /** The distributed bootstrap (Poisson resampling — Chamandy et al.
+    * 2012, "Estimating Uncertainty for Massive Data Streams"; the
+    * method of choice at corpus scale because it needs NO global
+    * coordination: each row draws its replicate multiplicity
+    * k ~ Poisson(1) independently, one map pass for all R
+    * replicates). Every draw is derandomized through the salted-md5
+    * primitive, and the Poisson inverse-CDF is evaluated against
+    * PRECOMPUTED integer thresholds (⌊cdf·2⁵²⌋, constants baked into
+    * both engines' expressions) — no exp()/random() at runtime, so
+    * the whole operator is integer-exact and FULLY oracled. Output:
+    * per (source, replicate) the resampled token mean — the R-column
+    * spread downstream reads as the bootstrap SE of the source's
+    * mean document length. One shuffle on (source, replicate);
+    * replicate fan-out is a bounded explode (R rows per doc). */
+  private[operators] val BootstrapR = 8
+  // ⌊CDF_Poisson(1)(k)·2⁵²⌋ for k = 0..7 (k ≥ 8 truncated: mass < 1e-5)
+  private val PoissonCdfQ52: Seq[Long] = Seq(
+    1656781714176974L, 3313563428353948L, 4141954285442435L,
+    4418084571138597L, 4487117142562638L, 4500923656847446L,
+    4503224742561580L, 4503553469092171L)
+
+  def sampleBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val reps = explode(sequence(lit(0L), lit((BootstrapR - 1).toLong))).as("rep")
+    val u52 = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":bs"), col("rep").cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val k = PoissonCdfQ52.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u52 >= t, 1L).otherwise(0L)
+    }
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        reps)
+      .withColumn("k", k)
+      .groupBy("source", "rep")
+      .agg(sum("k").as("n_eff"),
+        sum(col("k") * col("n_tokens")).as("rep_tokens"))
+      .withColumn("rep_mean",
+        col("rep_tokens").cast("double") / col("n_eff").cast("double"))
+  }
+
+  val sampleBootstrapSql: String = {
+    val u = s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bs' || CAST(r.rep AS VARCHAR)), 1, 13))::BIGINT"
+    val k = PoissonCdfQ52.map(t => s"CASE WHEN $u >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT source, rep, CAST(SUM(k) AS BIGINT) AS n_eff,
+      |  CAST(SUM(k * n_tokens) AS BIGINT) AS rep_tokens,
+      |  CAST(CAST(SUM(k * n_tokens) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS rep_mean
+      |FROM (
+      |  SELECT d.source, r.rep, CAST($k AS BIGINT) AS k,
+      |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents d, (SELECT unnest(generate_series(0, ${BootstrapR - 1})) AS rep) r
+      |)
+      |GROUP BY source, rep""".stripMargin
+  }
+
   // ---- shard_tar: WebDataset-style tar shard sink -----------------------
   /** Materialize the shard_pack assignment as REAL training shards —
     * one POSIX-ustar tar per shard with a `{doc_id}.txt` member per
@@ -905,6 +963,7 @@ object Sampling {
     "shard_manifest" -> (shardManifest _),
     "shard_tar" -> (shardTar _),
     "shard_untar" -> (shardUntar _),
+    "sample_bootstrap" -> (sampleBootstrap _),
     "sample_pps" -> (samplePps _),
     "sample_weighted" -> (sampleWeighted _),
     "seq_pack" -> (seqPack _),
@@ -921,6 +980,7 @@ object Sampling {
     "shard_manifest" -> shardManifestSql,
     "shard_tar" -> shardTarSql,
     "shard_untar" -> shardUntarSql,
+    "sample_bootstrap" -> sampleBootstrapSql,
     "sample_pps" -> samplePpsSql,
     "sample_weighted" -> sampleWeightedSql,
     "seq_pack" -> seqPackSql,

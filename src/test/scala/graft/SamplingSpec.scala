@@ -441,6 +441,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("sample_bootstrap: full replicate grid, Poisson-mass counts, threshold recompute") {
+    val rows = Sampling.sampleBootstrap(spark, sfDir).collect()
+    val srcCounts = Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(rows.length == srcCounts.size * 8, "replicate grid incomplete")
+    rows.foreach { r =>
+      val n = srcCounts(r.getAs[String]("source"))
+      val eff = r.getAs[Long]("n_eff")
+      // Poisson(1) resampling: E[n_eff] = n, sd = sqrt(n) — allow 5 sd
+      assert(math.abs(eff - n) <= 5 * math.sqrt(n.toDouble) + 1,
+        s"n_eff $eff implausible for source of $n docs")
+      assert(r.getAs[Double]("rep_mean") > 0.0)
+    }
+    // replicates genuinely differ (the spread IS the estimator)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Double]("rep_mean")).distinct.length > 1,
+        s"all replicates identical for $src")
+    }
+    // driver recompute of the thresholded multiplicity for one doc × reps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ts = Seq(1656781714176974L, 3313563428353948L, 4141954285442435L,
+      4418084571138597L, 4487117142562638L, 4500923656847446L,
+      4503224742561580L, 4503553469092171L)
+    val doc = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect().head
+    val perRepK = (0 until 8).map { rep =>
+      val u = java.lang.Long.parseLong(
+        md5hex(s"${doc.getAs[Long]("doc_id")}:bs$rep").take(13), 16)
+      ts.count(u >= _).toLong
+    }
+    // the doc's k values live on the truncated support
+    perRepK.foreach(k => assert(k >= 0 && k <= 8))
+    // determinism end-to-end
+    val again = Sampling.sampleBootstrap(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("shard_tar: byte-exact payload round-trip, valid checksums, pack order, exact sizes") {
     val rows = Sampling.shardTar(spark, sfDir).collect()
     val pack = Sampling.shardPack(spark, sfDir).collect()
