@@ -189,8 +189,11 @@ object Sampling {
       .groupBy("source", "rep")
       .agg(sum("k").as("n_eff"),
         sum(col("k") * col("n_tokens")).as("rep_tokens"))
+      // an all-zero replicate (P = e^-n, theoretical for tiny sources)
+      // must yield NULL, not an engine-spelled Infinity
       .withColumn("rep_mean",
-        col("rep_tokens").cast("double") / col("n_eff").cast("double"))
+        when(col("n_eff") > 0L,
+          col("rep_tokens").cast("double") / col("n_eff").cast("double")))
   }
 
   val sampleBootstrapSql: String = {
@@ -200,7 +203,7 @@ object Sampling {
     s"""SELECT source, rep, CAST(SUM(k) AS BIGINT) AS n_eff,
       |  CAST(SUM(k * n_tokens) AS BIGINT) AS rep_tokens,
       |  CAST(CAST(SUM(k * n_tokens) AS BIGINT) AS DOUBLE)
-      |    / CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) AS rep_mean
+      |    / CAST(NULLIF(CAST(SUM(k) AS BIGINT), 0) AS DOUBLE) AS rep_mean
       |FROM (
       |  SELECT d.source, r.rep, CAST($k AS BIGINT) AS k,
       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens

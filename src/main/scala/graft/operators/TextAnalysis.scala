@@ -1289,7 +1289,103 @@ object TextAnalysis {
        |  END AS chars_per_token
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
 
+  // ---- text_pmi: windowed co-occurrence + pointwise mutual information --
+  /** Word-association mining (Church & Hanks 1990, the PMI that
+    * powered the word2vec-era feature pipelines): count unordered
+    * token pairs co-occurring within [[PmiW]] positions, take the
+    * [[PmiTopK]] most frequent pairs (count DESC, pair ASC — exact
+    * integer selection, TakeOrderedAndProject, no global sort), and
+    * score each with PMI = ln(c_ab·N²/(M·c_a·c_b)). Pairs explode
+    * from WITHIN the token array (offset-k zips, canonicalized with
+    * least/greatest — no self-join), so the only corpus-keyed
+    * shuffles are the (a,b) pair agg and the unigram agg; the
+    * marginals attach AFTER the top-K cut (a 50-row broadcast into
+    * the vocab table, never vocab × vocab).
+    *
+    * Oracle: counts, totals, and the top-K selection are exact
+    * integer arithmetic recomputed by DuckDB; pmi crosses engines
+    * through ln() → echo + |echo − recompute| ≤ 1e-9 certificate
+    * (the text_perplexity pattern). */
+  private val PmiW = 2
+  private val PmiTopK = 50
+
+  def textPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      TextFns.tokens(col("text")).as("ts"))
+    def offPairs(k: Int) = {
+      val ts = col("ts")
+      when(size(ts) <= k, array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - k), i => struct(
+          least(element_at(ts, i), element_at(ts, i + k)).as("a"),
+          greatest(element_at(ts, i), element_at(ts, i + k)).as("b"))))
+    }
+    val pairs = toks.select(explode(concat(offPairs(1), offPairs(2))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val tc = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = pc.agg(sum("c_ab").as("m_pairs")).crossJoin(
+      broadcast(tc.agg(sum("c").as("n_tokens"))))
+    val top = pc.orderBy(col("c_ab").desc, col("a"), col("b")).limit(PmiTopK)
+    top.join(tc.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(tc.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_tokens"), col("m_pairs"),
+        log(col("c_ab").cast("double") * col("n_tokens").cast("double") *
+          col("n_tokens").cast("double") /
+          (col("m_pairs").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double"))).as("pmi"))
+  }
+
+  val textPmiSql: String =
+    s"""WITH p AS (
+      |  SELECT a, b, c_ab, c_a, c_b, n_tokens, m_pairs, pmi
+      |  FROM read_parquet('{VERIFY_OUT}/text_pmi/*.parquet')
+      |), toks AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      |  FROM documents
+      |), pr AS (
+      |  SELECT split_part(pp, chr(1), 1) AS a, split_part(pp, chr(1), 2) AS b
+      |  FROM (
+      |    SELECT unnest(list_concat(
+      |      CASE WHEN len(ts) <= 1 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_transform(range(1, len(ts)),
+      |          i -> least(ts[i], ts[i+1]) || chr(1) || greatest(ts[i], ts[i+1])) END,
+      |      CASE WHEN len(ts) <= 2 THEN CAST([] AS VARCHAR[])
+      |        ELSE list_transform(range(1, len(ts) - 1),
+      |          i -> least(ts[i], ts[i+2]) || chr(1) || greatest(ts[i], ts[i+2])) END
+      |      )) AS pp
+      |    FROM toks
+      |  )
+      |), pc AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr GROUP BY a, b
+      |), tc AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+      |), tot AS (
+      |  SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pc) AS m_pairs,
+      |    (SELECT CAST(SUM(c) AS BIGINT) FROM tc) AS n_tokens
+      |), top AS (
+      |  SELECT a, b, c_ab FROM pc ORDER BY c_ab DESC, a, b LIMIT $PmiTopK
+      |), x AS (
+      |  SELECT top.a, top.b, top.c_ab, ta.c AS c_a, tb.c AS c_b,
+      |    tot.n_tokens, tot.m_pairs,
+      |    ln(CAST(top.c_ab AS DOUBLE) * CAST(tot.n_tokens AS DOUBLE)
+      |      * CAST(tot.n_tokens AS DOUBLE)
+      |      / (CAST(tot.m_pairs AS DOUBLE) * CAST(ta.c AS DOUBLE)
+      |        * CAST(tb.c AS DOUBLE))) AS pmi_x
+      |  FROM top JOIN tc ta ON top.a = ta.t JOIN tc tb ON top.b = tb.t
+      |  CROSS JOIN tot
+      |)
+      |SELECT p.a, p.b, p.c_ab, p.c_a, p.c_b, p.n_tokens, p.m_pairs, p.pmi
+      |FROM p JOIN x ON p.a = x.a AND p.b = x.b
+      |WHERE p.c_ab = x.c_ab AND p.c_a = x.c_a AND p.c_b = x.c_b
+      |  AND p.n_tokens = x.n_tokens AND p.m_pairs = x.m_pairs
+      |  AND abs(p.pmi - x.pmi_x) <= 1e-9 * greatest(abs(x.pmi_x), 1.0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi" -> (textPmi _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_perplexity" -> (textPerplexity _),
@@ -1311,6 +1407,7 @@ object TextAnalysis {
     "text_contamination" -> (textContamination _))
 
   val oracle: Map[String, String] = Map(
+    "text_pmi" -> textPmiSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_perplexity" -> textPerplexitySql,

@@ -862,4 +862,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
     res.unpersist()
   }
+
+  test("text_pmi: canonical pairs, window bounds, pair conservation, pmi from integers") {
+    val rows = TextAnalysis.textPmi(spark, sfDir).collect()
+    assert(rows.length == 50, "top-K cut drifted")
+    val keys = rows.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(keys.distinct.length == keys.length, "duplicate pairs")
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+", -1).length.toLong)
+    val mPairs = docs.map(n => math.max(0L, n - 1) + math.max(0L, n - 2)).sum
+    val nTokens = docs.sum
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      assert(a <= b, "pair not canonicalized")
+      assert(r.getAs[Long]("m_pairs") == mPairs, "windowed pair total drifted")
+      assert(r.getAs[Long]("n_tokens") == nTokens, "token total drifted")
+      val (cab, ca, cb) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))
+      // each occurrence of a token joins at most 2W = 4 window pairs
+      assert(cab <= 4 * math.min(ca, cb), s"window bound violated for ($a,$b)")
+      // pmi is a pure function of the emitted exact integers
+      val want = math.log(cab.toDouble * nTokens.toDouble * nTokens.toDouble /
+        (mPairs.toDouble * ca.toDouble * cb.toDouble))
+      assert(math.abs(r.getAs[Double]("pmi") - want) <=
+        1e-9 * math.max(1.0, math.abs(want)), s"pmi drifted for ($a,$b)")
+    }
+    val again = TextAnalysis.textPmi(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }
