@@ -253,8 +253,14 @@ object Sampling {
         val members = it.toArray.sortBy(t => (t._2, t._3))
         val entries = members.map(t => (s"${t._3}.txt", t._4.getBytes("UTF-8")))
         val tar = graft.sinks.TarShards.archive(entries.toIndexedSeq)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(outPath, f"shard-$shard%05d.tar"), tar)
+        // atomic publish: a task killed mid-write must never leave a
+        // torn .tar for a later reader — write aside, rename into place
+        val tmpF = java.nio.file.Paths.get(outPath, f".shard-$shard%05d.tar.tmp")
+        java.nio.file.Files.write(tmpF, tar)
+        java.nio.file.Files.move(tmpF,
+          java.nio.file.Paths.get(outPath, f"shard-$shard%05d.tar"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         (shard, members.length.toLong,
           entries.map(_._2.length.toLong).sum, tar.length.toLong)
       }
@@ -279,7 +285,13 @@ object Sampling {
     * parsing its archive with the checksum-validating
     * [[graft.sinks.TarShards.parse]] and re-emitting (doc_id, text).
     * Builds the shards first (cheap, deterministic overwrite), so
-    * the key is self-contained.
+    * the key is self-contained. NOTE the write/read contract: the
+    * shard directory must be a filesystem every task AND the
+    * driver's binaryFile listing can see — java.io.tmpdir only works
+    * single-node (this sandbox); on a cluster the same two operators
+    * run against a shared object-store/NFS path, nothing else
+    * changes. Writes are atomic (write-aside + rename), so a reader
+    * never sees a torn shard.
     *
     * Oracle: the round-trip identity itself — `SELECT doc_id, text
     * FROM documents`. A single corrupted byte anywhere in the
@@ -852,7 +864,7 @@ object Sampling {
   private val Two52 = 4503599627370496.0 // 2^52, top 13 md5 hex chars
 
   def mixDsir(s: SparkSession, dir: String): DataFrame = {
-    val ts = TextFnsTokens(col("text"))
+    val ts = graft.functions.TextFns.tokens(col("text"))
     val bigrams = when(size(ts) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(ts) - 1),
         i => concat(element_at(ts, i), lit("_"), element_at(ts, i + 1))))
@@ -885,9 +897,8 @@ object Sampling {
       .groupBy("doc_id").agg(
         sum("c").as("n_feats"),
         sum(col("c").cast("double") * col("lr")).as("logw"))
-    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":dsg")).cast("binary")), 1, 13), 16, 10).cast("long")
-      .cast("double") + lit(0.5)) / lit(Two52)
+    val u = (conv(substring(hashKey(col("doc_id"), "dsg"), 1, 13), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(Two52)
     val keyed = scored
       .withColumn("sel_key", col("logw") - log(-log(u)))
       .withColumn("one", lit(1L))
@@ -896,11 +907,6 @@ object Sampling {
     ranked.select(col("doc_id"), col("n_feats"), col("logw"),
       col("sel_key"), col("rk"), (col("rk") <= DsirK).as("selected"))
   }
-
-  /** Sampling keeps its own alias so the file stays self-contained:
-    * the token convention is TextAnalysis's (lower, trim, \s+). */
-  private def TextFnsTokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
 
   val mixDsirSql: String =
     s"""WITH p AS (

@@ -851,21 +851,24 @@ object Similarity {
     * raw coordinate blocks 0.0737, PCA-chunked 0.0756, this
     * allocation 0.0701). Balancing products = balancing Σ log λ
     * under the equal-cardinality constraint, i.e. multiway number
-    * partitioning — solved with the LPT heuristic, scale-invariant
-    * where the paper's literal min-product greedy degenerates to
-    * chunked order whenever all λ < 1: process directions by
-    * ascending λ (largest |log λ| first), each into the open
-    * subspace whose log-sum is closest to zero (least loaded). */
+    * partitioning on SIGNED values — solved with the LPT heuristic,
+    * scale-invariant where the paper's literal min-product greedy
+    * degenerates to chunked order whenever all λ < 1: process
+    * directions by descending |log λ|, each into the open subspace
+    * the item's sign pulls back toward balance (a positive log λ
+    * raises the lowest sum, a negative one lowers the highest). */
   private[graft] def eigenvalueAllocate(lam: Array[Double], m: Int)
       : Array[Int] = {
     val sub = lam.length / m
+    val logl = lam.map(l => math.log(math.max(l, 1e-12)))
     val buckets = Array.fill(m)(List.empty[Int])
     val logSum = new Array[Double](m)
-    lam.indices.sortBy(k => math.log(math.max(lam(k), 1e-12))).foreach { k =>
+    lam.indices.sortBy(k => (-math.abs(logl(k)), k)).foreach { k =>
       val open = (0 until m).filter(b => buckets(b).length < sub)
-      val b = open.minBy(b => (-logSum(b), b))
+      val b = if (logl(k) >= 0) open.minBy(b => (logSum(b), b))
+              else open.minBy(b => (-logSum(b), b))
       buckets(b) ::= k
-      logSum(b) += math.log(math.max(lam(k), 1e-12))
+      logSum(b) += logl(k)
     }
     buckets.flatMap(_.reverse)
   }
@@ -1454,8 +1457,18 @@ object Similarity {
         }
       }.toDF("i", "j", "n", "s")
       .localCheckpoint(true) // one corpus pass feeds both aggs below
+    // loud overflow guard: |x·y| ≤ 1 terms at Q40 wrap a BIGINT past
+    // ~2²³ rows per group. The COUNT can't wrap at any realistic
+    // scale, so this check fires correctly even if the sums already
+    // did — silent covariance corruption becomes a hard error telling
+    // the caller to rescale Q.
+    val covRowCap = 1L << 23
     val moments = partials.filter(col("j") >= 0L)
       .groupBy("i", "j").agg(sum("n").as("n"), sum("s").as("sxx_q40"))
+      .where(when(col("n") <= covRowCap, lit(true)).otherwise(
+        raise_error(concat(lit("vec_cov Q40 overflow risk: group of "),
+          col("n").cast("string"),
+          lit(s" rows exceeds the $covRowCap-row headroom — rescale CovQ")))))
     val firsts = partials.filter(col("j") === -1L)
       .groupBy("i").agg(sum("s").as("sx_q40"))
     def m(c: String) = col(c).cast("double") / lit(CovQ) / col("n").cast("double")

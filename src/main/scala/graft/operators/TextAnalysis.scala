@@ -1319,7 +1319,8 @@ object TextAnalysis {
           least(element_at(ts, i), element_at(ts, i + k)).as("a"),
           greatest(element_at(ts, i), element_at(ts, i + k)).as("b"))))
     }
-    val pairs = toks.select(explode(concat(offPairs(1), offPairs(2))).as("p"))
+    val pairs = toks
+      .select(explode(concat((1 to PmiW).map(offPairs): _*)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
     val tc = toks.select(explode(col("ts")).as("t"))
@@ -1349,12 +1350,11 @@ object TextAnalysis {
       |  SELECT split_part(pp, chr(1), 1) AS a, split_part(pp, chr(1), 2) AS b
       |  FROM (
       |    SELECT unnest(list_concat(
-      |      CASE WHEN len(ts) <= 1 THEN CAST([] AS VARCHAR[])
-      |        ELSE list_transform(range(1, len(ts)),
-      |          i -> least(ts[i], ts[i+1]) || chr(1) || greatest(ts[i], ts[i+1])) END,
-      |      CASE WHEN len(ts) <= 2 THEN CAST([] AS VARCHAR[])
-      |        ELSE list_transform(range(1, len(ts) - 1),
-      |          i -> least(ts[i], ts[i+2]) || chr(1) || greatest(ts[i], ts[i+2])) END
+      |${(1 to PmiW).map(k =>
+          s"      CASE WHEN len(ts) <= $k THEN CAST([] AS VARCHAR[])\n" +
+          s"        ELSE list_transform(range(1, len(ts)${if (k > 1) s" - ${k - 1}" else ""}),\n" +
+          s"          i -> least(ts[i], ts[i+$k]) || chr(1) || greatest(ts[i], ts[i+$k])) END")
+         .mkString(",\n")}
       |      )) AS pp
       |    FROM toks
       |  )

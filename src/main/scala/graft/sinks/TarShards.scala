@@ -15,6 +15,8 @@ object TarShards {
   /** `len`-byte zero-padded octal field, space-terminated (POSIX allows space or NUL). */
   private def octal(v: Long, len: Int): Array[Byte] = {
     val s = java.lang.Long.toOctalString(v)
+    require(s.length <= len - 1,
+      s"tar numeric field overflow: $v needs ${s.length} octal digits, field holds ${len - 1}")
     ("0" * (len - 1 - s.length) + s + " ").getBytes("US-ASCII")
   }
 

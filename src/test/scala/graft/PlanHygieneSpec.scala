@@ -27,11 +27,11 @@ class PlanHygieneSpec extends SparkSpec {
     "stream_param_sweep", // knob-grid harness
     "stream_soak") // long-soak harness
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = ((p match {
     case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
     case q: QueryStageExec => nodes(q.plan)
     case other => other.children.flatMap(nodes)
-  }) :+ p
+  }) ++ p.subqueries.flatMap(nodes)) :+ p // scalar/IN subqueries can't hide either shape
 
   test("no query plan contains a cartesian product or an unpartitioned window") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
