@@ -181,11 +181,91 @@ object GraphOps {
       |SELECT deg.doc_id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri
       |FROM deg LEFT JOIN tc USING (doc_id)""".stripMargin
 
+  // ---- graph_bfs: multi-source hop distance ----------------------------
+  /** Hop distance from the seed set to every node of the duplicate
+    * graph — the "how far is this doc from a known-bad hub" diagnostic
+    * (seeds = the [[BfsSeeds]] lowest node ids, deterministic).
+    * Frontier BFS: each round joins ONLY the newly-discovered
+    * frontier against the once-partitioned edge table and anti-joins
+    * the visited set — work per round tracks the frontier, total work
+    * O(m·diameter/rounds)… i.e. each edge is touched once per
+    * incident frontier node, the textbook distributed BFS. Rounds are
+    * eagerly checkpointed + freed ([[CheckpointScope]], the pagerank
+    * lifecycle) and capped at [[BfsCap]] hops (dup-graph components
+    * are cliques-of-cliques; diameters are single digits). Nodes
+    * unreached within the cap emit dist = −1 — the diagnostic wants
+    * "not connected to any seed" visible, not absent.
+    *
+    * Oracle: DuckDB replays the closure as a recursive CTE over the
+    * (fully oracled) edge dump with the SAME hop cap, then folds
+    * MIN(dist) per node — UNION-distinct keeps the recursion finite
+    * on cliques, the cap bounds it, and the min-fold recovers the
+    * BFS distance exactly. */
+  private[operators] val BfsSeeds = 8
+  private[operators] val BfsCap = 32
+
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    CheckpointScope.scoped(s) { ck =>
+      val p = ck(pairs)
+      val ud = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(col("src")))
+      val nodes = ck(ud.select(col("src").as("doc_id")).distinct())
+      val seeds = nodes.orderBy("doc_id").limit(BfsSeeds)
+        .withColumn("dist", lit(0L))
+      var visited = ck(seeds)
+      var frontier = visited
+      var d = 0L
+      var done = false
+      while (!done && d < BfsCap) {
+        d += 1
+        val next = ck(ud.join(frontier.select(col("doc_id").as("src")), "src")
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("dist", lit(d)))
+        done = next.isEmpty
+        if (!done) {
+          visited = ck(visited.union(next))
+          frontier = next
+        }
+      }
+      nodes.join(visited, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+        .localCheckpoint(true)
+    }
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE p AS (
+       |  SELECT doc_a, doc_b
+       |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+       |), ud AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), nodes AS (
+       |  SELECT DISTINCT src AS doc_id FROM ud
+       |), seeds AS (
+       |  SELECT doc_id FROM nodes ORDER BY doc_id LIMIT $BfsSeeds
+       |), bfs AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS dist FROM seeds
+       |  UNION
+       |  SELECT ud.dst, b.dist + 1
+       |  FROM bfs b JOIN ud ON ud.src = b.doc_id
+       |  WHERE b.dist < $BfsCap
+       |), m AS (
+       |  SELECT doc_id, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, COALESCE(m.dist, -1) AS dist
+       |FROM nodes n LEFT JOIN m USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_bfs" -> (graphBfs _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_bfs" -> graphBfsSql)
 }

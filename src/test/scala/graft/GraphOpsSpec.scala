@@ -84,4 +84,38 @@ class GraphOpsSpec extends SparkSpec {
     // the near-dup graph is clique-heavy: triangles must exist
     assert(got.values.map(_._2).sum > 0)
   }
+
+  test("graph_bfs: seeds at zero, the BFS triangle inequality holds edge-by-edge") {
+    val dist = GraphOps.graphBfs(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    val edges = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(dist.keySet == nodes.toSet, "every graph node must be reported")
+    val seeds = nodes.sorted.take(8).toSet
+    seeds.foreach(s => assert(dist(s) == 0L, s"seed $s not at distance 0"))
+    // BFS correctness without recomputing BFS: along every undirected
+    // edge, |d(u) − d(v)| ≤ 1 when both reachable, and a reachable
+    // node can never neighbor an unreachable one
+    edges.foreach { case (u, v) =>
+      (dist(u), dist(v)) match {
+        case (-1L, -1L) => ()
+        case (du, dv) =>
+          assert(du != -1L && dv != -1L,
+            s"reachable/unreachable nodes adjacent: $u=$du $v=$dv")
+          assert(math.abs(du - dv) <= 1L, s"BFS gap > 1 across edge ($u,$v)")
+      }
+    }
+    // every non-seed reachable node has a parent one hop closer
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    dist.foreach { case (n, d) =>
+      if (d > 0) assert(adj(n).exists(dist(_) == d - 1),
+        s"node $n at dist $d has no parent at ${d - 1}")
+    }
+    val again = GraphOps.graphBfs(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    assert(again == dist)
+  }
 }
