@@ -1160,6 +1160,122 @@ object Dedup {
       |JOIN g ga ON ga.doc_id = c.doc_a
       |JOIN g gb ON gb.doc_id = c.doc_b""".stripMargin
 
+  // ---- dedup_containment_pf: prefix-filtered containment (production) --
+  /** The PRODUCTION candidate generator for containment — the scale
+    * path [[dedupContainment]]'s Scaladoc names, now code: a pair
+    * reaches max(cont_a, cont_b) ≥ 0.8 iff the SHORTER side A has
+    * |A∩B| ≥ t = ceil(0.8·|A|), and then (asymmetric prefix theorem)
+    * the first |A| − t + 1 tokens of A under the global rarest-first
+    * order must contain a token of B — at most |A| − t of A's tokens
+    * lie outside B, so B needs NO prefix at all: the contained side's
+    * short prefix probes the full ranked occurrence table. That is
+    * exactly what dies in the all-pairs block at 100 TB (B² per
+    * source) and survives here: prefix tokens ⋈ occurrences is a
+    * token-keyed equi-join whose fan-out the rarest-first order
+    * minimizes.
+    *
+    * Join-side filters, both recall-preserving: the length canon
+    * (probe only containers with n_b > n_a, ties by id — the shorter
+    * side's probe is the one that counts, so every qualifying pair
+    * is generated exactly once) and the positional filter (for the
+    * pair's FIRST common token — necessarily inside A's prefix —
+    * at ranks (ra, rb), at most min(n_a−ra, n_b−rb) + 1 common
+    * tokens can accumulate, which must reach t; later common-token
+    * rows may reject spuriously but the first row always survives
+    * for a truly qualifying pair, and candidates are OR-ed by
+    * distinct()).
+    *
+    * Verification and output schema are [[dedupContainment]]'s
+    * verbatim (ids canonicalized doc_a < doc_b, both directions
+    * emitted), and because the whole rule is deterministic
+    * arithmetic the ORACLE REPLAYS THE CANDIDATE GENERATOR TOO —
+    * like dedup_prefix_filter, this production path is fully
+    * value-oracled, not just rows-checked. DedupSpec additionally
+    * proves pair-set equality with the all-pairs generator. */
+  def dedupContainmentPf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), col("source"),
+        TextFns.tokenSet(col("text")).as("ts"))
+      .localCheckpoint(true)
+    val occ = toks.select(col("doc_id"), col("source"),
+      size(col("ts")).as("n"), explode(col("ts")).as("token"))
+    val dfT = occ.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    // the FULL ranked occurrence table; the probe side filters it to
+    // the containment prefix n − ceil(0.8n) + 1 (integer-exact)
+    val ranked = occ.join(dfT, "token")
+      .withColumn("rn", row_number().over(w))
+      .select("doc_id", "source", "token", "rn", "n")
+      .localCheckpoint(true) // feeds both the probe prefix and the index side
+    val pre = ranked.filter(col("rn") <= col("n") - expr("(8 * n + 9) DIV 10") + 1)
+    val cand = pre.as("a").join(ranked.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") === col("b.source") &&
+          (col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.doc_id") > col("a.doc_id"))) &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1 >=
+            expr("(8 * a.n + 9) DIV 10"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val g = d.select(col("doc_id"), TextFns.hashedTokenSet(col("text")).as("hset"))
+    val a = attachSide(cand,
+      g.select(col("doc_id").as("doc_a"), col("hset").as("ha")), "doc_a")
+    val b = attachSide(a,
+      g.select(col("doc_id").as("doc_b"), col("hset").as("hb")), "doc_b")
+    b.withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / size(col("ha")).cast("double")).as("cont_a"),
+        (col("inter") / size(col("hb")).cast("double")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= 0.8)
+  }
+
+  /** FULL oracle — DuckDB re-derives the rarest-first order, the
+    * containment prefixes, the asymmetric probe join with both
+    * filters, and each surviving pair's two containment ratios from
+    * raw text alone. */
+  val dedupContainmentPfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS token
+      |  FROM documents
+      |), dft AS (
+      |  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+      |), nn AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+      |), r AS (
+      |  SELECT t.doc_id, t.source, t.token,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY dft.df, t.token) AS rn, nn.n
+      |  FROM toks t JOIN dft USING (token) JOIN nn USING (doc_id)
+      |), pre AS (
+      |  SELECT doc_id, source, token, rn, n
+      |  FROM r WHERE rn <= n - (8 * n + 9) // 10 + 1
+      |), cand AS (
+      |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+      |    greatest(a.doc_id, b.doc_id) AS doc_b
+      |  FROM pre a JOIN r b
+      |    ON a.token = b.token AND a.source = b.source
+      |   AND (b.n > a.n OR (b.n = a.n AND b.doc_id > a.doc_id))
+      |   AND a.doc_id <> b.doc_id
+      |   AND least(a.n - a.rn, b.n - b.rn) + 1 >= (8 * a.n + 9) // 10
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+      |  FROM documents
+      |)
+      |SELECT * FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(ga.ts, gb.ts)) AS DOUBLE)
+      |      / CAST(len(ga.ts) AS DOUBLE) AS cont_a,
+      |    CAST(len(list_intersect(ga.ts, gb.ts)) AS DOUBLE)
+      |      / CAST(len(gb.ts) AS DOUBLE) AS cont_b
+      |  FROM cand c
+      |  JOIN g ga ON ga.doc_id = c.doc_a
+      |  JOIN g gb ON gb.doc_id = c.doc_b
+      |) WHERE greatest(cont_a, cont_b) >= 0.8""".stripMargin
+
   // ---- dedup_embedding: hyperplane-LSH cosine near-dup -----------------
   private val EmbTables = 12
   private val EmbBits = 6
@@ -1209,6 +1325,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_pf" -> (dedupContainmentPf _),
     "dedup_embedding" -> (dedupEmbedding _))
 
   /** Echo-gate oracle for the codec menu (see chunkCompress doc). */
@@ -1255,5 +1372,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_containment" -> dedupContainmentSql)
+    "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_pf" -> dedupContainmentPfSql)
 }

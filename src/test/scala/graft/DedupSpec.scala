@@ -511,6 +511,25 @@ class DedupSpec extends SparkSpec {
     assert(asym, "no asymmetric containment pair found in corpus")
   }
 
+  test("dedup_containment_pf: identical result set to the all-pairs generator") {
+    // the production prefix-filtered candidate path carries an EXACT
+    // recall guarantee (asymmetric prefix theorem), so after the
+    // shared ≥0.8 verify its output must equal the oracled B²
+    // block's output row for row — not approximately, identically
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))).toMap
+    val allPairs = keyed(Dedup.dedupContainment(spark, sfDir))
+    val pf = keyed(Dedup.dedupContainmentPf(spark, sfDir))
+    assert(pf.keySet == allPairs.keySet,
+      s"candidate recall broken: missed=${(allPairs.keySet -- pf.keySet).take(3)} " +
+        s"extra=${(pf.keySet -- allPairs.keySet).take(3)}")
+    pf.foreach { case (k, v) =>
+      assert(v == allPairs(k), s"$k: $v vs ${allPairs(k)}")
+    }
+    assert(pf.nonEmpty, "corpus must contain containment pairs")
+  }
+
   test("dedup_incremental_nd: injected corpus — probe recall is unconditional") {
     import spark.implicits._
     // ids chosen against the md5 ':inc' rule: 1,2,4 are batch; 3,5 store
