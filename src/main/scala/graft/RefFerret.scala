@@ -269,7 +269,6 @@ object RefFerret {
         sliced.select(col("query_img"),
           explode(transform(col("top"), x => x.getField("cand_img"))).as("cand_img"))
       }
-      val tVec = (System.nanoTime() - t) / 1e9
       val ranked = over
         .join(broadcast(dbVecsets), "cand_img")
         .join(broadcast(qVecsets), "query_img")
@@ -291,8 +290,10 @@ object RefFerret {
         case None => ranked.write.format("noop").mode("overwrite").save()
       }
       val tAll = (System.nanoTime() - t) / 1e9
+      // tSeg is real (the checkpoint is eager); everything after it
+      // executes as ONE fused job, so only the combined tail is honest
       System.err.println(
-        f"[refferret]   seg+extract $tSeg%.2f s | +probe ${tVec - tSeg}%.2f s | +emd-rank ${tAll - tVec}%.2f s")
+        f"[refferret]   seg+extract $tSeg%.2f s | probe+emd-rank ${tAll - tSeg}%.2f s")
       tAll
     }
 

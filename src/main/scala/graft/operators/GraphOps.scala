@@ -40,6 +40,11 @@ object GraphOps {
   private[operators] val PrBase = 150000000L
   private[operators] val PrIters = 6
 
+  /** Mutual-kNN sparsification degree for graph_triangles_lsh —
+    * declared HERE, above every val that interpolates it into oracle
+    * SQL (object-init order: a later-declared val reads as 0). */
+  private[graft] val KnnD = 8
+
   /** PageRank over an undirected edge list (canonical a<b pairs).
     * Each round: per-node contribution (one projection of the rank
     * table — the floor split is per SOURCE, so it's computed once per
@@ -80,7 +85,7 @@ object GraphOps {
     * CTE blocks over the (fully oracled) dedup_ngram_jaccard dump —
     * same floor division, same BIGINT arithmetic, so the final units
     * must match bit-for-bit. */
-  val graphPagerankSql: String = {
+  private def pagerankSqlFrom(src: String): String = {
     val blocks = (1 to PrIters).map { i =>
       s"""r$i AS (
          |  SELECT d.doc_id, d.deg,
@@ -92,8 +97,7 @@ object GraphOps {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH p AS (
-       |  SELECT doc_a, doc_b
-       |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+       |  $src
        |), ud AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM p
        |  UNION ALL SELECT doc_b, doc_a FROM p
@@ -106,6 +110,14 @@ object GraphOps {
        |$blocks
        |SELECT doc_id, deg, rank FROM r$PrIters""".stripMargin
   }
+
+  private val NgramEdgeSrc =
+    "SELECT doc_a, doc_b FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')"
+  private val LshEdgeSrc =
+    "SELECT doc_a, doc_b FROM read_parquet('{VERIFY_OUT}/dedup_minhash/*.parquet') WHERE is_dup"
+
+  val graphPagerankSql: String = pagerankSqlFrom(NgramEdgeSrc)
+  val graphPagerankLshSql: String = pagerankSqlFrom(LshEdgeSrc)
 
   // ---- graph_triangles: per-node triangle counts -----------------------
   /** Triangle participation per node, DEGREE-ORIENTED (the standard
@@ -123,8 +135,10 @@ object GraphOps {
     * graph. Nodes in no triangle still appear (degree table
     * left-joined, zero-filled) — the diagnostic wants "thin chain" to
     * show as n_tri = 0, not as an absent row. */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+
+  private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
     CheckpointScope.scoped(pairs.sparkSession) { ck =>
       val p = ck(pairs)
       val deg = ck(p.select(col("doc_a").as("doc_id"))
@@ -157,10 +171,9 @@ object GraphOps {
     }
   }
 
-  val graphTrianglesSql: String =
-    """WITH p AS (
-      |  SELECT doc_a, doc_b
-      |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+  private def trianglesSqlFrom(src: String): String =
+    s"""WITH p AS (
+      |  $src
       |), t AS (
       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
       |  FROM p e1
@@ -180,6 +193,26 @@ object GraphOps {
       |)
       |SELECT deg.doc_id, deg.deg, COALESCE(tc.n_tri, 0) AS n_tri
       |FROM deg LEFT JOIN tc USING (doc_id)""".stripMargin
+
+  val graphTrianglesSql: String = trianglesSqlFrom(NgramEdgeSrc)
+  /** Nested-CTE source: the mutual top-KnnD sparsification replayed
+    * from the dedup_minhash dump, then the shared enumeration. */
+  val graphTrianglesLshSql: String = trianglesSqlFrom(
+    s"""WITH e AS (
+       |    SELECT doc_a, doc_b, jaccard
+       |    FROM read_parquet('{VERIFY_OUT}/dedup_minhash/*.parquet') WHERE is_dup
+       |  ), udk AS (
+       |    SELECT doc_a AS u, doc_b AS v, jaccard FROM e
+       |    UNION ALL SELECT doc_b, doc_a, jaccard FROM e
+       |  ), topk AS (
+       |    SELECT u, v FROM (
+       |      SELECT u, v, row_number() OVER (PARTITION BY u
+       |        ORDER BY jaccard DESC, v) AS rn FROM udk
+       |    ) WHERE rn <= $KnnD
+       |  )
+       |  SELECT x.u AS doc_a, x.v AS doc_b
+       |  FROM topk x JOIN topk y ON x.u = y.v AND x.v = y.u
+       |  WHERE x.u < x.v""".stripMargin)
 
   // ---- graph_bfs: multi-source hop distance ----------------------------
   /** Hop distance from the seed set to every node of the duplicate
@@ -204,8 +237,11 @@ object GraphOps {
   private[operators] val BfsSeeds = 8
   private[operators] val BfsCap = 32
 
-  def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+  def graphBfs(s: SparkSession, dir: String): DataFrame =
+    bfsFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+
+  private[graft] def bfsFromPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     CheckpointScope.scoped(s) { ck =>
       val p = ck(pairs)
       val ud = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -236,10 +272,9 @@ object GraphOps {
     }
   }
 
-  val graphBfsSql: String =
+  private def bfsSqlFrom(src: String): String =
     s"""WITH RECURSIVE p AS (
-       |  SELECT doc_a, doc_b
-       |  FROM read_parquet('{VERIFY_OUT}/dedup_ngram_jaccard/*.parquet')
+       |  $src
        |), ud AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM p
        |  UNION ALL SELECT doc_b, doc_a FROM p
@@ -259,13 +294,67 @@ object GraphOps {
        |SELECT n.doc_id, COALESCE(m.dist, -1) AS dist
        |FROM nodes n LEFT JOIN m USING (doc_id)""".stripMargin
 
+  val graphBfsSql: String = bfsSqlFrom(NgramEdgeSrc)
+  val graphBfsLshSql: String = bfsSqlFrom(LshEdgeSrc)
+
+  // ---- *_lsh twins: the SAME loops over banded-LSH edges ---------------
+  /** The production edge source: [[Dedup.dedupMinhash]]'s verified
+    * near-dup pairs — banded bucket-join candidates, never all-pairs.
+    * These twins make the "at 100 TB the same code runs over the
+    * banded-LSH edge list" claim code rather than prose: each is the
+    * ngram key's loop body verbatim (the edge table is a parameter),
+    * value-oracled over the dedup_minhash dump exactly like
+    * dedup_clusters_lsh. */
+  private def lshEdges(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupMinhash(s, dir).filter(col("is_dup")).select("doc_a", "doc_b")
+
+  def graphPagerankLsh(s: SparkSession, dir: String): DataFrame =
+    pagerankFromPairs(lshEdges(s, dir))
+
+  /** Triangle counting is the one graph verb that CANNOT run on the
+    * raw global LSH dup graph: near-dup clusters are cliques, a
+    * k-clique holds k³/6 triangles, and the minhash edge set is 54 M
+    * pairs at sf1 (SCALING.md) — enumeration is meaningless there
+    * AND super-linear (measured: the wedge join fills the disk).
+    * The production form is the standard similarity-graph
+    * sparsification: mutual top-[[KnnD]] by (jaccard DESC, id) —
+    * per-node degree ≤ KnnD, so edges ≤ KnnD·n and the wedge join is
+    * O(n·KnnD²), linear in the corpus. Fully deterministic (rank
+    * ties broken by id over the verified jaccard values), so the
+    * oracle replays sparsification + enumeration from the
+    * dedup_minhash dump. */
+  def graphTrianglesLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.dedupMinhash(s, dir).filter(col("is_dup"))
+      .select("doc_a", "doc_b", "jaccard")
+    val ud = e.select(col("doc_a").as("u"), col("doc_b").as("v"), col("jaccard"))
+      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("jaccard").desc, col("v"))
+    val top = ud.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KnnD).select("u", "v")
+    val mutual = top.as("x").join(top.as("y"),
+        col("x.u") === col("y.v") && col("x.v") === col("y.u") &&
+          col("x.u") < col("x.v"))
+      .select(col("x.u").as("doc_a"), col("x.v").as("doc_b"))
+    trianglesFromPairs(mutual)
+  }
+
+  def graphBfsLsh(s: SparkSession, dir: String): DataFrame =
+    bfsFromPairs(lshEdges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_bfs" -> (graphBfs _))
+    "graph_bfs" -> (graphBfs _),
+    "graph_pagerank_lsh" -> (graphPagerankLsh _),
+    "graph_triangles_lsh" -> (graphTrianglesLsh _),
+    "graph_bfs_lsh" -> (graphBfsLsh _))
 
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_bfs" -> graphBfsSql)
+    "graph_bfs" -> graphBfsSql,
+    "graph_pagerank_lsh" -> graphPagerankLshSql,
+    "graph_triangles_lsh" -> graphTrianglesLshSql,
+    "graph_bfs_lsh" -> graphBfsLshSql)
 }

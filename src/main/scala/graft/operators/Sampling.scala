@@ -232,18 +232,23 @@ object Sampling {
     * SamplingSpec's read-back through [[graft.sinks.TarShards]]. */
   /** Per-dataset shard directory — shard counts differ across SFs, so
     * a shared dir would leave stale higher-numbered shards behind for
-    * shard_untar to read. Cleaned of shard files on every build. */
+    * shard_untar to read. Stale shards from older, differently-sized
+    * runs are reaped by the READER (shardUntar), which also loads
+    * only the current pack's exact shard set — plan construction
+    * never touches the filesystem. */
   private[graft] def tarShardDir(dir: String): java.io.File =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_tar_shards_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
 
   def shardTar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val outDir = tarShardDir(dir)
-    outDir.mkdirs()
-    Option(outDir.listFiles).foreach(_.filter(_.getName.endsWith(".tar"))
-      .foreach(_.delete()))
-    val outPath = outDir.getAbsolutePath
+    // NO driver-side filesystem effects at plan-construction time:
+    // merely building this DataFrame (a plan sweep, an .explain) must
+    // not touch shards a previous run produced for a later reader —
+    // directories are created idempotently inside the tasks, and
+    // stale-shard reconciliation lives with the reader (shardUntar
+    // loads exactly the shard set THIS pack produced)
+    val outPath = tarShardDir(dir).getAbsolutePath
     shardPack(s, dir).select("doc_id", "cum_tokens", "shard_id")
       .join(docs(s, dir).select("doc_id", "text"), "doc_id")
       .select(col("shard_id"), col("cum_tokens"), col("doc_id"), col("text"))
@@ -254,8 +259,15 @@ object Sampling {
         val entries = members.map(t => (s"${t._3}.txt", t._4.getBytes("UTF-8")))
         val tar = graft.sinks.TarShards.archive(entries.toIndexedSeq)
         // atomic publish: a task killed mid-write must never leave a
-        // torn .tar for a later reader — write aside, rename into place
-        val tmpF = java.nio.file.Paths.get(outPath, f".shard-$shard%05d.tar.tmp")
+        // torn .tar for a later reader — write aside, rename into
+        // place; the tmp name carries the task ATTEMPT id so a
+        // speculative or zombie duplicate of this task can never
+        // interleave writes into the same tmp file before the move
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outPath))
+        val tmpF = java.nio.file.Paths.get(outPath,
+          f".shard-$shard%05d.tar.$attempt%d.tmp")
         java.nio.file.Files.write(tmpF, tar)
         java.nio.file.Files.move(tmpF,
           java.nio.file.Paths.get(outPath, f"shard-$shard%05d.tar"),
@@ -298,10 +310,21 @@ object Sampling {
     * write→read path breaks the hash compare. */
   def shardUntar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // materialize the shards (deterministic; overwrites stale files)
-    shardTar(s, dir).write.format("noop").mode("overwrite").save()
+    // materialize the shards and collect THIS pack's shard ids (a
+    // shard-cardinality collect) — the reader then loads exactly
+    // those files, so shards a previous, differently-sized run left
+    // behind can never leak into the result; leftovers are reaped
+    // here, in the action path, never at plan construction
+    val shardIds = shardTar(s, dir).select("shard_id")
+      .as[Long].collect().sorted
+    val outDir = tarShardDir(dir)
+    val expect = shardIds.map(id => f"shard-$id%05d.tar").toSet
+    Option(outDir.listFiles).foreach(_.filter(f =>
+        f.getName.endsWith(".tar") && !expect.contains(f.getName))
+      .foreach(_.delete()))
     s.read.format("binaryFile")
-      .load(tarShardDir(dir).getAbsolutePath + "/shard-*.tar")
+      .load(shardIds.map(id =>
+        new java.io.File(outDir, f"shard-$id%05d.tar").getAbsolutePath): _*)
       .select("content").as[Array[Byte]]
       .flatMap(bytes => graft.sinks.TarShards.parse(bytes).map {
         case (name, data) =>

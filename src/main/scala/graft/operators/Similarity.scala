@@ -1429,6 +1429,7 @@ object Similarity {
         var acc: Array[Long] = null
         var sx: Array[Long] = null
         var n = 0L
+        var maxAbs = 0.0 // domain telemetry, same pass — no re-scan
         it.foreach { v =>
           if (d < 0) {
             d = v.length
@@ -1439,6 +1440,7 @@ object Similarity {
           var i = 0; var idx = 0
           while (i < d) {
             val xi = v(i)
+            if (math.abs(xi) > maxAbs) maxAbs = math.abs(xi)
             sx(i) += math.floor(xi * CovQ).toLong
             var j = i
             while (j < d) {
@@ -1453,22 +1455,37 @@ object Similarity {
           val pairs = for (i <- 0 until d; j <- i until d) yield
             (i.toLong, j.toLong, n, acc(i * d - i * (i - 1) / 2 + (j - i)))
           val firsts = (0 until d).map(i => (i.toLong, -1L, n, sx(i)))
-          (pairs ++ firsts).iterator
+          // j = −2 marks the partition's max-|component| (Q40, ceil)
+          val dom = Seq((-2L, -2L, n, math.ceil(maxAbs * CovQ).toLong))
+          (pairs ++ firsts ++ dom).iterator
         }
       }.toDF("i", "j", "n", "s")
       .localCheckpoint(true) // one corpus pass feeds both aggs below
-    // loud overflow guard: |x·y| ≤ 1 terms at Q40 wrap a BIGINT past
-    // ~2²³ rows per group. The COUNT can't wrap at any realistic
-    // scale, so this check fires correctly even if the sums already
-    // did — silent covariance corruption becomes a hard error telling
-    // the caller to rescale Q.
+    // loud overflow guard, DOMAIN-AWARE: terms are bounded by
+    // maxAbs²·2⁴⁰ (maxAbs observed in the same accumulator pass,
+    // ceil-quantized — never understated), so the safe per-group row
+    // count is (2²³ headroom) / max(1, maxAbs²). The COUNT can't wrap
+    // at any realistic scale, so this check fires correctly even if
+    // the sums already did — silent covariance corruption becomes a
+    // hard error telling the caller to rescale Q. Embeddings outside
+    // [−1, 1] no longer slip under the unit-domain assumption
+    // (they shrink the cap instead).
     val covRowCap = 1L << 23
+    val domCap = partials.filter(col("j") === -2L)
+      .agg(max(col("s")).as("ma_q40"))
+      .select(floor(lit(covRowCap.toDouble) /
+        greatest(lit(1.0), pow(col("ma_q40").cast("double") / lit(CovQ), 2)))
+        .cast("long").as("row_cap"))
     val moments = partials.filter(col("j") >= 0L)
       .groupBy("i", "j").agg(sum("n").as("n"), sum("s").as("sxx_q40"))
-      .where(when(col("n") <= covRowCap, lit(true)).otherwise(
+      .crossJoin(broadcast(domCap))
+      .where(when(col("n") <= col("row_cap"), lit(true)).otherwise(
         raise_error(concat(lit("vec_cov Q40 overflow risk: group of "),
           col("n").cast("string"),
-          lit(s" rows exceeds the $covRowCap-row headroom — rescale CovQ")))))
+          lit(" rows exceeds the domain-scaled headroom "),
+          col("row_cap").cast("string"),
+          lit(" — rescale CovQ or renormalize the embeddings")))))
+      .drop("row_cap")
     val firsts = partials.filter(col("j") === -1L)
       .groupBy("i").agg(sum("s").as("sx_q40"))
     def m(c: String) = col(c).cast("double") / lit(CovQ) / col("n").cast("double")

@@ -67,11 +67,19 @@ object TarShards {
       require(java.lang.Long.parseLong(stored, 8) == sum,
         s"tar header checksum mismatch at offset $off")
       val name = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != 0)
+      // size stays Long until both bounds hold: the octal field admits
+      // 8 GiB (> Int.MaxValue), and copyOfRange silently ZERO-PADS past
+      // bytes.length — a truncated shard must be a hard parse error,
+      // never silently zero-filled text
       val size = java.lang.Long.parseLong(
-        new String(bytes, off + 124, 11, "US-ASCII"), 8).toInt
+        new String(bytes, off + 124, 11, "US-ASCII"), 8)
+      require(size <= Int.MaxValue - 512L,
+        s"tar member '$name' size $size exceeds the supported 2 GiB")
+      require(off + 512L + size <= bytes.length,
+        s"truncated tar: member '$name' needs ${off + 512L + size} bytes, archive has ${bytes.length}")
       out += ((name,
-        java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size)))
-      off += 512 + ((size + 511) / 512) * 512
+        java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size.toInt)))
+      off += 512 + ((size.toInt + 511) / 512) * 512
     }
     out.result()
   }

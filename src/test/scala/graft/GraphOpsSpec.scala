@@ -85,6 +85,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0)
   }
 
+  test("graph *_lsh twins: same loops, banded-LSH edge source, replay-exact") {
+    // the production edge wiring (verdict r11 #6): the registered
+    // twins must consume dedupMinhash's verified pairs — prove it by
+    // replaying pagerank over exactly that edge list and comparing
+    val pairs = Dedup.dedupMinhash(spark, sfDir)
+      .filter(col("is_dup")).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "corpus must contain minhash near-dup pairs")
+    val want = pagerankReference(pairs)
+    val got = GraphOps.graphPagerankLsh(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("rank"))).toMap
+    assert(got == want)
+    // triangles twin: degrees follow the mutual top-KnnD
+    // sparsification of the SAME edges (raw cliques are infeasible
+    // to enumerate at scale — the registered form is the kNN graph)
+    val ej = Dedup.dedupMinhash(spark, sfDir)
+      .filter(col("is_dup")).select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val ud = ej.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val top = ud.groupBy(_._1).toSeq.flatMap { case (u, nbrs) =>
+      nbrs.sortBy(t => (-t._3, t._2)).take(GraphOps.KnnD).map(t => (u, t._2))
+    }.toSet
+    val mutual = top.filter { case (u, v) => u < v && top.contains((v, u)) }
+    val degRefK = mutual.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = GraphOps.graphTrianglesLsh(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("deg")).toMap
+    assert(tri == degRefK)
+    // bfs twin rides the FULL lsh edge set (linear in m): dist 0
+    // exactly at the 8 lowest node ids of that graph
+    val nodesFull = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val seeds = nodesFull.sorted.take(8).toSet
+    val bfs = GraphOps.graphBfsLsh(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    assert(bfs.filter(_._2 == 0L).keySet == seeds)
+    assert(bfs.keySet == nodesFull.toSet)
+  }
+
   test("graph_bfs: seeds at zero, the BFS triangle inequality holds edge-by-edge") {
     val dist = GraphOps.graphBfs(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
