@@ -61,11 +61,23 @@ object Bench {
     // dedup_clusters_lsh measured 6.4 s and 20.5 s on identical code
     // depending on who paid the store build that sweep. The pre-warm
     // cost is printed, never added to any query's number.
-    {
+    // GRAFT_BENCH_NOWARM=1 skips it for filtered local iteration on
+    // queries that own no store; a pre-warm FAILURE never aborts the
+    // bench — the owning family's first pass then pays (and reports)
+    // the build, exactly the pre-fix behavior, and the driver still
+    // gets its one JSON line.
+    if (!sys.env.get("GRAFT_BENCH_NOWARM").contains("1")) {
       val t0 = System.nanoTime()
-      graft.operators.Dedup.prewarmStores(spark, sfDir)
-      graft.operators.Multimodal.prewarmStores(spark, sfDir)
-      graft.operators.StorageLayout.prewarmStores(spark, sfDir)
+      Seq[(String, () => Unit)](
+        ("dedup", () => graft.operators.Dedup.prewarmStores(spark, sfDir)),
+        ("multimodal", () => graft.operators.Multimodal.prewarmStores(spark, sfDir)),
+        ("storage-layout", () => graft.operators.StorageLayout.prewarmStores(spark, sfDir))
+      ).foreach { case (tag, warm) =>
+        try warm() catch {
+          case e: Throwable => System.err.println(
+            s"[bench] $tag pre-warm failed (non-fatal, family pays in-pass): ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+        }
+      }
       System.err.println(
         f"[bench] one-time store pre-warm: ${(System.nanoTime() - t0) / 1e9}%.2f s (untimed)")
     }

@@ -45,10 +45,13 @@ import org.apache.spark.sql.expressions.Window
 object RefFerret {
   private val Dim = graft.functions.Srm.Dim
   private val LshTables = 12 // mirror the binary's index: mkdb -L 12
-  // 10 sign bits/table = 1024 buckets: at 4 bits the 14-dim SRM
-  // descriptors all pile into 16 buckets and hit-count ties drown
-  // exact twins out of the over-fetch (recall loss the binary's
-  // finer E2LSH — M=17, H=19697 — doesn't suffer)
+  // 14 sign bits/table = 16384 buckets (measured up from 4→10→14:
+  // at 4 bits the z-scored SRM descriptors pile into 16 buckets and
+  // hit-count ties drown exact twins out of the over-fetch; at 10
+  // the probe join still carried 21 M rows; 14 + the hot-bucket cap
+  // brings it under 2 M with twin recall 1000/1000 — the recall
+  // role the binary's finer E2LSH (M=17, H=19697) + multiprobe
+  // plays on its side)
   private val LshBits = 14
   private val BucketSeed = 7L
   private val MaxBucket = 64
@@ -168,6 +171,20 @@ object RefFerret {
     (mu.toSeq, sd.toSeq)
   }
 
+  /** Weighted vecsets in region scan order, one row per image —
+    * shared by the db and query sides so the 16-region EMD-kernel cap
+    * can never silently diverge between them. */
+  private def vecsetsOf(regions: DataFrame, imgCol: String,
+                        vCol: String, wCol: String): DataFrame =
+    regions.groupBy("img")
+      .agg(slice(transform(array_sort(collect_list(
+          struct(col("ridx"), col("v"), col("w")))),
+          x => struct(x.getField("v").as("v"), x.getField("w").as("w"))),
+        1, 16).as("rset"))
+      .select(col("img").as(imgCol),
+        transform(col("rset"), x => x.getField("v")).as(vCol),
+        transform(col("rset"), x => x.getField("w")).as(wCol))
+
   private def withBuckets(df: DataFrame, mu: Seq[Double], sd: Seq[Double]): DataFrame = {
     val muA = array(mu.map(lit): _*)
     val sdA = array(sd.map(lit): _*)
@@ -187,14 +204,7 @@ object RefFerret {
     // ---- untimed database build (the binary's mkdb + table load) ----
     val t0 = System.nanoTime()
     val dbRegions = regionsOf(spark, dbDir).localCheckpoint(true)
-    val dbVecsets = dbRegions.groupBy("img")
-      .agg(slice(transform(array_sort(collect_list(
-          struct(col("ridx"), col("v"), col("w")))),
-          x => struct(x.getField("v").as("v"), x.getField("w").as("w"))),
-        1, 16).as("rset"))
-      .select(col("img").as("cand_img"),
-        transform(col("rset"), x => x.getField("v")).as("cset"),
-        transform(col("rset"), x => x.getField("w")).as("cw"))
+    val dbVecsets = vecsetsOf(dbRegions, "cand_img", "cset", "cw")
       .localCheckpoint(true)
     val (mu, sd) = zStats(dbRegions)
     // hot-bucket shaping (index build time): buckets past JunkBucket
@@ -214,6 +224,11 @@ object RefFerret {
       .drop("rn", "bn")
       .localCheckpoint(true)
     val dbBuildSec = (System.nanoTime() - t0) / 1e9
+    // the db-side checkpoints are the index — they must survive every
+    // pass (unpersisting a localCheckpoint is unrecoverable: lineage
+    // is truncated). Everything persisted AFTER this point is
+    // per-pass residue and safe to free between passes.
+    val dbBlockIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
     // ---- timed passes: the binary's query_time window ----
     def pass(writeOut: Option[String]): Double = {
@@ -221,14 +236,7 @@ object RefFerret {
       val qRegions = regionsOf(spark, queryDir)
         .localCheckpoint(true) // segment once; feeds buckets AND vecsets
       val tSeg = (System.nanoTime() - t) / 1e9
-      val qVecsets = qRegions.groupBy("img")
-        .agg(slice(transform(array_sort(collect_list(
-            struct(col("ridx"), col("v"), col("w")))),
-            x => struct(x.getField("v").as("v"), x.getField("w").as("w"))),
-          1, 16).as("rset"))
-        .select(col("img").as("query_img"),
-          transform(col("rset"), x => x.getField("v")).as("qset"),
-          transform(col("rset"), x => x.getField("w")).as("qw"))
+      val qVecsets = vecsetsOf(qRegions, "query_img", "qset", "qw")
       val qBuckets = withBuckets(qRegions, mu, sd).toDF("query_img", "tbl", "bucket")
       // per-region probes merged per (query, candidate) by collision
       // count — cass_result_merge_lists; 2K over-fetch — t_vec's
@@ -298,6 +306,14 @@ object RefFerret {
     }
 
     val measured = (1 to passes).map { i =>
+      // free the previous pass's eager-checkpoint blocks OUTSIDE the
+      // timed section (the Bench.freeBlocks discipline) — otherwise
+      // qRegions checkpoints accumulate across passes and later warm
+      // passes run against a pressured BlockManager. The db index
+      // checkpoints are exempt (see dbBlockIds).
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => dbBlockIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
       val (sec, env) = EnvTelemetry.measured(
         pass(if (i == passes) Some(s"$outDir/topk") else None))
       System.err.println(

@@ -320,7 +320,11 @@ object Sampling {
     val outDir = tarShardDir(dir)
     val expect = shardIds.map(id => f"shard-$id%05d.tar").toSet
     Option(outDir.listFiles).foreach(_.filter(f =>
-        f.getName.endsWith(".tar") && !expect.contains(f.getName))
+        (f.getName.endsWith(".tar") && !expect.contains(f.getName)) ||
+          f.getName.endsWith(".tmp")) // orphaned attempt tmp files: a
+      // task killed between write and ATOMIC_MOVE leaves its
+      // attempt-unique tmp behind forever — the reaper is the only
+      // place that can safely collect them (no attempt is live here)
       .foreach(_.delete()))
     s.read.format("binaryFile")
       .load(shardIds.map(id =>
