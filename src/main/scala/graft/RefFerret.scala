@@ -131,24 +131,34 @@ object RefFerret {
     spark.stop()
   }
 
-  /** Decode + segment + extract a directory of JPEGs into the
-    * per-region descriptor table — t_seg/t_extract (and the analog
-    * of cass_img_extract for the database side). */
-  private def regionsOf(s: SparkSession, dir: String): DataFrame = {
+  /** Decode + segment + extract a directory of JPEGs — t_seg +
+    * t_extract (and the analog of cass_img_extract for the database
+    * side). ONE row per image carrying the weighted vecset in region
+    * scan order (capped at 16 regions, the EMD kernel bound; band
+    * images produce 1-8) — the per-image grouping happens INSIDE the
+    * segmentation task, so neither side ever shuffles to build its
+    * vecsets and the timed pass needs no aggregation job before the
+    * probe. */
+  private def imagesOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.BinaryFiles.readDirDirect(s, dir, "*.jpg")
       .as[(String, Array[Byte])] // readDirDirect already slices across cores
       .mapPartitions { it =>
-        it.flatMap { case (file, bytes) =>
+        it.map { case (file, bytes) =>
           val img = graft.functions.JpegCodec.decodeJpeg(bytes)
-          graft.functions.Srm.segmentAndDescribe(img)
-            .iterator.zipWithIndex.map { case (r, ri) =>
-              (file, ri, r.descriptor.toSeq, r.weight)
-            }
+          val rs = graft.functions.Srm.segmentAndDescribe(img).take(16)
+          (file, rs.map(_.descriptor.toSeq).toSeq, rs.map(_.weight).toSeq)
         }
       }
-      .toDF("img", "ridx", "v", "w")
+      .toDF("img", "vset", "wset")
   }
+
+  /** The exploded per-region view of [[imagesOf]] (narrow — no
+    * recompute of the decode/SRM pass when the source is
+    * checkpointed). */
+  private def regionsOf(images: DataFrame): DataFrame =
+    images.select(col("img"), posexplode(col("vset")))
+      .toDF("img", "ridx", "v")
 
   /** Per-dimension z-score parameters learned from the database
     * regions at index-build time (the analog of the binary's tuned
@@ -171,20 +181,6 @@ object RefFerret {
     (mu.toSeq, sd.toSeq)
   }
 
-  /** Weighted vecsets in region scan order, one row per image —
-    * shared by the db and query sides so the 16-region EMD-kernel cap
-    * can never silently diverge between them. */
-  private def vecsetsOf(regions: DataFrame, imgCol: String,
-                        vCol: String, wCol: String): DataFrame =
-    regions.groupBy("img")
-      .agg(slice(transform(array_sort(collect_list(
-          struct(col("ridx"), col("v"), col("w")))),
-          x => struct(x.getField("v").as("v"), x.getField("w").as("w"))),
-        1, 16).as("rset"))
-      .select(col("img").as(imgCol),
-        transform(col("rset"), x => x.getField("v")).as(vCol),
-        transform(col("rset"), x => x.getField("w")).as(wCol))
-
   private def withBuckets(df: DataFrame, mu: Seq[Double], sd: Seq[Double]): DataFrame = {
     val muA = array(mu.map(lit): _*)
     val sdA = array(sd.map(lit): _*)
@@ -203,9 +199,10 @@ object RefFerret {
 
     // ---- untimed database build (the binary's mkdb + table load) ----
     val t0 = System.nanoTime()
-    val dbRegions = regionsOf(spark, dbDir).localCheckpoint(true)
-    val dbVecsets = vecsetsOf(dbRegions, "cand_img", "cset", "cw")
-      .localCheckpoint(true)
+    val dbImages = imagesOf(spark, dbDir).localCheckpoint(true)
+    val dbRegions = regionsOf(dbImages)
+    val dbVecsets = dbImages.select(col("img").as("cand_img"),
+      col("vset").as("cset"), col("wset").as("cw")).localCheckpoint(true)
     val (mu, sd) = zStats(dbRegions)
     // hot-bucket shaping (index build time): buckets past JunkBucket
     // rows are degenerate speck-region pileups carrying no ranking
@@ -233,11 +230,13 @@ object RefFerret {
     // ---- timed passes: the binary's query_time window ----
     def pass(writeOut: Option[String]): Double = {
       val t = System.nanoTime()
-      val qRegions = regionsOf(spark, queryDir)
+      val qImages = imagesOf(spark, queryDir)
         .localCheckpoint(true) // segment once; feeds buckets AND vecsets
       val tSeg = (System.nanoTime() - t) / 1e9
-      val qVecsets = vecsetsOf(qRegions, "query_img", "qset", "qw")
-      val qBuckets = withBuckets(qRegions, mu, sd).toDF("query_img", "tbl", "bucket")
+      val qVecsets = qImages.select(col("img").as("query_img"),
+        col("vset").as("qset"), col("wset").as("qw"))
+      val qBuckets = withBuckets(regionsOf(qImages), mu, sd)
+        .toDF("query_img", "tbl", "bucket")
       // per-region probes merged per (query, candidate) by collision
       // count — cass_result_merge_lists; 2K over-fetch — t_vec's
       // query.topk = 2*top_K (ferret-pthreads.c:590). ONE exchange for
@@ -261,8 +260,8 @@ object RefFerret {
       // solves. The speed cells use the per-query default; the quality
       // cell measures both engines at matched candidate-pool depth.
       val perRegions = sys.env.get("GRAFT_FERRET_OVERFETCH").contains("regions")
-      val qNr = qRegions.groupBy("img").agg(count(lit(1)).as("nr"))
-        .toDF("query_img", "nr")
+      val qNr = qImages.select(col("img").as("query_img"),
+        size(col("vset")).as("nr"))
       val over = {
         val top = cand
           .groupBy("query_img")
