@@ -968,6 +968,93 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_knn_graph: embedding kNN-graph construction -----------------
+  /** The kNN GRAPH over the whole embedding corpus — the building
+    * block graph-based curation consumes (SemDeDup-style cluster
+    * pruning, graph diagnostics over semantic edges: exactly what the
+    * graph_*_lsh family does for token-space edges, built here in
+    * embedding space). Every vector emits its top-[[KnnK]] neighbors
+    * by exact cosine among LSH-bucket candidates (the all-vs-all
+    * twin of ann_lsh: a capped bucket SELF-join, never query-vs-
+    * corpus broadcast), with `is_mutual` marking edges whose reverse
+    * also survived the cut — the mutual-kNN subgraph is the standard
+    * noise-robust similarity graph.
+    *
+    * Scale: candidates are a bucket equi-self-join with the
+    * [[graft.operators.Dedup.capBuckets]] hot-bucket guard; exact
+    * cosine runs on candidate pairs only; top-k is a per-vector
+    * partitioned window; the mutual flag is one self-join of the
+    * k·n-row result on the reversed key. No stage is ever all-pairs.
+    *
+    * Oracle: annValueSql's contract extended by the mutual flag —
+    * the candidate pool is seeded LSH (not SQL-replayable), but the
+    * emitted rows are by construction the top-k of their pool under
+    * (cos DESC, vec_id), so DuckDB recomputes every cosine from raw
+    * vectors, re-derives rank 1..k, and re-derives is_mutual from
+    * the emitted edge set itself. */
+  private[graft] val KnnK = 8
+
+  /** Target mean bucket occupancy for the kNN-graph self-join: bits
+    * are chosen per corpus as ceil(log2(n / KnnOccupancy)) (floor 4),
+    * so the bucket COUNT grows with the corpus and the self-join
+    * stays n·occupancy — linear. Fixed bits are quadratic: measured
+    * 17× wall for 10× data at 4 bits before this (buckets don't
+    * multiply, occupancy does). Deterministic: derived from the
+    * corpus count, no sampling. */
+  private val KnnOccupancy = 64L
+
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val n = e.count()
+    val bits = math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (n - 1) / KnnOccupancy)))
+    val buckets = graft.operators.Dedup.capBuckets(
+      e.select(col("vec_id"),
+          posexplode(graft.functions.NativeVector.lshBuckets(
+            col("v"), BucketSeed, LshTables, bits, EmbDim)))
+        .toDF("vec_id", "tbl", "bucket")
+        .select("vec_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+    // DIRECTED candidates: each ordered pair once (a ≠ b), so every
+    // vector ranks its own candidate pool
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    val a = graft.operators.Dedup.attachSide(cand,
+      e.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+    val scored = graft.operators.Dedup.attachSide(a,
+        e.select(col("vec_id"), col("v").as("cv")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .localCheckpoint(true) // consumed twice: emit + reversed-edge probe
+    top.as("x").join(
+        top.select(col("query_id").as("vec_id"), col("vec_id").as("query_id"))
+          .withColumn("m", lit(true)).as("y"),
+        Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"),
+        coalesce(col("m"), lit(false)).as("is_mutual"))
+  }
+
+  /** annValueSql + the mutual flag re-derived from the dump itself. */
+  val annKnnGraphSql: String =
+    """WITH p AS (SELECT query_id, vec_id
+      |           FROM read_parquet('{VERIFY_OUT}/ann_knn_graph/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT p.query_id, p.vec_id, list_cosine_similarity(q.v, c.v) AS cos
+      |  FROM p JOIN e q ON p.query_id = q.vec_id JOIN e c ON p.vec_id = c.vec_id)
+      |SELECT s.query_id, s.vec_id, s.cos,
+      |  CAST(row_number() OVER (PARTITION BY s.query_id
+      |    ORDER BY s.cos DESC, s.vec_id) AS INT) AS rank,
+      |  r.query_id IS NOT NULL AS is_mutual
+      |FROM scored s
+      |LEFT JOIN p r ON r.query_id = s.vec_id AND r.vec_id = s.query_id""".stripMargin
+
   // ---- ferret_emd: vecset EMD re-rank (t_rank's `emd` distance) --------
   /** The reference's 6-stage ferret pipeline made real end to end:
     * t_seg SEGMENTS each decoded image with SRM
@@ -1827,6 +1914,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
+    "ann_knn_graph" -> (annKnnGraph _),
     "ann_depth_picks" -> (annDepthPicks _),
     "ann_depth_sweep" -> (annDepthSweep _),
     "ann_nprobe_picks" -> (annNprobePicks _),
@@ -1981,6 +2069,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "vec_centroids" -> vecCentroidsSql,
     "ferret_emd" -> ferretEmdSql,
+    "ann_knn_graph" -> annKnnGraphSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_rank_fusion" -> annRankFusionSql,

@@ -6,6 +6,36 @@ import graft.operators.{Multimodal, Similarity}
 
 class SimilaritySpec extends SparkSpec {
 
+  test("ann_knn_graph: ranks are cosine-consistent, mutual flag symmetric, k bounded") {
+    val rows = Similarity.annKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"), r.getAs[Boolean]("is_mutual")))
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, es) =>
+      assert(es.length <= Similarity.KnnK, s"query $q emitted ${es.length} > k edges")
+      // ranks are 1..n and ordered by (cos desc, vec_id)
+      val sorted = es.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to es.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"rank order violates (cos desc, id) at $q")
+        case _ =>
+      }
+    }
+    // mutual flag == reversed edge exists in the emitted set
+    val edgeSet = rows.map(e => (e._1, e._2)).toSet
+    rows.foreach { e =>
+      assert(e._5 == edgeSet.contains((e._2, e._1)),
+        s"is_mutual wrong for ${(e._1, e._2)}")
+    }
+    // determinism: a second run emits the identical edge set
+    val again = Similarity.annKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(again == edgeSet)
+  }
+
   test("ann_bruteforce: exactly NQ*K rows, no self-matches, cos bounded") {
     val res = Similarity.annBruteforce(spark, sfDir).cache()
     assert(res.count() == Similarity.NQueries.toLong * Similarity.TopK)
