@@ -360,6 +360,43 @@ object Curation {
   private val SemDupThreshold = 0.4
   private val SemCandFloor = 0.2
 
+  // ---- dedup_clusters_knn: semantic clusters over the mutual-kNN graph
+  /** Connected components of [[Similarity.annKnnGraph]]'s MUTUAL
+    * edge set — semantic cluster labels over embedding space, the
+    * grouping SemDeDup-style pruning keeps one representative from.
+    * Completes the cluster-family symmetry: dedup_clusters_lsh
+    * labels token-space near-dups, this labels embedding-space
+    * neighborhoods, BOTH through the same contraction+propagation
+    * loop (clustersFromPairs — the edge table is a parameter).
+    * Mutuality is the standard noise filter: a one-directional
+    * attraction to a hub vector does not merge clusters.
+    *
+    * Oracle: recursive-CTE closure over the (value-oracled)
+    * ann_knn_graph dump's mutual edges, min-reachable label — the
+    * dedup_clusters_lsh oracle pattern on the semantic edge set. */
+  def dedupClustersKnn(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.annKnnGraph(s, dir)
+      .filter(col("is_mutual") && col("query_id") < col("vec_id"))
+      .select(col("query_id").as("doc_a"), col("vec_id").as("doc_b"))
+    val nodes = Tables.parallel(s, Tables.embeddings(s, dir))
+      .select(col("vec_id").as("doc_id"))
+    clustersFromPairs(nodes, edges).toDF("vec_id", "cluster_id")
+  }
+
+  val dedupClustersKnnSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT query_id AS a, vec_id AS b
+      |  FROM read_parquet('{VERIFY_OUT}/ann_knn_graph/*.parquet')
+      |  WHERE is_mutual AND query_id < vec_id
+      |), ud AS (
+      |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+      |), reach(vec_id, lab) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.vec_id
+      |)
+      |SELECT vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY vec_id""".stripMargin
+
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("v"))
@@ -569,6 +606,7 @@ object Curation {
     "text_pipeline" -> (textPipeline _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_clusters_knn" -> (dedupClustersKnn _),
     "dedup_nd_recall" -> (dedupNdRecall _))
 
   /** Value oracle for the PRODUCTION cluster path: the edge set is
@@ -622,5 +660,6 @@ object Curation {
     "text_pipeline" -> textPipelineSql,
     "dedup_embedding_exact" -> dedupEmbeddingExactSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_clusters_knn" -> dedupClustersKnnSql,
     "dedup_nd_recall" -> dedupNdRecallSql)
 }
