@@ -110,6 +110,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters_knn: mutual-kNN clustering matches a driver flood fill") {
+    import spark.implicits._
+    val labels = Curation.dedupClustersKnn(spark, sfDir)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").as[Long].collect()
+    assert(labels.count() == vecs.length, "every vector gets a label")
+    // reference edge set on the driver: the MUTUAL kNN edges — exactly
+    // what the production operator feeds clustersFromPairs
+    val mutual = graft.operators.Similarity.annKnnGraph(spark, sfDir)
+      .filter(col("is_mutual") && col("query_id") < col("vec_id"))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    val adj = mutual.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val lab = scala.collection.mutable.Map[Long, Long]()
+    adj.keys.foreach { k =>
+      if (!lab.contains(k)) {
+        var seen = Set(k); var frontier = Set(k)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty[Long])) -- seen
+          seen ++= frontier
+        }
+        val m = seen.min
+        seen.foreach(lab(_) = m)
+      }
+    }
+    val got = labels.as[(Long, Long)].collect().toMap
+    vecs.foreach { v =>
+      val want = lab.getOrElse(v, v) // edge-less vectors keep their own label
+      assert(got(v) == want, s"vec $v: expected cluster $want, got ${got(v)}")
+    }
+    // mutuality filter is real: at least one one-directional edge was
+    // dropped, and clusters are strictly coarser than singletons
+    assert(got.values.toSet.size < vecs.length, "kNN graph produced no merges")
+    // determinism: a second invocation yields identical labels
+    val again = Curation.dedupClustersKnn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got, "dedup_clusters_knn is not deterministic")
+  }
+
   test("clustersFromPairs: no edges → every node is its own cluster") {
     import spark.implicits._
     val nodes = Seq(5L, 9L, 2L).toDF("doc_id")
