@@ -70,9 +70,18 @@ object RefFerret {
       val passes = if (args.length > 4) args(4).toInt else 5
       val outDir = if (args.length > 5) args(5) else "/tmp/refbench/ferret/graft_out"
       run(dbDir, queryDir, topK, passes, outDir)
+    case Some("truth") =>
+      val dbDir = if (args.length > 1) args(1) else "/tmp/refbench/ferret/db"
+      val queryDir = if (args.length > 2) args(2) else "/tmp/refbench/ferret/queries"
+      val stride = if (args.length > 3) args(3).toInt else 10
+      val topK = if (args.length > 4) args(4).toInt else 10
+      val outDir = if (args.length > 5) args(5) else "/tmp/refbench/ferret/truth"
+      val corelTxt = if (args.length > 6) Some(args(6)) else None
+      truth(dbDir, queryDir, stride, topK, outDir, corelTxt)
     case _ =>
       System.err.println("usage: RefFerret corpus <outBase> [nDb] [nQuery] | " +
-        "run <dbDir> <queryDir> [topK] [passes] [outDir]")
+        "run <dbDir> <queryDir> [topK] [passes] [outDir] | " +
+        "truth <dbDir> <queryDir> [stride] [topK] [outDir] [corelTxt]")
       sys.exit(2)
   }
 
@@ -189,6 +198,95 @@ object RefFerret {
     df.select(col("img"), posexplode(graft.functions.NativeVector.lshBuckets(
         z, BucketSeed, LshTables, LshBits, Dim)))
       .toDF("img", "tbl", "bucket")
+  }
+
+  /** GROUND-TRUTH cell (r13 verdict item): the exact-EMD top-K over
+    * the FULL database for a deterministic query subsample (every
+    * `stride`-th query id) — no LSH, no over-fetch, every candidate
+    * solved. This is the brute-force path both engines' t_rank
+    * (emd.c:104 exact simplex / graft's certificate-checked kernel)
+    * already shares semantics with; against it, each engine's
+    * RETURNED top-K gets a recall number instead of the
+    * engine-vs-engine overlap that left "who is closer to the
+    * truth?" unadjudicated (REFBENCH r12).
+    *
+    * Feature source: by default graft's own decode→SRM→extract
+    * vecsets; with `corelTxt` the binary's OWN extraction dump
+    * (cass_img_extract output: per image a `name\tn` header then n
+    * lines of `weight\t14-dim descriptor`, cass_img_extract.c:78-87)
+    * — query i is db image i byte-for-byte, so the twin's db entry
+    * IS the binary's query-side vecset. Two truths, two engines →
+    * the 2×2 recall matrix localizes any gap to index family vs
+    * feature extraction. */
+  private def truth(dbDir: String, queryDir: String, stride: Int, topK: Int,
+                    outDir: String, corelTxt: Option[String]): Unit = {
+    val spark = Sessions.contractLocal("graft-refferret-truth")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val nQ = graft.sources.BinaryFiles.readDirDirect(spark, queryDir, "*.jpg").count()
+    val qid = regexp_extract(col("img"), "img_(\\d+)", 1).cast("long")
+    val t0 = System.nanoTime()
+    val (dbV, qV) = corelTxt match {
+      case Some(path) =>
+        // the binary's own features: bounded 10k-image parse (one row
+        // per image), never data-scaled — harness-side by design
+        val entries = parseCorel(path)
+        val db = entries.toDF("img", "vset", "wset").localCheckpoint(true)
+        (db, db.filter(qid < nQ && qid % stride === 0))
+      case None =>
+        val db = imagesOf(spark, dbDir).localCheckpoint(true)
+        (db, imagesOf(spark, queryDir).filter(qid % stride === 0))
+    }
+    val q = qV.select(col("img").as("query_img"),
+      col("vset").as("qset"), col("wset").as("qw"))
+    val d = dbV.select(col("img").as("cand_img"),
+      col("vset").as("cset"), col("wset").as("cw"))
+    // brute force IS the point: db × subsample, every pair solved
+    // exactly (10k × nQ/stride EMD solves; the db side carries the
+    // parallelism, the query side broadcasts)
+    val ranked = d.crossJoin(broadcast(q))
+      .select(col("query_img"), col("cand_img"),
+        graft.functions.NativeVector.emdWeighted(
+          col("qset"), col("qw"), col("cset"), col("cw")).as("emd"))
+      .groupBy("query_img")
+      .agg(slice(array_sort(collect_list(
+          struct(col("emd"), col("cand_img")))), 1, topK).as("top"))
+      .select(col("query_img"), posexplode(col("top")))
+      .select(col("query_img"),
+        col("col").getField("cand_img").as("cand_img"),
+        col("col").getField("emd").as("emd"),
+        (col("pos") + 1).as("rank"))
+    ranked.repartition(1).write.mode("overwrite").parquet(outDir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nSub = spark.read.parquet(outDir).select("query_img").distinct().count()
+    println(s"""{"harness":"refferret-truth","features":"${if (corelTxt.isDefined) "binary" else "graft"}",""" +
+      s""""n_queries":$nSub,"stride":$stride,"top_k":$topK,"db":"$dbDir",""" +
+      s""""wall_sec":${f"$sec%.3f"},"out":"$outDir"}""")
+    spark.stop()
+  }
+
+  /** Parse cass_img_extract's text dump: `name\tnRegions` headers,
+    * then per region `weight` + 14 descriptor dims (the fprintf at
+    * cass_img_extract.c:78-87). Names are basenamed to match the
+    * RefFerret img keys. */
+  private def parseCorel(path: String): Seq[(String, Seq[Seq[Double]], Seq[Double])] = {
+    val src = scala.io.Source.fromFile(path)
+    try {
+      val it = src.getLines()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Seq[Seq[Double]], Seq[Double])]()
+      while (it.hasNext) {
+        val h = it.next().split("\t")
+        require(h.length == 2, s"corel header expected 'name\\tn', got: ${h.mkString("|")}")
+        val name = h(0).split("/").last
+        val rows = (1 to h(1).trim.toInt).map { _ =>
+          it.next().trim.split("\\s+").map(_.toDouble)
+        }
+        rows.foreach(r => require(r.length == Dim + 1,
+          s"corel region row for $name: expected weight+$Dim dims, got ${r.length}"))
+        buf += ((name, rows.map(_.drop(1).toSeq), rows.map(_.head)))
+      }
+      buf.toSeq
+    } finally src.close()
   }
 
   private def run(dbDir: String, queryDir: String, topK: Int,
