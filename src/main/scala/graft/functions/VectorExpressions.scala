@@ -181,6 +181,122 @@ object LshBucketKernel {
   }
 }
 
+/** Multi-probe bucket ids: per table, the base bucket FOLLOWED by the
+  * `nProbes` nearest-boundary perturbed buckets — the standard
+  * memory/recall trade (Lv et al., "Multi-Probe LSH", VLDB 2007; the
+  * reference's gen_perturb_set / LSH_query_probe,
+  * apps/ferret/src/src/lsh/LSH_query.c:59,281 with T=20): instead of
+  * multiplying TABLES to recover recall, a query also probes the
+  * buckets it ALMOST hashed to. For sign-LSH the boundary distance of
+  * bit b is the |projection| margin onto plane b, so perturbation
+  * sets (bit-flip masks) are enumerated in ascending
+  * sum-of-squared-margins order via the classic shift/expand heap
+  * over the margin-sorted bit list — each set generated exactly once,
+  * ties broken by flip mask so the emission order is engine- and
+  * heap-implementation-independent.
+  *
+  * Plane matrix, dot order, and sign rule are IDENTICAL to
+  * [[LshBucketKernel]] (same cache), so element 0 of every table
+  * stride equals the `lshBuckets` id bit-for-bit (differential spec).
+  * Layout: flat array, element i ⇒ table i / (nProbes+1), base-first.
+  */
+object LshProbeKernel {
+  def probes(v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+             seed: Long, nTables: Int, bits: Int, dim: Int,
+             nProbes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(nProbes >= 0 && nProbes < (1 << bits),
+      s"graft_lsh_probes: nProbes must be < 2^bits distinct perturbations (got $nProbes at $bits bits)")
+    val ps = LshBucketKernel.planes(seed, nTables * bits, dim)
+    val stride = nProbes + 1
+    val out = new Array[Long](nTables * stride)
+    val margins = new Array[Double](bits)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        val p = ps(t * bits + b)
+        val n = math.min(v.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          s += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (s > 0.0) bucket |= (1L << b)
+        margins(b) = math.abs(s)
+        b += 1
+      }
+      out(t * stride) = bucket
+      if (nProbes > 0) {
+        // bits by distance-to-boundary ascending: flipping order(0)
+        // is the cheapest single-bit perturbation
+        val order = Array.range(0, bits).sortBy(i => (margins(i), i))
+        val sq = order.map(i => margins(i) * margins(i))
+        def maskOf(set: List[Int]): Long = {
+          var m = 0L
+          set.foreach(i => m |= (1L << order(i)))
+          m
+        }
+        // ascending-score set enumeration: sets carry their max
+        // element at the head; {m::rest} yields shift (m→m+1) and
+        // expand (+(m+1)) — the classic generation, each set once
+        val pq = collection.mutable.PriorityQueue.empty[(Double, Long, List[Int])](
+          Ordering.by[(Double, Long, List[Int]), (Double, Long)](e => (e._1, e._2)).reverse)
+        pq.enqueue((sq(0), maskOf(List(0)), List(0)))
+        var emitted = 0
+        while (emitted < nProbes && pq.nonEmpty) {
+          val (score, mask, set) = pq.dequeue()
+          out(t * stride + 1 + emitted) = bucket ^ mask
+          emitted += 1
+          val m = set.head
+          if (m + 1 < bits) {
+            val shifted = (m + 1) :: set.tail
+            val expanded = (m + 1) :: set
+            pq.enqueue((score - sq(m) + sq(m + 1), maskOf(shifted), shifted))
+            pq.enqueue((score + sq(m + 1), maskOf(expanded), expanded))
+          }
+        }
+        // nProbes < 2^bits - 1 sets always exist, so emitted == nProbes
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class LshProbeBuckets(child: Expression, seed: Long, nTables: Int,
+                           bits: Int, dim: Int, nProbes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_probes"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float|double> column, got ${dt.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshProbeKernel.probes(input.asInstanceOf[ArrayData], isFloat,
+      seed, nTables, bits, dim, nProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshProbeKernel.probes($c, $isFloat, ${seed}L, $nTables, $bits, $dim, $nProbes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class LshBuckets(child: Expression, seed: Long, nTables: Int,
                       bits: Int, dim: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -658,4 +774,7 @@ object NativeVector {
       ColumnBridge.expression(b), ColumnBridge.expression(bw)))
   def lshBuckets(v: Column, seed: Long, nTables: Int, bits: Int, dim: Int): Column =
     ColumnBridge.column(LshBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim))
+  def lshProbeBuckets(v: Column, seed: Long, nTables: Int, bits: Int, dim: Int,
+                      nProbes: Int): Column =
+    ColumnBridge.column(LshProbeBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim, nProbes))
 }

@@ -107,11 +107,27 @@ object Similarity {
   private val BucketSeed = 7L
   private val SketchSeed = 11L
 
-  private def withBuckets(e: DataFrame, dim: Int = EmbDim): DataFrame =
+  private def withBuckets(e: DataFrame, dim: Int = EmbDim,
+                          tables: Int = LshTables, bits: Int = LshBits): DataFrame =
     e.select(col("vec_id"), col("v"),
       posexplode(graft.functions.NativeVector.lshBuckets(
-        col("v"), BucketSeed, LshTables, LshBits, dim)))
+        col("v"), BucketSeed, tables, bits, dim)))
       .toDF("vec_id", "v", "tbl", "bucket")
+
+  /** Query-side multi-probe bucket expansion: per table the base
+    * bucket plus the `nProbes` nearest-boundary perturbations
+    * ([[graft.functions.LshProbeKernel]]) — the INDEX stays one
+    * bucket per vector per table; only the query fans out. Probes
+    * within a table are distinct by construction (base ^ distinct
+    * non-zero masks), so no dedup is needed before the bucket join. */
+  private def withProbeBuckets(e: DataFrame, tables: Int, bits: Int,
+                               nProbes: Int, dim: Int = EmbDim): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.NativeVector.lshProbeBuckets(
+        col("v"), BucketSeed, tables, bits, dim, nProbes)))
+      .select(col("vec_id"),
+        (col("pos") / (nProbes + 1)).cast("int").as("tbl"),
+        col("col").as("bucket"))
 
   private def withSketch(e: DataFrame): DataFrame =
     e.withColumn("sk", graft.functions.NativeVector.lshBuckets(
@@ -123,6 +139,35 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     lshSearch(e, queriesDf(e))
+  }
+
+  // ---- ann_lsh_multiprobe: fewer+finer tables, boundary-probe expansion
+  /** Multi-probe twin of [[annLsh]] (r13; reference:
+    * apps/ferret/src/src/lsh/LSH_query.c:59 gen_perturb_set, :281
+    * LSH_query_probe, T=20): 4 tables of 8-bit buckets instead of 16
+    * tables of 4-bit — a 4× SMALLER index (one entry per vector per
+    * table is the dominant ANN index cost at 100 TB) at 16× finer
+    * bucket resolution — with each query also probing its
+    * [[MpProbes]] nearest-boundary buckets per table
+    * ([[graft.functions.LshProbeKernel]]) to buy the recall back at
+    * query time. Same two-phase search, over-fetch, and exact
+    * re-rank as ann_lsh; the output contract (annValueSql) is
+    * identical. SimilaritySpec proves recall is monotone in the
+    * probe count and the T=[[MpProbes]] recall meets ann_lsh's at a
+    * quarter of the index entries. */
+  private[graft] val MpTables = 4
+  private[graft] val MpBits = 8
+  private[graft] val MpProbes = 20 // the reference's T (LSH_query.c:59)
+
+  def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    lshMultiprobeAt(s, dir, MpProbes)
+
+  /** Spec hook: the registered multiprobe search at an arbitrary
+    * probe count (the recall-vs-T sweep runs through this). */
+  private[graft] def lshMultiprobeAt(s: SparkSession, dir: String,
+                                     nProbes: Int): DataFrame = {
+    val e = emb(s, dir)
+    lshSearch(e, queriesDf(e), tables = MpTables, bits = MpBits, qProbes = nProbes)
   }
 
   /** Two-phase LSH search of `qdf` (query_id, qv) against corpus `e`
@@ -137,10 +182,12 @@ object Similarity {
     * either way (join strategy never changes semantics). */
   private[graft] def lshSearch(e0: DataFrame, qdf: DataFrame,
                                broadcastQueries: Boolean = true,
-                               overFetch: Int = OverFetch): DataFrame = {
+                               overFetch: Int = OverFetch,
+                               tables: Int = LshTables, bits: Int = LshBits,
+                               qProbes: Int = 0): DataFrame = {
     val wCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    lshScored(e0, qdf, broadcastQueries, overFetch)
+    lshScored(e0, qdf, broadcastQueries, overFetch, tables, bits, qProbes)
       .select("query_id", "vec_id", "cos")
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= TopK)
@@ -154,19 +201,26 @@ object Similarity {
     * same sketch ordering). */
   private[graft] def lshScored(e0: DataFrame, qdf: DataFrame,
                                broadcastQueries: Boolean = true,
-                               overFetch: Int = OverFetch): DataFrame = {
+                               overFetch: Int = OverFetch,
+                               tables: Int = LshTables, bits: Int = LshBits,
+                               qProbes: Int = 0): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val e = withSketch(e0)
-    val buckets = withBuckets(e.select("vec_id", "v"))
+    val buckets = withBuckets(e.select("vec_id", "v"), EmbDim, tables, bits)
       .select("vec_id", "tbl", "bucket")
     val q = qdf
       .join(e.select(col("vec_id").as("query_id"), col("sketch_lo").as("qsketch_lo"),
         col("sketch_hi").as("qsketch_hi")), "query_id")
-    // (multi-probe of 1-bit-perturbed buckets was measured here and
-    // reverted: candidate recall is already ~0.9 with 16 tables — the
-    // end-recall limiter is the reference-mandated 2k over-fetch
-    // through the sketch, i.e. ferret's `ranking` depth knob.)
-    val qBuckets = withBuckets(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
+    // qProbes = 0 is the plain table-multiplied path (ann_lsh: 16
+    // coarse tables, candidate recall already ~0.9 — the end-recall
+    // limiter there is the reference-mandated 2k over-fetch through
+    // the sketch). qProbes > 0 is the multi-probe memory/recall
+    // trade (ann_lsh_multiprobe): FINER tables, FEWER of them, and
+    // the query also probes its nearest-boundary buckets — the index
+    // stays one entry per (vector, table).
+    val qBase = q.select(col("query_id").as("vec_id"), col("qv").as("v"))
+    val qBuckets = (if (qProbes > 0) withProbeBuckets(qBase, tables, bits, qProbes)
+                    else withBuckets(qBase, EmbDim, tables, bits))
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     // phase 0: candidate gen — bucket equi-join against the query buckets
     val cand = buckets.join(qside(qBuckets), Seq("tbl", "bucket"))
@@ -1912,6 +1966,7 @@ object Similarity {
     "vec_pca_project" -> (vecPcaProject _),
     "ann_filtered" -> (annFiltered _),
     "ann_lsh" -> (annLsh _),
+    "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
     "ann_knn_graph" -> (annKnnGraph _),
@@ -2083,6 +2138,7 @@ object Similarity {
     "ann_nprobe_picks" -> annNprobePicksSql,
     "ann_nprobe_sweep" -> annNprobeSweepSql,
     "ann_lsh" -> annValueSql("ann_lsh"),
+    "ann_lsh_multiprobe" -> annValueSql("ann_lsh_multiprobe"),
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),
     "ann_ivf_append" -> annValueSql("ann_ivf_append"),

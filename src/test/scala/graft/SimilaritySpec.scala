@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ann_lsh_multiprobe: recall monotone in probe count, probes buy real recall") {
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(t: Int): Double = {
+      val got = Similarity.lshMultiprobeAt(spark, sfDir, t)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // candidate pools are nested in T (probing only ADDS buckets) and
+    // stay under the over-fetch depth at this SF, so end recall must
+    // be non-decreasing — and the probes must actually DO something:
+    // 4 tables of 8-bit buckets alone (T=0) under-recall by design
+    val sweep = Seq(0, 2, Similarity.MpProbes).map(t => t -> recallAt(t))
+    info(sweep.map { case (t, r) => f"T=$t recall=$r%.3f" }.mkString(", "))
+    sweep.sliding(2).foreach { case Seq((t1, r1), (t2, r2)) =>
+      assert(r2 >= r1, s"recall fell as probes grew: T=$t1 $r1 -> T=$t2 $r2")
+    }
+    assert(sweep.last._2 > sweep.head._2,
+      "probe expansion added no recall — the multiprobe path is inert")
+    // the memory/recall trade holds: at a QUARTER of ann_lsh's index
+    // entries (4 tables vs 16), the probed search matches its recall
+    val lshRecall = {
+      val got = Similarity.annLsh(spark, sfDir)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    info(f"ann_lsh (16 tables) recall=$lshRecall%.3f vs multiprobe ${sweep.last._2}%.3f")
+    assert(sweep.last._2 >= lshRecall - 0.05,
+      s"multiprobe recall ${sweep.last._2} fell >0.05 below ann_lsh's $lshRecall")
+  }
+
   test("ann_ivf: at most K per query") {
     val res = Similarity.annIvf(spark, sfDir).cache()
     assert(res.count() > 0)

@@ -74,6 +74,45 @@ class VectorExprSpec extends SparkSpec {
     assert(kernel.count() == 200L * nTables)
   }
 
+  test("lsh probe kernel: base matches lshBuckets; probes are the ascending-score boundary perturbations") {
+    import spark.implicits._
+    val nTables = 3; val bits = 6; val dim = 64; val seed = 42L; val nProbes = 10
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val got = emb.select(col("vec_id"),
+        graft.functions.NativeVector.lshProbeBuckets(col("v"), seed, nTables, bits, dim, nProbes))
+      .as[(Long, Seq[Long])].collect().toMap
+    val base = emb.select(col("vec_id"),
+        graft.functions.NativeVector.lshBuckets(col("v"), seed, nTables, bits, dim))
+      .as[(Long, Seq[Long])].collect().toMap
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    val planes = VectorFns.hyperplanes(nTables * bits, dim, seed)
+    val stride = nProbes + 1
+    got.foreach { case (id, flat) =>
+      assert(flat.length == nTables * stride)
+      val v = vecs(id)
+      (0 until nTables).foreach { t =>
+        // element 0 of each stride IS the plain kernel's bucket
+        assert(flat(t * stride) == base(id)(t), s"vec $id tbl $t base drifted")
+        // driver recompute: margins per bit, every non-empty flip mask
+        // scored by sum of squared flipped margins — the emitted
+        // probes must be the nProbes cheapest, in ascending order
+        val margins = (0 until bits).map { b =>
+          planes(t * bits + b).zip(v).map { case (p, x) => p * x.toDouble }.sum
+        }
+        val expect = (1L until (1L << bits)).map { mask =>
+          val score = (0 until bits).filter(b => (mask & (1L << b)) != 0)
+            .map(b => margins(b) * margins(b)).sum
+          (score, mask)
+        }.sorted.take(nProbes).map { case (_, mask) => base(id)(t) ^ mask }
+        val probes = (1 to nProbes).map(i => flat(t * stride + i))
+        assert(probes == expect, s"vec $id tbl $t: $probes vs $expect")
+        // probes are distinct and never re-emit the base
+        assert((probes :+ flat(t * stride)).distinct.size == stride)
+      }
+    }
+  }
+
   // independent reference EMD: exhaustive permutations, plain Scala
   private def refEmd(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
     def l2(x: Array[Double], y: Array[Double]): Double =
