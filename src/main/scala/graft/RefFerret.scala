@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -42,9 +42,73 @@ import org.apache.spark.sql.expressions.Window
   * rank) so the binary's output.txt can be compared for top-K
   * overlap, not just throughput.
   */
+/** Probe against the RESIDENT LSH index: holds a Broadcast of the
+  * bucket→postings map built ONCE at db-build time — the binary's
+  * QUERY TIME also starts with its LSH tables already resident, while
+  * a per-pass broadcast hash-relation rebuild measured ~0.3-0.4 s of
+  * every 1k-query pass. On a cluster the broadcast HANDLE serializes
+  * with the expression and resolves executor-side; the postings are
+  * pre-encoded InternalRows, shared read-only across evals. */
+case class FerretIndexProbe(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: org.apache.spark.broadcast.Broadcast[Map[Long, Array[org.apache.spark.sql.catalyst.InternalRow]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cand_img", StringType, nullable = false),
+    StructField("cridx", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ferret_probe"
+  private val empty = Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+  override protected def nullSafeEval(tbl: Any, bucket: Any): Any = {
+    val key = (tbl.asInstanceOf[Int].toLong << 32) | bucket.asInstanceOf[Long]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      index.value.getOrElse(key, empty).asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = l, right = r)
+}
+
+/** EMD against the RESIDENT vecset table: same model as
+  * [[FerretIndexProbe]] for the re-rank attach — the db vecsets are
+  * loaded once (the binary's raw table), so the EMD stage needs no
+  * per-pass broadcast join at all. */
+case class FerretDbEmd(first: org.apache.spark.sql.catalyst.expressions.Expression,
+    second: org.apache.spark.sql.catalyst.expressions.Expression,
+    third: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: org.apache.spark.broadcast.Broadcast[Map[org.apache.spark.unsafe.types.UTF8String,
+      (org.apache.spark.sql.catalyst.util.ArrayData, org.apache.spark.sql.catalyst.util.ArrayData)]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_ferret_db_emd"
+  override protected def nullSafeEval(qset: Any, qw: Any, img: Any): Any = {
+    val (cset, cw) = index.value(img.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    graft.functions.EmdWeightedKernel.emd(
+      qset.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      qw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cset, cw, false, false, false, false)
+  }
+  override protected def withNewChildrenInternal(
+      f: org.apache.spark.sql.catalyst.expressions.Expression,
+      s: org.apache.spark.sql.catalyst.expressions.Expression,
+      t: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object RefFerret {
   private val Dim = graft.functions.Srm.Dim
-  private val LshTables = 12 // mirror the binary's index: mkdb -L 12
+  // mirror the binary's index by default: mkdb -L 12. GRAFT_FERRET_TABLES
+  // overrides for the multiprobe cells (fewer tables, probes instead).
+  private def LshTables: Int =
+    sys.env.get("GRAFT_FERRET_TABLES").map(_.toInt).getOrElse(12)
+  // query-side multi-probe count (the binary's T=20, LSH_query.c:59);
+  // 0 = base-bucket-only probing (the r12 cells)
+  private def LshProbes: Int =
+    sys.env.get("GRAFT_FERRET_PROBES").map(_.toInt).getOrElse(0)
   // 14 sign bits/table = 16384 buckets (measured up from 4→10→14:
   // at 4 bits the z-scored SRM descriptors pile into 16 buckets and
   // hit-count ties drown exact twins out of the over-fetch; at 10
@@ -190,14 +254,26 @@ object RefFerret {
     (mu.toSeq, sd.toSeq)
   }
 
-  private def withBuckets(df: DataFrame, mu: Seq[Double], sd: Seq[Double]): DataFrame = {
+  private def withBuckets(df: DataFrame, mu: Seq[Double], sd: Seq[Double],
+                          probes: Int = 0): DataFrame = {
     val muA = array(mu.map(lit): _*)
     val sdA = array(sd.map(lit): _*)
     val z = zip_with(col("v"), sequence(lit(0), lit(Dim - 1)),
       (x, i) => (x - element_at(muA, i + 1)) / element_at(sdA, i + 1))
-    df.select(col("img"), posexplode(graft.functions.NativeVector.lshBuckets(
-        z, BucketSeed, LshTables, LshBits, Dim)))
-      .toDF("img", "tbl", "bucket")
+    if (probes > 0)
+      // query-side probe expansion (LSH_query_probe semantics): the
+      // db index stays one bucket per region per table
+      df.select(col("img"), col("ridx"),
+          posexplode(graft.functions.NativeVector.lshProbeBuckets(
+            z, BucketSeed, LshTables, LshBits, Dim, probes)))
+        .select(col("img"), col("ridx"),
+          (col("pos") / (probes + 1)).cast("int").as("tbl"),
+          col("col").as("bucket"))
+    else
+      df.select(col("img"), col("ridx"),
+          posexplode(graft.functions.NativeVector.lshBuckets(
+            z, BucketSeed, LshTables, LshBits, Dim)))
+        .toDF("img", "ridx", "tbl", "bucket")
   }
 
   /** GROUND-TRUTH cell (r13 verdict item): the exact-EMD top-K over
@@ -293,14 +369,14 @@ object RefFerret {
                   passes: Int, outDir: String): Unit = {
     val spark = Sessions.contractLocal("graft-refferret")
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_FERRET_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val nQ = graft.sources.BinaryFiles.readDirDirect(spark, queryDir, "*.jpg").count()
 
     // ---- untimed database build (the binary's mkdb + table load) ----
     val t0 = System.nanoTime()
     val dbImages = imagesOf(spark, dbDir).localCheckpoint(true)
     val dbRegions = regionsOf(dbImages)
-    val dbVecsets = dbImages.select(col("img").as("cand_img"),
-      col("vset").as("cset"), col("wset").as("cw")).localCheckpoint(true)
     val (mu, sd) = zStats(dbRegions)
     // hot-bucket shaping (index build time): buckets past JunkBucket
     // rows are degenerate speck-region pileups carrying no ranking
@@ -309,8 +385,10 @@ object RefFerret {
     // first-MaxBucket slice (Dedup.capBuckets semantics), so a query
     // whose regions only land in medium-hot buckets never goes
     // candidate-dark
-    val rawDb = withBuckets(dbRegions, mu, sd).toDF("cand_img", "tbl", "bucket")
-    val wBucket = Window.partitionBy("tbl", "bucket").orderBy(col("cand_img"))
+    val rawDb = withBuckets(dbRegions, mu, sd)
+      .toDF("cand_img", "cridx", "tbl", "bucket")
+    val wBucket = Window.partitionBy("tbl", "bucket")
+      .orderBy(col("cand_img"), col("cridx"))
     val dbBuckets = rawDb
       .withColumn("rn", row_number().over(wBucket))
       .withColumn("bn", count(lit(1)).over(
@@ -318,6 +396,40 @@ object RefFerret {
       .filter(col("rn") <= MaxBucket && col("bn") <= JunkBucket)
       .drop("rn", "bn")
       .localCheckpoint(true)
+    // per-region raw descriptors — the distance space t_vec ranks in
+    // (the static extract.c dimension weights are folded into the
+    // descriptor, so raw L2 IS the weighted ground distance EMD uses);
+    // only the GRAFT_FERRET_RANKBY=dist quality cells touch it
+    val dbRegionVecs = dbRegions.toDF("cand_img", "cridx", "cv")
+      .localCheckpoint(true)
+    // the RESIDENT index (the binary's in-RAM LSH tables + raw
+    // vecset table, loaded before its QUERY TIME ticks): one
+    // sc.broadcast each, built untimed, consumed by the
+    // FerretIndexProbe / FerretDbEmd expressions every pass — no
+    // per-pass broadcast-build job waves
+    val probeIndex = {
+      val rows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket); index-sized
+      spark.sparkContext.broadcast(
+        rows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
+          .map { case (k, rs) =>
+            k -> rs.sortBy(r => (r.getString(0), r.getInt(1))).map { r =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+                r.getInt(1)): org.apache.spark.sql.catalyst.InternalRow
+            }
+          })
+    }
+    val emdIndex = spark.sparkContext.broadcast(
+      dbImages.collect().map { r =>
+        val cset = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.getSeq[scala.collection.Seq[Double]](1)
+            .map(v => new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray): Any).toArray)
+        val cw = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          r.getSeq[Double](2).toArray)
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)) ->
+          ((cset: org.apache.spark.sql.catalyst.util.ArrayData,
+            cw: org.apache.spark.sql.catalyst.util.ArrayData))
+      }.toMap)
     val dbBuildSec = (System.nanoTime() - t0) / 1e9
     // the db-side checkpoints are the index — they must survive every
     // pass (unpersisting a localCheckpoint is unrecoverable: lineage
@@ -328,24 +440,47 @@ object RefFerret {
     // ---- timed passes: the binary's query_time window ----
     def pass(writeOut: Option[String]): Double = {
       val t = System.nanoTime()
-      val qImages = imagesOf(spark, queryDir)
-        .localCheckpoint(true) // segment once; feeds buckets AND vecsets
+      // The pass's ONLY exchange moves the RAW query files (one tiny
+      // row per image) so everything after it is already clustered by
+      // query_img. Decode+SRM+extract runs as a Catalyst EXPRESSION
+      // (SrmVecset) behind an explode(array(.)) once-eval barrier, so
+      // attribute lineage — and with it the partitioning — survives
+      // through the whole tail: the probe join (db index BROADCAST),
+      // collision merge, over-fetch slice, EMD re-rank and final
+      // top-K all satisfy their clustering from the one up-front
+      // exchange. The r12 shape streamed the DB side and broadcast
+      // the queries, paying a full-width collision shuffle plus
+      // per-pass broadcast-build waves; this is the binary's pipeline
+      // model re-expressed — queries flow through one fused stage
+      // against in-RAM db tables.
+      val qS = graft.sources.BinaryFiles.readDirDirect(spark, queryDir, "*.jpg")
+        .toDF("img", "bytes")
+        .select(col("img"), explode(array(
+          graft.functions.NativeVector.srmVecset(col("bytes")))).as("s"))
+        .select(col("img"), col("s.vset").as("vset"), col("s.wset").as("wset"))
+        .repartition(col("img")) // decode FIRST (in the scan slices),
+        // then exchange the ~5 MB vecsets, not the raw JPEG bytes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the cache — the decode job. Dataset cache (unlike
+      // localCheckpoint's ExistingRDD) PRESERVES the cached plan's
+      // output partitioning; that is what keeps the tail exchange-free.
+      qS.count()
       val tSeg = (System.nanoTime() - t) / 1e9
-      val qVecsets = qImages.select(col("img").as("query_img"),
-        col("vset").as("qset"), col("wset").as("qw"))
-      val qBuckets = withBuckets(regionsOf(qImages), mu, sd)
-        .toDF("query_img", "tbl", "bucket")
+      val qBuckets = withBuckets(regionsOf(qS), mu, sd, LshProbes)
+        .toDF("query_img", "qridx", "tbl", "bucket")
       // per-region probes merged per (query, candidate) by collision
       // count — cass_result_merge_lists; 2K over-fetch — t_vec's
-      // query.topk = 2*top_K (ferret-pthreads.c:590). ONE exchange for
-      // the whole probe+rank tail: hash-partition the collision rows
-      // by query_img once — the (query,cand) count, the per-query
-      // top-2K slice, the broadcast vecset attach, the EMD kernel and
-      // the final top-K all cluster on query_img subsets, so Catalyst
-      // reuses the same partitioning end to end (zero further
-      // shuffles; verified via .explain: a single Exchange node)
-      val joined = dbBuckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
-        .repartition(col("query_img"))
+      // query.topk = 2*top_K (ferret-pthreads.c:590). The probe is a
+      // Generate over the resident-index expression: no join operator,
+      // no per-pass broadcast build.
+      val joined = qBuckets
+        .select(col("query_img"), col("qridx"), explode(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(FerretIndexProbe(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tbl")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("bucket")),
+            probeIndex))).as("p"))
+        .select(col("query_img"), col("qridx"),
+          col("p.cand_img").as("cand_img"), col("p.cridx").as("cridx"))
       val cand = joined
         .groupBy("query_img", "cand_img").agg(count(lit(1)).as("hits"))
       if (sys.env.contains("GRAFT_FERRET_DEBUG")) {
@@ -358,15 +493,34 @@ object RefFerret {
       // solves. The speed cells use the per-query default; the quality
       // cell measures both engines at matched candidate-pool depth.
       val perRegions = sys.env.get("GRAFT_FERRET_OVERFETCH").contains("regions")
-      val qNr = qImages.select(col("img").as("query_img"),
-        size(col("vset")).as("nr"))
-      val over = {
+      val qNr = qS.select(col("img").as("query_img"), size(col("vset")).as("nr"))
+      // GRAFT_FERRET_RANKBY=dist: rank the over-fetch by ACTUAL region
+      // distance instead of collision count — the binary's t_vec
+      // semantics (LSH_query computes real distances on its collision
+      // candidates and each region's 2K list is distance-ordered
+      // before cass_result_merge_lists). Collision count is a far
+      // weaker over-fetch signal; this cell isolates exactly that.
+      val rankByDist = sys.env.get("GRAFT_FERRET_RANKBY").contains("dist")
+      val over = if (rankByDist) {
+        val qrv = regionsOf(qS).toDF("query_img", "qridx", "qv")
+        val wReg = Window.partitionBy("query_img", "qridx")
+          .orderBy(col("d2"), col("cand_img"), col("cridx"))
+        joined.select("query_img", "qridx", "cand_img", "cridx").distinct()
+          .join(qrv, Seq("query_img", "qridx"))
+          .join(broadcast(dbRegionVecs), Seq("cand_img", "cridx"))
+          .withColumn("d2", aggregate(
+            zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, e) => acc + e))
+          .withColumn("rn", row_number().over(wReg))
+          .filter(col("rn") <= 2 * topK)
+          .select("query_img", "cand_img").distinct()
+      } else {
         val top = cand
           .groupBy("query_img")
           .agg(array_sort(collect_list(
               struct((-col("hits")).as("nh"), col("cand_img")))).as("top"))
         val sliced =
-          if (perRegions) top.join(broadcast(qNr), "query_img")
+          if (perRegions) top.join(qNr, "query_img")
             .select(col("query_img"),
               slice(col("top"), lit(1), lit(2 * topK) * col("nr")).as("top"))
           else top.select(col("query_img"),
@@ -374,12 +528,16 @@ object RefFerret {
         sliced.select(col("query_img"),
           explode(transform(col("top"), x => x.getField("cand_img"))).as("cand_img"))
       }
+      val qVecsets = qS.select(col("img").as("query_img"),
+        col("vset").as("qset"), col("wset").as("qw"))
       val ranked = over
-        .join(broadcast(dbVecsets), "cand_img")
-        .join(broadcast(qVecsets), "query_img")
+        .join(qVecsets, "query_img") // same-partitioned, exchange-free
         .select(col("query_img"), col("cand_img"),
-          graft.functions.NativeVector.emdWeighted(
-            col("qset"), col("qw"), col("cset"), col("cw")).as("emd"))
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(FerretDbEmd(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qset")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qw")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cand_img")),
+            emdIndex)).as("emd"))
         .groupBy("query_img")
         .agg(slice(array_sort(collect_list(
             struct(col("emd"), col("cand_img")))), 1, topK).as("top"))
@@ -388,6 +546,16 @@ object RefFerret {
           col("col").getField("cand_img").as("cand_img"),
           col("col").getField("emd").as("emd"),
           (col("pos") + 1).as("rank"))
+      if (sys.env.contains("GRAFT_FERRET_STAGETIME")) {
+        // diagnosis only: re-materializes prefixes of the tail so each
+        // extra number includes its upstream — read as deltas
+        val t1 = System.nanoTime()
+        joined.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        over.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        System.err.println(f"[refferret]   STAGETIME probe-join ${(t2 - t1) / 1e9}%.2f s | +overfetch ${(t3 - t2) / 1e9}%.2f s")
+      }
       writeOut match {
         case Some(p) => ranked.repartition(1) // exchange, not coalesce:
           // coalesce(1) would collapse the whole EMD stage into 1 task
@@ -395,10 +563,10 @@ object RefFerret {
         case None => ranked.write.format("noop").mode("overwrite").save()
       }
       val tAll = (System.nanoTime() - t) / 1e9
-      // tSeg is real (the checkpoint is eager); everything after it
-      // executes as ONE fused job, so only the combined tail is honest
       System.err.println(
         f"[refferret]   seg+extract $tSeg%.2f s | probe+emd-rank ${tAll - tSeg}%.2f s")
+      // cleanup OUTSIDE the measured window (tAll already taken)
+      qS.unpersist(blocking = true)
       tAll
     }
 
@@ -419,7 +587,10 @@ object RefFerret {
     }
     val times = measured.map(_._1)
     val warm = times.drop(1).sorted
-    val median = if (warm.isEmpty) times.head else warm(warm.length / 2)
+    // lower-middle median — the same convention as Bench ((n-1)/2),
+    // so cross-harness comparisons aren't biased pessimistic (r12
+    // ADVICE: the upper-middle pick reported the 3rd-slowest of 4)
+    val median = if (warm.isEmpty) times.head else warm((warm.length - 1) / 2)
     val envs = measured.map { case (_, e) =>
       s"""{"load":${f"${e.load}%.2f"},"our_cpu_sec":${f"${e.ourCpuSec}%.1f"},""" +
         s""""other_cpu_sec":${f"${e.otherCpuSec}%.1f"},"steal_sec":${f"${e.stealSec}%.1f"}}"""

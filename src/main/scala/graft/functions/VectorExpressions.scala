@@ -181,6 +181,47 @@ object LshBucketKernel {
   }
 }
 
+/** Decode-JPEG → SRM-segment → extract as ONE Catalyst expression
+  * (struct(vset: array<array<double>>, wset: array<double>), capped
+  * at 16 regions — the EMD kernel bound): expressing the per-image
+  * kernel as an expression instead of Dataset.mapPartitions keeps
+  * the plan attribute lineage intact, so an upstream
+  * repartition-by-image survives THROUGH the decode and every
+  * downstream per-image groupBy/window needs no further exchange —
+  * the whole query-side ferret pipeline fuses into one stage.
+  * CodegenFallback: the decode+SRM kernel dominates the eval cost by
+  * orders of magnitude. */
+case class SrmVecset(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("vset", ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false), nullable = false),
+    StructField("wset", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_srm_vecset"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary (JPEG bytes) column, got ${dt.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val img = JpegCodec.decodeJpeg(input.asInstanceOf[Array[Byte]])
+    val rs = Srm.segmentAndDescribe(img).take(16)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        rs.map(r => new org.apache.spark.sql.catalyst.util.GenericArrayData(r.descriptor): Any)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rs.map(_.weight)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Multi-probe bucket ids: per table, the base bucket FOLLOWED by the
   * `nProbes` nearest-boundary perturbed buckets — the standard
   * memory/recall trade (Lv et al., "Multi-Probe LSH", VLDB 2007; the
@@ -777,4 +818,6 @@ object NativeVector {
   def lshProbeBuckets(v: Column, seed: Long, nTables: Int, bits: Int, dim: Int,
                       nProbes: Int): Column =
     ColumnBridge.column(LshProbeBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim, nProbes))
+  def srmVecset(bytes: Column): Column =
+    ColumnBridge.column(SrmVecset(ColumnBridge.expression(bytes)))
 }

@@ -113,6 +113,22 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_srm_vecset expression matches the driver-side decode+SRM path") {
+    import spark.implicits._
+    val ids = Seq(3L, 17L, 42L)
+    val got = ids.map(id => Tuple1(RefFerret.synthImage(id))).toDF("bytes")
+      .select(graft.functions.NativeVector.srmVecset(col("bytes")).as("s"))
+      .select(col("s.vset"), col("s.wset"))
+      .as[(Seq[Seq[Double]], Seq[Double])].collect()
+    val expect = ids.map { id =>
+      val img = graft.functions.JpegCodec.decodeJpeg(RefFerret.synthImage(id))
+      val rs = graft.functions.Srm.segmentAndDescribe(img).take(16)
+      (rs.map(_.descriptor.toSeq).toSeq, rs.map(_.weight).toSeq)
+    }
+    assert(got.toSeq == expect, "expression drifted from the kernel path")
+    assert(got.forall(_._1.nonEmpty))
+  }
+
   // independent reference EMD: exhaustive permutations, plain Scala
   private def refEmd(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
     def l2(x: Array[Double], y: Array[Double]): Double =
