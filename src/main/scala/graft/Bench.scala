@@ -68,15 +68,30 @@ object Bench {
     // gets its one JSON line.
     if (!sys.env.get("GRAFT_BENCH_NOWARM").contains("1")) {
       val t0 = System.nanoTime()
-      Seq[(String, () => Unit)](
-        ("dedup", () => graft.operators.Dedup.prewarmStores(spark, sfDir)),
-        ("multimodal", () => graft.operators.Multimodal.prewarmStores(spark, sfDir)),
-        ("storage-layout", () => graft.operators.StorageLayout.prewarmStores(spark, sfDir))
-      ).foreach { case (tag, warm) =>
-        try warm() catch {
-          case e: Throwable => System.err.println(
-            s"[bench] $tag pre-warm failed (non-fatal, family pays in-pass): ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
-        }
+      // each family carries the key prefixes of its store CONSUMERS:
+      // with GRAFT_BENCH_ONLY set, a family whose keys are all
+      // filtered out is skipped automatically (ADVICE r12: a filtered
+      // local run used to build every store unless the user also
+      // remembered GRAFT_BENCH_NOWARM=1). Prefixes may over-match —
+      // that only costs an extra warm, never a wrong skip.
+      def wanted(prefixes: Seq[String]): Boolean =
+        only.forall(keys => keys.exists(k => prefixes.exists(k.startsWith)))
+      Seq[(String, Seq[String], () => Unit)](
+        ("dedup", Seq("dedup_", "chunk_", "file_", "graph_", "text_", "stream_"),
+          () => graft.operators.Dedup.prewarmStores(spark, sfDir)),
+        ("multimodal", Seq("mm_", "ferret_", "emd_"),
+          () => graft.operators.Multimodal.prewarmStores(spark, sfDir)),
+        ("storage-layout", Seq("q_"),
+          () => graft.operators.StorageLayout.prewarmStores(spark, sfDir)),
+        ("similarity", Seq("ann_knn", "dedup_clusters_knn", "dedup_semantic_knn"),
+          () => graft.operators.Similarity.prewarmStores(spark, sfDir))
+      ).foreach { case (tag, prefixes, warm) =>
+        if (wanted(prefixes)) {
+          try warm() catch {
+            case e: Throwable => System.err.println(
+              s"[bench] $tag pre-warm failed (non-fatal, family pays in-pass): ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+          }
+        } else System.err.println(s"[bench] $tag pre-warm skipped (no family key in GRAFT_BENCH_ONLY)")
       }
       System.err.println(
         f"[bench] one-time store pre-warm: ${(System.nanoTime() - t0) / 1e9}%.2f s (untimed)")

@@ -397,6 +397,59 @@ object Curation {
       |)
       |SELECT vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY vec_id""".stripMargin
 
+  // ---- dedup_semantic_knn: SemDeDup-style pruning over the kNN clusters
+  /** The curation DECISION the kNN clusters feed (r13; SemDeDup,
+    * Abbas et al. 2023 + SoftDeDup weighting): per semantic cluster
+    * keep ONE representative — the member with the highest MUTUAL
+    * DEGREE in the kNN graph (the hub of its semantic neighborhood
+    * is the best exemplar; mutual edges never straddle clusters, so
+    * global mutual degree IS in-cluster centrality), ties by vec_id —
+    * and weight every member 1/|cluster| so soft down-sampling
+    * carries total mass 1 per neighborhood (the dedup_weights frame
+    * over embedding space). One left join + two cluster-keyed windows
+    * over the session-stored graph; nothing rescans raw vectors.
+    *
+    * Oracle: keeps, degrees, sizes, and weights re-derived by DuckDB
+    * entirely from the dedup_clusters_knn and ann_knn_graph dumps. */
+  def dedupSemanticKnn(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClustersKnn(s, dir)
+    val edges = Similarity.annKnnGraph(s, dir)
+      .filter(col("is_mutual") && col("query_id") < col("vec_id"))
+      .select(col("query_id").as("a"), col("vec_id").as("b"))
+    val deg = edges.select(col("a").as("vec_id"))
+      .unionAll(edges.select(col("b").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    val w = Window.partitionBy("cluster_id")
+    val wr = Window.partitionBy("cluster_id")
+      .orderBy(col("degree").desc, col("vec_id"))
+    clusters.join(deg, Seq("vec_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wr))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        col("degree"), (col("rn") === 1).as("keep"),
+        (lit(1.0) / col("cluster_size")).as("weight"))
+  }
+
+  val dedupSemanticKnnSql: String =
+    """WITH c AS (SELECT vec_id, cluster_id
+      |  FROM read_parquet('{VERIFY_OUT}/dedup_clusters_knn/*.parquet')),
+      |e AS (SELECT query_id AS a, vec_id AS b
+      |  FROM read_parquet('{VERIFY_OUT}/ann_knn_graph/*.parquet')
+      |  WHERE is_mutual AND query_id < vec_id),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+      |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+      |m AS (SELECT c.vec_id, c.cluster_id, COALESCE(deg.degree, 0) AS degree
+      |  FROM c LEFT JOIN deg ON deg.v = c.vec_id),
+      |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM m GROUP BY cluster_id),
+      |r AS (SELECT m.vec_id, m.cluster_id, sz.cluster_size, m.degree,
+      |  row_number() OVER (PARTITION BY m.cluster_id
+      |    ORDER BY m.degree DESC, m.vec_id) AS rn
+      |  FROM m JOIN sz ON m.cluster_id = sz.cluster_id)
+      |SELECT vec_id, cluster_id, cluster_size, degree,
+      |  rn = 1 AS keep, 1.0 / cluster_size AS weight FROM r""".stripMargin
+
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.parallel(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("v"))
@@ -607,6 +660,7 @@ object Curation {
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_clusters_knn" -> (dedupClustersKnn _),
+    "dedup_semantic_knn" -> (dedupSemanticKnn _),
     "dedup_nd_recall" -> (dedupNdRecall _))
 
   /** Value oracle for the PRODUCTION cluster path: the edge set is
@@ -661,5 +715,6 @@ object Curation {
     "dedup_embedding_exact" -> dedupEmbeddingExactSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters_knn" -> dedupClustersKnnSql,
+    "dedup_semantic_knn" -> dedupSemanticKnnSql,
     "dedup_nd_recall" -> dedupNdRecallSql)
 }

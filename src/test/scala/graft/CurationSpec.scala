@@ -149,6 +149,44 @@ class CurationSpec extends SparkSpec {
     assert(again == got, "dedup_clusters_knn is not deterministic")
   }
 
+  test("dedup_semantic_knn: keeps are cluster hubs, weights carry mass 1 per cluster") {
+    import spark.implicits._
+    val rows = Curation.dedupSemanticKnn(spark, sfDir).collect()
+    val labels = Curation.dedupClustersKnn(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length == labels.size, "every labeled vector gets a decision row")
+    val mutual = graft.operators.Similarity.annKnnGraph(spark, sfDir)
+      .filter(col("is_mutual") && col("query_id") < col("vec_id"))
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    val deg = mutual.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.keySet == labels.values.toSet)
+    byCluster.foreach { case (cid, rs) =>
+      val size = rs.head.getAs[Long]("cluster_size")
+      assert(rs.length == size, s"cluster_size drifted for $cid")
+      // every member carries the recomputed degree and weight 1/size
+      rs.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(labels(v) == cid)
+        assert(r.getAs[Long]("degree") == deg.getOrElse(v, 0L), s"degree drifted for $v")
+        assert(math.abs(r.getAs[Double]("weight") - 1.0 / size) < 1e-15)
+      }
+      assert(math.abs(rs.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-9)
+      // exactly one keep: the (max degree, min vec_id) hub
+      val keeps = rs.filter(_.getAs[Boolean]("keep"))
+      assert(keeps.length == 1, s"cluster $cid kept ${keeps.length}")
+      val hub = rs.map(r => (-r.getAs[Long]("degree"), r.getAs[Long]("vec_id"))).min._2
+      assert(keeps.head.getAs[Long]("vec_id") == hub, s"cluster $cid kept a non-hub")
+      // a mutual edge inside the cluster implies positive degree on both ends
+      if (size > 1) assert(rs.forall(_.getAs[Long]("degree") >= 1),
+        s"multi-member cluster $cid has an edge-less member")
+    }
+    // mass conservation corpus-wide: Σweight = #clusters
+    val total = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - byCluster.size) < 1e-6)
+  }
+
   test("clustersFromPairs: no edges → every node is its own cluster") {
     import spark.implicits._
     val nodes = Seq(5L, 9L, 2L).toDF("doc_id")
