@@ -1203,7 +1203,16 @@ object Dedup {
     * arithmetic the ORACLE REPLAYS THE CANDIDATE GENERATOR TOO —
     * like dedup_prefix_filter, this production path is fully
     * value-oracled, not just rows-checked. DedupSpec additionally
-    * proves pair-set equality with the all-pairs generator. */
+    * proves pair-set equality with the all-pairs generator.
+    *
+    * Collision assumption (ADVICE r12): prefix length and threshold
+    * derive from RAW tokenSet sizes while cont_a/cont_b verify on the
+    * 64-bit hashedTokenSet — a hash collision inside one document
+    * would shrink its hashed set below the raw size the prefix bound
+    * was computed from, so the recall guarantee formally holds modulo
+    * 64-bit intra-document collisions (≈ n²/2⁶⁵ per doc; for 10⁵
+    * tokens, ~3·10⁻¹⁰ — the same assumption every hashed-token path
+    * here makes, incl. dedupContainment vs its raw-token oracle). */
   def dedupContainmentPf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val toks = d.select(col("doc_id"), col("source"),

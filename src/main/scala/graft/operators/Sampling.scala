@@ -317,6 +317,10 @@ object Sampling {
     // here, in the action path, never at plan construction
     val shardIds = shardTar(s, dir).select("shard_id")
       .as[Long].collect().sorted
+    // a zero-shard manifest would otherwise surface as an opaque
+    // empty-path AnalysisException from the binaryFile load (ADVICE r12)
+    require(shardIds.nonEmpty,
+      s"shard_untar: shardTar produced no shards under ${tarShardDir(dir)}")
     val outDir = tarShardDir(dir)
     val expect = shardIds.map(id => f"shard-$id%05d.tar").toSet
     Option(outDir.listFiles).foreach(_.filter(f =>
