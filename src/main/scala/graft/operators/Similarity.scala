@@ -1158,9 +1158,13 @@ object Similarity {
     * ([[graft.functions.Srm.segment]], ferret-pthreads.c:468 →
     * srm.c:251), t_extract derives a weighted 14-dim descriptor per
     * region (ferret-pthreads.c:514 → extract.c:261), every query
-    * REGION probes the LSH bucket index independently (t_vec), the
-    * per-region candidate lists merge by (query, candidate) union
-    * with collision count as the phase-1 score
+    * REGION probes the LSH bucket index independently (t_vec), each
+    * region's collision candidates are DISTANCE-ordered and cut at
+    * the over-fetch depth (LSH_query.c computes real distances on
+    * collision candidates; the r13 ground-truth cell in REFBENCH.md
+    * measured this ordering retrieving the exact-EMD top-10 ~2×
+    * better than collision count at the same depth), the per-region
+    * lists merge by (query, candidate) union
     * (`cass_result_merge_lists`, ferret-pthreads.c:646-660), and
     * t_rank re-ranks the over-fetched merged list with the
     * general-weight `emd` vecset distance (ferret-pthreads.c:870 →
@@ -1227,23 +1231,39 @@ object Similarity {
     val queries = vecsets.filter(col("image_id") < NQueries)
       .select(col("image_id").as("query_img"),
         col("vset").as("qset"), col("wset").as("qw"))
-    val corpB = withBuckets(
-        regions.select(col("image_id").as("vec_id"), col("v")), dim = graft.functions.Srm.Dim)
-      .select(col("vec_id").as("cand_img"), col("tbl"), col("bucket"))
-    val qB = withBuckets(
-        regions.filter(col("image_id") < NQueries)
-          .select(col("image_id").as("vec_id"), col("v")), dim = graft.functions.Srm.Dim)
-      .select(col("vec_id").as("query_img"), col("tbl"), col("bucket"))
-    // per-region lists merged by union; collision count = probe evidence
-    val cand = corpB.join(broadcast(qB), Seq("tbl", "bucket"))
+    // t_vec's ACTUAL per-region semantics (LSH_query.c computes real
+    // distances on its collision candidates and each region's list is
+    // distance-ordered before cass_result_merge_lists,
+    // ferret-pthreads.c:590+646): every query REGION keeps its
+    // OverFetch nearest colliding db regions by exact L2 over the
+    // weighted descriptors, and the per-region lists merge by image
+    // union. r12 shipped collision COUNT as the phase-1 score; the
+    // r13 ground-truth cell (REFBENCH.md) measured distance-ranked
+    // over-fetch retrieving the exact-EMD top-10 ~2× better at the
+    // same depth, so the library path now carries the reference's
+    // ordering. The region vectors ride the bucket explode (14
+    // doubles), so no attach join is needed before the distance.
+    def regionBuckets(df: DataFrame, imgCol: String): DataFrame = df
+      .select(col("image_id"), col("region_idx"), col("v"),
+        posexplode(graft.functions.NativeVector.lshBuckets(
+          col("v"), BucketSeed, LshTables, LshBits, graft.functions.Srm.Dim)))
+      .toDF(imgCol, s"${imgCol.take(1)}ridx", s"${imgCol.take(1)}v", "tbl", "bucket")
+    val corpB = regionBuckets(regions, "cand_img")
+    val qB = regionBuckets(regions.filter(col("image_id") < NQueries), "query_img")
+    val wReg = Window.partitionBy("query_img", "qridx")
+      .orderBy(col("d2"), col("cand_img"), col("cridx"))
+    val over = corpB.join(broadcast(qB), Seq("tbl", "bucket"))
       .filter(col("cand_img") =!= col("query_img"))
-      .groupBy("query_img", "cand_img")
-      .agg(count(lit(1)).as("hits"))
-    val wHits = Window.partitionBy("query_img")
-      .orderBy(col("hits").desc, col("cand_img"))
-    val over = cand.withColumn("r", row_number().over(wHits))
-      .filter(col("r") <= OverFetch)
-      .select("query_img", "cand_img")
+      // multi-table collisions are ONE candidate (cass_result union):
+      // dedup region pairs before ranking so repeats can't crowd the cut
+      .select(col("query_img"), col("qridx"), col("qv"),
+        col("cand_img"), col("cridx"), col("cv")).distinct()
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rn", row_number().over(wReg))
+      .filter(col("rn") <= OverFetch)
+      .select("query_img", "cand_img").distinct()
     over
       .join(vecsets.select(col("image_id").as("cand_img"),
         col("vset").as("cset"), col("wset").as("cw")), "cand_img")
