@@ -460,6 +460,45 @@ object Multimodal {
       .withColumn("is_dup", col("hamming") <= PhashDupMax)
   }
 
+  // ---- mm_phash_clusters: image near-dup cluster labels -----------------
+  /** The multimodal member of the cluster family: connected
+    * components over mm_phash's verified near-dup pairs (Hamming ≤
+    * [[PhashDupMax]]) through the same frontier-only hash-min
+    * contraction loop the token-space (dedup_clusters_lsh) and
+    * embedding-space (dedup_clusters_knn) labelers use
+    * ([[Curation.clustersFromPairs]] — the edge table is a
+    * parameter). Image-corpus curation needs LABELS, not pairs: the
+    * keep-one-per-cluster / reweighting decisions downstream of
+    * near-dup detection operate on components (a 3-image chain a~b,
+    * b~c is ONE cluster even when a~c exceeds the radius). At 100 TB
+    * the edge build is mm_phash's geometry-blocked banding (recall 1
+    * within the radius by pigeonhole) and the closure is
+    * frontier-bounded — no all-pairs stage anywhere.
+    *
+    * Oracle: full transitive closure rebuilt by DuckDB recursive CTE
+    * over the mm_phash dump's is_dup pairs (min-reachable label) —
+    * and mm_phash itself is fully oracled from the documents table,
+    * so the chain is first-principles end to end. */
+  def mmPhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = mmPhash(s, dir).filter(col("is_dup"))
+      .select(col("doc_a"), col("doc_b"))
+    val nodes = docs(s, dir).select(col("doc_id"))
+    Curation.clustersFromPairs(nodes, pairs)
+  }
+
+  val mmPhashClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT doc_a AS a, doc_b AS b
+      |  FROM read_parquet('{VERIFY_OUT}/mm_phash/*.parquet') WHERE is_dup
+      |), ud AS (
+      |  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+      |), reach(doc_id, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT ud.b, reach.lab FROM reach JOIN ud ON ud.a = reach.doc_id
+      |)
+      |SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+
   /** DuckDB recomputes the ENTIRE chain from documents: word-shape
     * histogram → pixel bytes → luma → hash bits → bands → candidate
     * join → Hamming — all integer arithmetic, no seeded hash. */
@@ -1239,6 +1278,7 @@ object Multimodal {
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_clusters" -> (mmPhashClusters _),
     "mm_video_scene" -> (mmVideoScene _),
     "mm_audio" -> (mmAudio _),
     "mm_segment" -> (mmSegment _),
@@ -1286,6 +1326,7 @@ object Multimodal {
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_phash" -> mmPhashSql,
+    "mm_phash_clusters" -> mmPhashClustersSql,
     "mm_video_scene" -> mmVideoSceneSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio" -> mmAudioSql,

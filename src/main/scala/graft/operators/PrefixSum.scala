@@ -79,6 +79,64 @@ private[graft] object PrefixSum {
     out
   }
 
+  /** Keyed [[runningSumWithTotal]]: per-GROUP inclusive running sum in
+    * `sortCols` order within each `groupCols` group, plus a small
+    * (group → total) DataFrame. A per-group global rank planned as
+    * `Window.partitionBy(group)` serializes each group into ONE sorted
+    * task — for low-cardinality groups over a large corpus (languages
+    * over documents: a handful of groups, terabytes each) that is the
+    * same bottleneck the unpartitioned window has globally. Same
+    * 3-step scheme instead: range-partition on (group ++ sort) so each
+    * partition holds a contiguous run of at most a few groups, send
+    * #partitions × #groups-present-per-partition partial sums to the
+    * driver (bounded by #partitions + #groups − 1 for a range
+    * partitioning, NOT #partitions × #groups — each partition overlaps
+    * at most 2 group boundaries), broadcast per-(partition, group)
+    * exclusive offsets back, and cumsum inside a (partition, group)
+    * window. Caller contract: `groupCols` has bounded cardinality
+    * (driver traffic scales with it). */
+  def runningSumKeyed(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
+                      weightCol: String, cumName: String): (DataFrame, DataFrame) = {
+    val order = groupCols.map(col) ++ sortCols
+    val parts = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val partials = parts.groupBy("__pid", groupCols: _*)
+      .agg(coalesce(sum(col(weightCol)), lit(0L)).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), groupCols.indices.map(i => r.get(i + 1)).toList,
+        r.getLong(groupCols.size + 1)))
+    // exclusive prefix per group across partitions, in partition order
+    val acc = scala.collection.mutable.Map.empty[List[Any], Long]
+    val offsets = partials.sortBy(_._1).map { case (pid, g, t) =>
+      val o = acc.getOrElse(g, 0L)
+      acc(g) = o + t
+      org.apache.spark.sql.Row.fromSeq(pid +: g :+ o)
+    }
+    val s = df.sparkSession
+    val keySchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+      groupCols.map(c => parts.schema(c)) :+
+      org.apache.spark.sql.types.StructField("__offset",
+        org.apache.spark.sql.types.LongType))
+    val offDf = s.createDataFrame(
+      s.sparkContext.parallelize(offsets.toSeq, 1), keySchema)
+    val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = parts.join(broadcast(offDf), "__pid" +: groupCols)
+      .withColumn(cumName, sum(col(weightCol)).over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+    val totals = acc.toSeq.map { case (g, t) =>
+      org.apache.spark.sql.Row.fromSeq(g :+ t) }
+    val totSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => parts.schema(c)) :+
+      org.apache.spark.sql.types.StructField("__total",
+        org.apache.spark.sql.types.LongType))
+    (out, s.createDataFrame(s.sparkContext.parallelize(totals, 1), totSchema))
+  }
+
   /** [[runningSum]] plus the GRAND TOTAL of the weight column, which
     * the per-partition partials already compute — callers needing N
     * (equi-depth bucketing, normalized ranks) get it for free instead

@@ -49,6 +49,48 @@ object Similarity {
       .filter(col("rank") <= TopK)
   }
 
+  // ---- ann_range: R-near-neighbor (threshold) search --------------------
+  /** Range search — E2LSH's NATIVE query type (the reference's index
+    * family answers "every db point within radius R", Indyk-Motwani;
+    * top-k is the derived mode): all corpus vectors with cosine ≥
+    * [[RangeTau]] per query, variable cardinality per query by
+    * construction — the QUERY-side twin of the corpus-side
+    * dedup_embedding sweep ("which existing items sit inside this
+    * candidate's similarity radius" is the online-ingest question
+    * the batch dedup answers offline; the radius is the E2LSH R
+    * knob, set here one notch wider than dedup_embedding's 0.4
+    * duplicate radius so the answer set carries the near-miss band
+    * a curation decision actually inspects).
+    *
+    * Scale: a bounded query batch broadcasts against ONE corpus scan
+    * — no shuffle, no window AT ALL (unlike top-k, which needs the
+    * per-query rank): threshold search is embarrassingly parallel and
+    * the filter sits inside whole-stage codegen next to the cosine
+    * kernel. At serving scale the same predicate rides the LSH/IVF
+    * candidate generators (ann_lsh / ann_ivf_indexed) with this as
+    * exact ground truth — mirroring ann_bruteforce's role for top-k.
+    * Fully hash-oracled: cosine and threshold recomputed by DuckDB
+    * from the raw embeddings table (no candidate-set echo needed). */
+  private[graft] val RangeTau = 0.3
+
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+  }
+
+  val annRangeSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < $NQueries)
+      |SELECT query_id, vec_id, cos FROM (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      |WHERE cos >= $RangeTau""".stripMargin
+
   // ---- ann_filtered: metadata-predicate-constrained vector search ------
   /** Filtered vector search — the serving-layer verb every vector
     * store exposes ("top-k nearest WHERE label = X"): each query's
@@ -2022,6 +2064,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_range" -> (annRange _),
     "ann_rank_fusion" -> (annRankFusion _),
     "vec_quality" -> (vecQuality _),
     "vec_cov" -> (vecCov _),
@@ -2190,6 +2233,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_range" -> annRangeSql,
     "ann_rank_fusion" -> annRankFusionSql,
     "vec_quality" -> vecQualitySql,
     "vec_cov" -> vecCovSql,

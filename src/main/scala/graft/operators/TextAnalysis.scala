@@ -1046,6 +1046,110 @@ object TextAnalysis {
       |  CAST(floor((rk - 1) * $PplTerciles / CAST(n AS DOUBLE)) + 1 AS INTEGER) AS tercile
       |FROM r""".stripMargin
 
+  // ---- text_ccnet: per-LANGUAGE perplexity buckets (the CCNet recipe) --
+  /** The CCNet bucketing as published (Wenzek et al. 2020 §3.3):
+    * language-ID first, then a language model PER LANGUAGE, then
+    * head/middle/tail terciles WITHIN each language — a French
+    * document's fluency is judged against French, never against the
+    * corpus-majority language ([[textPerplexity]] is the global-
+    * tercile variant; this is the one CCNet actually ships). Unigram
+    * LM per language over the corpus itself (add-one smoothed, the
+    * textPerplexity decomposition with every aggregate keyed by
+    * lang), language = [[predLang]]'s marker argmax, and the action
+    * column is CCNet's downstream decision (head=keep,
+    * middle=resample, tail=drop).
+    *
+    * Scale: the per-language tercile is the trap — a
+    * `Window.partitionBy(lang)` global rank plans ONE sorted task per
+    * language, and languages are few and huge (the corpus-majority
+    * group IS the corpus). [[PrefixSum.runningSumKeyed]] instead:
+    * range-partition on (lang, bits, doc_id), per-(partition, lang)
+    * partials to the driver (≤ #partitions + #langs − 1 rows),
+    * broadcast offsets, partitioned-window local cumsum — per-group
+    * global rank at per-partition wall-clock. Everything upstream is
+    * the TF-IDF shuffle shape keyed by (lang, term).
+    *
+    * Oracle: integer counts and the tercile arithmetic exact; `bits`
+    * crosses ln() like textPerplexity, so the oracle recomputes it
+    * and FILTERS on |echo − recompute| ≤ 1e-9·max(1,|x|), then
+    * re-derives the per-language tercile from the ECHOED bits. */
+  def textCcnet(s: SparkSession, dir: String): DataFrame =
+    ccnetFromDocs(docs(s, dir))
+
+  private[graft] def ccnetFromDocs(docsDf: DataFrame): DataFrame = {
+    val d = docsDf.select(col("doc_id"), col("text"),
+      predLang(col("text")).as("lang"))
+    val tf = d.select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy("lang", "term").agg(sum("tf").as("c"))
+    val tot = counts.groupBy("lang")
+      .agg(sum("c").as("n_total"), count(lit(1)).as("v_vocab"))
+    val perDoc = tf.join(counts, Seq("lang", "term"))
+      .groupBy("doc_id", "lang").agg(
+        sum("tf").as("n_tokens"),
+        sum(col("tf").cast("double") *
+          log(col("c").cast("double") + lit(1.0))).as("sumlog"))
+    val scored = perDoc.join(broadcast(tot), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        ((log(col("n_total").cast("double") + col("v_vocab").cast("double")) -
+          col("sumlog") / col("n_tokens").cast("double")) / log(lit(2.0)))
+          .as("bits"))
+    val (ranked, totals) = PrefixSum.runningSumKeyed(
+      scored.withColumn("one", lit(1L)), Seq("lang"),
+      Seq(col("bits"), col("doc_id")), "one", "rk")
+    val tercile = (floor((col("rk") - 1) * PplTerciles /
+      col("__total").cast("double")) + 1).cast("int")
+    ranked.join(broadcast(totals), "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bits"),
+        tercile.as("tercile"))
+      .withColumn("action", when(col("tercile") === 1, "keep")
+        .when(col("tercile") === 2, "resample").otherwise("drop"))
+  }
+
+  val textCcnetSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, lang, n_tokens, bits
+      |  FROM read_parquet('{VERIFY_OUT}/text_ccnet/*.parquet')
+      |), lng AS (
+      |  $predLangInlineSql
+      |), toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT t.doc_id, l.pred_lang AS lang, t.term, COUNT(*) AS tf
+      |  FROM toks t JOIN lng l USING (doc_id) GROUP BY 1, 2, 3
+      |), c AS (
+      |  SELECT lang, term, SUM(tf) AS c FROM tf GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT lang, SUM(c) AS n_total, COUNT(*) AS v_vocab FROM c GROUP BY 1
+      |), d AS (
+      |  SELECT tf.doc_id, tf.lang, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |    SUM(CAST(tf.tf AS DOUBLE) * ln(CAST(c.c AS DOUBLE) + 1.0)) AS sumlog
+      |  FROM tf JOIN c USING (lang, term) GROUP BY 1, 2
+      |), x AS (
+      |  SELECT d.doc_id, d.lang, d.n_tokens,
+      |    (ln(CAST(tot.n_total AS DOUBLE) + CAST(tot.v_vocab AS DOUBLE))
+      |      - d.sumlog / CAST(d.n_tokens AS DOUBLE)) / ln(2.0) AS bits_x
+      |  FROM d JOIN tot USING (lang)
+      |), ok AS (
+      |  SELECT p.doc_id, p.lang, p.n_tokens, p.bits
+      |  FROM p JOIN x USING (doc_id)
+      |  WHERE p.lang = x.lang AND p.n_tokens = x.n_tokens
+      |    AND abs(p.bits - x.bits_x) <= 1e-9 * greatest(abs(x.bits_x), 1.0)
+      |), r AS (
+      |  SELECT doc_id, lang, n_tokens, bits,
+      |    row_number() OVER (PARTITION BY lang ORDER BY bits, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM ok
+      |)
+      |SELECT doc_id, lang, n_tokens, bits,
+      |  CAST(floor((rk - 1) * $PplTerciles / CAST(n AS DOUBLE)) + 1 AS INTEGER)
+      |    AS tercile,
+      |  CASE CAST(floor((rk - 1) * $PplTerciles / CAST(n AS DOUBLE)) + 1 AS INTEGER)
+      |    WHEN 1 THEN 'keep' WHEN 2 THEN 'resample' ELSE 'drop' END AS action
+      |FROM r""".stripMargin
+
   // ---- text_bpe_train: BPE tokenizer-vocabulary training ---------------
   /** Byte-pair-encoding vocabulary training (Sennrich et al. 2016) —
     * the tokenizer-construction step of an LLM data pipeline, run the
@@ -1389,6 +1493,7 @@ object TextAnalysis {
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_perplexity" -> (textPerplexity _),
+    "text_ccnet" -> (textCcnet _),
     "text_paragraph_dedup" -> (textParagraphDedup _),
     "dedup_substring" -> (dedupSubstring _),
     "text_source_overlap" -> (textSourceOverlap _),
@@ -1411,6 +1516,7 @@ object TextAnalysis {
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_perplexity" -> textPerplexitySql,
+    "text_ccnet" -> textCcnetSql,
     "text_paragraph_dedup" -> textParagraphDedupSql,
     "dedup_substring" -> dedupSubstringSql,
     "text_source_overlap" -> textSourceOverlapSql,

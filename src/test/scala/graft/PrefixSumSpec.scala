@@ -89,4 +89,31 @@ class PrefixSumSpec extends SparkSpec {
     // edge: single row has a null exclusive min
     checkMin(Seq((1L, 1L, 42L)))
   }
+
+  test("runningSumKeyed: per-group prefix matches an in-memory scan, totals exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // few huge groups — the shape the keyed variant exists for
+    val rows = (1L to 400L).map(i =>
+      (i, s"g${rnd.nextInt(4)}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "grp", "w")
+    val (got, totals) = PrefixSum.runningSumKeyed(df, Seq("grp"),
+      Seq(col("id")), "w", "cum")
+    val gotMap = got.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy(_._1).scanLeft((0L, 0L)) {
+        case ((_, acc), (id, _, w)) => (id, acc + w)
+      }.drop(1)
+    }
+    assert(gotMap == expected.toMap, "keyed prefix sum diverged")
+    val totMap = totals.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expTot = rows.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    assert(totMap == expTot, "keyed totals diverged")
+    // edge: empty input and a single group behave
+    val (e, et) = PrefixSum.runningSumKeyed(
+      Seq.empty[(Long, String, Long)].toDF("id", "grp", "w"), Seq("grp"),
+      Seq(col("id")), "w", "cum")
+    assert(e.count() == 0 && et.count() == 0)
+  }
 }

@@ -48,6 +48,38 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("ann_range: equals a driver-local exact threshold scan") {
+    val got = Similarity.annRange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // same accumulation order as the CosineSim kernel → identical doubles
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val queries = vecs.filter(_._1 < Similarity.NQueries)
+    val expected = (for {
+      (q, qv) <- queries; (v, cv) <- vecs if v != q
+      c = cos(qv, cv) if c >= Similarity.RangeTau
+    } yield (q, v) -> c).toMap
+    assert(got == expected, "range result diverged from the exact scan")
+    assert(got.nonEmpty, "threshold returned nothing at this SF")
+    // variable cardinality is the point: not every query returns
+    // the same count (guards against an accidental top-k shape)
+    val counts = got.keys.groupBy(_._1).view.mapValues(_.size).values.toSet
+    val queriesWithHits = got.keys.map(_._1).toSet.size
+    assert(counts.size > 1 || queriesWithHits < Similarity.NQueries,
+      s"suspiciously uniform per-query counts: $counts")
+  }
+
   test("vec_quality: norms bounded and consistent, counts conserve the table") {
     val rows = Similarity.vecQuality(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()

@@ -889,4 +889,104 @@ class TextMultimodalSpec extends SparkSpec {
     val again = TextAnalysis.textPmi(spark, sfDir).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("text_ccnet: per-language LM bits and terciles match a driver recompute") {
+    import spark.implicits._
+    // the sf0.001 corpus is monolingual — inject documents in the
+    // other marker languages so the PER-LANGUAGE semantics (separate
+    // LM, separate terciles) are actually exercised
+    val injected = Seq(
+      (-1L, "le chat est sur la table et le chien est pour une la les de un"),
+      (-2L, "la table est pour le chat et les chiens de la maison est une place"),
+      (-3L, "le vin et le pain pour la table les amis de une soiree est bon"),
+      (-4L, "der hund und die katze ist nicht ein eine mit von der die das und"),
+      (-5L, "das haus ist mit der katze und die hunde von ein eine nicht da"),
+      (-6L, "die sonne und der mond ist das licht mit von ein eine nicht hier"),
+      (-7L, "el perro y los gatos es un una que por para el los las y es"),
+      (-8L, "las casas y el sol es para los gatos que un una por el dia"),
+      (-9L, "汉字文本分析 语言识别测试 数据处理"),
+      (-10L, "中文文档去重 模型训练语料 质量评估"))
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .union(injected.toDF("doc_id", "text"))
+    val res = TextAnalysis.ccnetFromDocs(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getString(5)))
+    val docs = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(res.length == docs.length)
+    assert(res.map(_._2).distinct.length > 1, "corpus must exercise >1 language")
+    // independent driver-side language ID: the langid marker regexes
+    // replicated verbatim, max count with earliest-marker tie-break
+    val markers = Seq(
+      "en" -> "\\b(the|and|of|is|to|in|that|it|was|for)\\b",
+      "fr" -> "\\b(le|la|les|et|de|un|une|est|que|pour)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b",
+      "es" -> "\\b(el|los|las|y|es|un|una|que|por|para)\\b",
+      "zh" -> "[\\x{4e00}-\\x{9fff}]")
+    def predLang(text: String): String = {
+      val scores = markers.map { case (l, re) =>
+        l -> re.r.findAllMatchIn(text.toLowerCase).size }
+      val mx = scores.map(_._2).max
+      scores.find(_._2 == mx).get._1
+    }
+    val langs = docs.map { case (id, t) => id -> predLang(t) }.toMap
+    val toks = docs.map { case (id, t) =>
+      (id, t.trim.toLowerCase.split("\\s+").toSeq) }.toMap
+    // per-language add-one unigram LM, recomputed on the driver
+    val bitsByDoc = docs.groupBy { case (id, _) => langs(id) }
+      .iterator.flatMap { case (_, ds) =>
+        val c = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        ds.foreach { case (id, _) => toks(id).foreach(t => c(t) += 1) }
+        val nTotal = c.values.sum
+        val v = c.size
+        ds.map { case (id, _) =>
+          val tf = toks(id).groupBy(identity).view.mapValues(_.size).toMap
+          val sumlog = tf.map { case (t, f) =>
+            f.toDouble * math.log(c(t) + 1.0) }.sum
+          id -> ((math.log(nTotal.toDouble + v.toDouble) -
+            sumlog / toks(id).size) / math.log(2.0))
+        }
+      }.toMap
+    res.foreach { case (id, lang, nTok, bits, _, _) =>
+      assert(lang == langs(id), s"doc $id lang $lang vs ${langs(id)}")
+      assert(nTok == toks(id).size)
+      val exp = bitsByDoc(id)
+      assert(math.abs(bits - exp) <= 1e-9 * math.max(1.0, math.abs(exp)),
+        s"doc $id bits $bits vs $exp")
+    }
+    // tercile + action re-derived from the EMITTED bits, per language
+    res.groupBy(_._2).foreach { case (lang, g) =>
+      val sorted = g.sortBy(r => (r._4, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((id, _, _, _, terc, action), i) =>
+        val expT = (math.floor(i.toDouble * 3 / n) + 1).toInt
+        assert(terc == expT, s"[$lang] doc $id tercile $terc vs $expT")
+        val expA = expT match {
+          case 1 => "keep"; case 2 => "resample"; case _ => "drop" }
+        assert(action == expA)
+      }
+    }
+  }
+
+  test("mm_phash_clusters: labels equal a driver-local union-find closure") {
+    val pairs = Multimodal.mmPhash(spark, sfDir).filter(col("is_dup"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    // min-label union-find: attaching the larger root under the
+    // smaller keeps every root the component minimum
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Multimodal.mmPhashClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "cluster labels diverged from the local closure")
+    if (pairs.nonEmpty)
+      assert(got.values.toSet.size < ids.length, "pairs present but no merge")
+  }
 }
