@@ -109,6 +109,10 @@ object RefFerret {
   // 0 = base-bucket-only probing (the r12 cells)
   private def LshProbes: Int =
     sys.env.get("GRAFT_FERRET_PROBES").map(_.toInt).getOrElse(0)
+  // GRAFT_FERRET_BITS overrides for the matched-memory recall sweep
+  // (bits set bucket RESOLUTION; index entries/vector stay 1/table).
+  private def LshBitsKnob: Int =
+    sys.env.get("GRAFT_FERRET_BITS").map(_.toInt).getOrElse(LshBits)
   // 14 sign bits/table = 16384 buckets (measured up from 4→10→14:
   // at 4 bits the z-scored SRM descriptors pile into 16 buckets and
   // hit-count ties drown exact twins out of the over-fetch; at 10
@@ -265,14 +269,14 @@ object RefFerret {
       // db index stays one bucket per region per table
       df.select(col("img"), col("ridx"),
           posexplode(graft.functions.NativeVector.lshProbeBuckets(
-            z, BucketSeed, LshTables, LshBits, Dim, probes)))
+            z, BucketSeed, LshTables, LshBitsKnob, Dim, probes)))
         .select(col("img"), col("ridx"),
           (col("pos") / (probes + 1)).cast("int").as("tbl"),
           col("col").as("bucket"))
     else
       df.select(col("img"), col("ridx"),
           posexplode(graft.functions.NativeVector.lshBuckets(
-            z, BucketSeed, LshTables, LshBits, Dim)))
+            z, BucketSeed, LshTables, LshBitsKnob, Dim)))
         .toDF("img", "ridx", "tbl", "bucket")
   }
 
