@@ -91,6 +91,58 @@ object Similarity {
       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
       |WHERE cos >= $RangeTau""".stripMargin
 
+  // ---- ann_range_lsh: the serving-path twin of ann_range -----------------
+  /** Production range search: multiprobe sign-LSH candidate generation
+    * (the [[MpTables]]×[[MpBits]]+T=[[MpProbes]] index family
+    * ann_lsh_multiprobe certified — one index entry per (vector,
+    * table), the memory/recall trade on the broadcast query side)
+    * followed by the exact cosine threshold. Every emitted pair is
+    * REAL (exact verify), so precision is 1 by construction and the
+    * only approximation is recall — measured against the exact
+    * [[annRange]] in the spec. At 100 TB this is the scan-vs-index
+    * crossover every vector store serves: ann_range pays one full
+    * corpus scan per batch; this pays a bucket equi-join whose corpus
+    * side reads only the probed buckets. No top-k window on either
+    * path — threshold semantics stay rank-free end to end.
+    *
+    * Oracle: the annValueSql contract minus the rank — cosine
+    * recomputed by DuckDB from raw embeddings for the emitted pairs
+    * and the threshold re-checked (a forged pair below τ drops out
+    * and breaks the row-count compare). */
+  def annRangeLsh(s: SparkSession, dir: String): DataFrame =
+    rangeLshAt(s, dir, MpProbes)
+
+  /** Spec hook: the registered range search at an arbitrary probe
+    * count (the recall-vs-T monotonicity spec runs through this). */
+  private[graft] def rangeLshAt(s: SparkSession, dir: String,
+                                nProbes: Int): DataFrame = {
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    val buckets = withBuckets(e, EmbDim, MpTables, MpBits)
+      .select("vec_id", "tbl", "bucket")
+    val qBuckets = withProbeBuckets(
+        q.select(col("query_id").as("vec_id"), col("qv").as("v")),
+        MpTables, MpBits, nProbes)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = buckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    cand.join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+  }
+
+  val annRangeLshSql: String =
+    s"""WITH p AS (SELECT query_id, vec_id
+      |           FROM read_parquet('{VERIFY_OUT}/ann_range_lsh/*.parquet')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT p.query_id, p.vec_id,
+      |  list_cosine_similarity(q.v, c.v) AS cos
+      |FROM p JOIN e q ON p.query_id = q.vec_id JOIN e c ON p.vec_id = c.vec_id
+      |WHERE list_cosine_similarity(q.v, c.v) >= $RangeTau""".stripMargin
+
   // ---- ann_filtered: metadata-predicate-constrained vector search ------
   /** Filtered vector search — the serving-layer verb every vector
     * store exposes ("top-k nearest WHERE label = X"): each query's
@@ -2065,6 +2117,7 @@ object Similarity {
     "vec_centroids" -> (vecCentroids _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_range" -> (annRange _),
+    "ann_range_lsh" -> (annRangeLsh _),
     "ann_rank_fusion" -> (annRankFusion _),
     "vec_quality" -> (vecQuality _),
     "vec_cov" -> (vecCov _),
@@ -2234,6 +2287,7 @@ object Similarity {
     "ann_recall" -> annRecallSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_range" -> annRangeSql,
+    "ann_range_lsh" -> annRangeLshSql,
     "ann_rank_fusion" -> annRankFusionSql,
     "vec_quality" -> vecQualitySql,
     "vec_cov" -> vecCovSql,

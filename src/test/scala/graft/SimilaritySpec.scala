@@ -80,6 +80,30 @@ class SimilaritySpec extends SparkSpec {
       s"suspiciously uniform per-query counts: $counts")
   }
 
+  test("ann_range_lsh: precision 1 vs exact range, recall useful and monotone in probes") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annRange(spark, sfDir))
+    val lsh = pairs(Similarity.annRangeLsh(spark, sfDir))
+    // exact verify after candidate gen ⇒ every emitted pair is real
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
+    // recall floor with headroom under the shipped MpTables×MpBits+T
+    // configuration (collapse detector, the ann_recall convention):
+    // measured 0.59 at sf0.001 / 0.52 at sf0.01 — in the same band as
+    // the corpus-side production path (dedup_nd_recall 0.49); a broken
+    // probe kernel or seed drops to ~0
+    val recall = lsh.intersect(exact).size.toDouble / math.max(1, exact.size)
+    info(f"range-lsh recall vs exact: $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+    // probe sets are margin-ordered prefixes, so the candidate pool —
+    // and hence the emitted pair set — grows monotonically with T
+    val p1 = pairs(Similarity.rangeLshAt(spark, sfDir, 1))
+    val p5 = pairs(Similarity.rangeLshAt(spark, sfDir, 5))
+    assert(p1.subsetOf(p5), "probe-set prefix property violated (1 vs 5)")
+    assert(p5.subsetOf(pairs(Similarity.rangeLshAt(spark, sfDir, Similarity.MpProbes))),
+      "probe-set prefix property violated (5 vs T)")
+  }
+
   test("vec_quality: norms bounded and consistent, counts conserve the table") {
     val rows = Similarity.vecQuality(spark, sfDir).collect()
     val total = Tables.embeddings(spark, sfDir).count()
