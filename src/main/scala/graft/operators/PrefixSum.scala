@@ -125,9 +125,22 @@ private[graft] object PrefixSum {
     val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = parts.join(broadcast(offDf), "__pid" +: groupCols)
+    // null-SAFE group equality: a null group key is a real group to
+    // the partials (groupBy treats null as a key), so the offsets
+    // join must match it too — plain equality would silently DROP
+    // every null-group row here
+    val offRenamed = groupCols.zipWithIndex.foldLeft(
+      offDf.withColumnRenamed("__pid", "__opid")) {
+        case (df, (g, i)) => df.withColumnRenamed(g, s"__g$i")
+      }
+    val joinCond = groupCols.zipWithIndex.foldLeft(
+      col("__pid") === col("__opid")) {
+        case (c, (g, i)) => c && (col(g) <=> col(s"__g$i"))
+      }
+    val out = parts.join(broadcast(offRenamed), joinCond)
       .withColumn(cumName, sum(col(weightCol)).over(w) + col("__offset"))
-      .drop("__pid", "__offset")
+      .drop("__pid" +: "__opid" +: "__offset" +:
+        groupCols.indices.map(i => s"__g$i"): _*)
     val totals = acc.toSeq.map { case (g, t) =>
       org.apache.spark.sql.Row.fromSeq(g :+ t) }
     val totSchema = org.apache.spark.sql.types.StructType(

@@ -115,5 +115,18 @@ class PrefixSumSpec extends SparkSpec {
       Seq.empty[(Long, String, Long)].toDF("id", "grp", "w"), Seq("grp"),
       Seq(col("id")), "w", "cum")
     assert(e.count() == 0 && et.count() == 0)
+    // a NULL group key is a real group (groupBy semantics) — the
+    // offsets join must be null-safe or these rows silently vanish
+    val withNull = Seq((1L, Some("a"), 2L), (2L, None, 3L), (3L, None, 4L),
+      (4L, Some("a"), 5L)).toDF("id", "grp", "w")
+    val (gn, tn) = PrefixSum.runningSumKeyed(withNull, Seq("grp"),
+      Seq(col("id")), "w", "cum")
+    val nm = gn.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nm == Map(1L -> 2L, 2L -> 3L, 3L -> 7L, 4L -> 7L),
+      s"null-group prefix wrong: $nm")
+    val tnm = tn.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(tnm == Map("a" -> 7L, (null: String) -> 7L))
   }
 }
