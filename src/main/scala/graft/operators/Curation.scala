@@ -117,7 +117,10 @@ object Curation {
       // pre-loop contraction and terminate in one hook round, so the
       // common case pays ZERO extra materializations — only graphs
       // that actually need round 2+ buy the halving.
-      val composed = if (round == 0) ck(hooked) else {
+      // no ck here: `hooked` is a depth-1 projection over the
+      // already-materialized `joined` LogicalRDD, so round 0 pays no
+      // extra materialization pass at all
+      val composed = if (round == 0) hooked else {
         val selfMap = hooked.select(col("doc_id").as("__cid"),
           col("cluster_id").as("__l2"))
         ck(hooked

@@ -465,10 +465,11 @@ object Dedup {
     * content fingerprint of the source documents table (the
     * annIvfIndexed pattern): a regenerated dataset moves the key and
     * forces a rebuild; distinct tags keep independent stores apart. */
-  private def storePath(s: SparkSession, dir: String, tag: String): String = {
+  private[operators] def storePath(s: SparkSession, dir: String, tag: String,
+                                   srcTable: String = "documents.parquet"): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "").takeRight(12)
     val abs = new java.io.File(dir).getAbsolutePath
-    val root = new java.io.File(s"$abs/documents.parquet")
+    val root = new java.io.File(s"$abs/$srcTable")
     val files = if (root.isDirectory)
       Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
     else Seq(root)
@@ -485,15 +486,17 @@ object Dedup {
     * unpersists every persistent RDD between queries, which would
     * destroy (unrecoverable — truncated lineage) a shared
     * localCheckpoint. */
-  private def sessionStore(s: SparkSession, dir: String, tag: String,
-                           what: String)(build: => DataFrame): DataFrame = {
-    val path = storePath(s, dir, tag)
+  private[operators] def sessionStore(s: SparkSession, dir: String, tag: String,
+                           what: String, module: String = "dedup",
+                           srcTable: String = "documents.parquet")
+                          (build: => DataFrame): DataFrame = {
+    val path = storePath(s, dir, tag, srcTable)
     Dedup.synchronized {
       if (!storeIngested.contains(path)) {
         val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)
         System.err.println(
-          f"[dedup] one-time $what store: ${(System.nanoTime() - t0) / 1e9}%.2f s (amortized across the family)")
+          f"[$module%s] one-time $what store: ${(System.nanoTime() - t0) / 1e9}%.2f s (amortized across the family)")
         storeIngested.add(path): Unit
       }
     }

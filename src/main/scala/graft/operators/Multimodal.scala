@@ -421,42 +421,16 @@ object Multimodal {
 
   case class MMPHashRow(doc_id: Long, width: Int, height: Int, phash: Long)
 
-  /** One-time session store for the verified pHash pair table (the
-    * annKnnGraph store pattern): mm_phash's banded join + Hamming
-    * verify is a one-ingest-many-consumers artifact — mm_phash emits
-    * it and mm_phash_clusters contracts over it — so it is built once
-    * per (session, documents fingerprint) and both keys read the
-    * parquet. Bench pre-warms it untimed via [[prewarmStores]]. */
-  private val phashStoreIngested =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def phashStorePath(s: SparkSession, dir: String): String = {
-    val app = s.sparkContext.applicationId
-    val abs = new java.io.File(dir).getAbsolutePath
-    val root = new java.io.File(s"$abs/documents.parquet")
-    val files = if (root.isDirectory)
-      Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
-    else Seq(root)
-    val desc = abs + "|" +
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val dh = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_phash_pairs_${app}_$dh"
-  }
-
-  def mmPhash(s: SparkSession, dir: String): DataFrame = {
-    val path = phashStorePath(s, dir)
-    Multimodal.synchronized {
-      if (!phashStoreIngested.contains(path)) {
-        val t0 = System.nanoTime()
-        mmPhashBuild(s, dir).write.mode("overwrite").parquet(path)
-        System.err.println(
-          f"[multimodal] one-time pHash-pair store: ${(System.nanoTime() - t0) / 1e9}%.2f s (amortized across the family)")
-        phashStoreIngested.add(path): Unit
-      }
-    }
-    s.read.parquet(path)
-  }
+  /** One-time session store for the verified pHash pair table
+    * ([[Dedup.sessionStore]] — the shared fingerprint-keyed pattern):
+    * mm_phash's banded join + Hamming verify is a one-ingest-many-
+    * consumers artifact — mm_phash emits it and mm_phash_clusters
+    * contracts over it — so it is built once per (session, documents
+    * fingerprint) and both keys read the parquet. Bench pre-warms it
+    * untimed via [[prewarmStores]]. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.sessionStore(s, dir, "phash_pairs", "pHash-pair",
+      module = "multimodal")(mmPhashBuild(s, dir))
 
   private def mmPhashBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

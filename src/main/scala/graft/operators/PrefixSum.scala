@@ -94,7 +94,10 @@ private[graft] object PrefixSum {
     * at most 2 group boundaries), broadcast per-(partition, group)
     * exclusive offsets back, and cumsum inside a (partition, group)
     * window. Caller contract: `groupCols` has bounded cardinality
-    * (driver traffic scales with it). */
+    * (driver traffic scales with it), and `weightCol` must be a
+    * LongType column already present in `df` — the same contract as
+    * [[runningSum]] (the driver-side partial collection reads it as
+    * Long). */
   def runningSumKeyed(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
                       weightCol: String, cumName: String): (DataFrame, DataFrame) = {
     val order = groupCols.map(col) ++ sortCols

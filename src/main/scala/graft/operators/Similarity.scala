@@ -37,14 +37,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   // ---- ann_bruteforce: exact top-k baseline ----------------------------
-  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val q = queriesDf(e)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id"))
+  /** Exact scan: every (query, corpus) pair scored by codegen cosine
+    * off ONE corpus pass against the broadcast query batch — the
+    * shared ground-truth generator for both exact modes (top-k =
+    * annBruteforce's rank window; threshold = annRange's filter). */
+  private def exactScoredPairs(e: DataFrame, q: DataFrame): DataFrame =
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
+
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    exactScoredPairs(e, queriesDf(e))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
   }
@@ -75,11 +81,7 @@ object Similarity {
 
   def annRange(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = queriesDf(e)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        VectorFns.cosine(col("qv"), col("v")).as("cos"))
-      .filter(col("cos") >= RangeTau)
+    exactScoredPairs(e, queriesDf(e)).filter(col("cos") >= RangeTau)
   }
 
   val annRangeSql: String =
@@ -1154,39 +1156,13 @@ object Similarity {
   /** One-time session store for the corpus kNN graph (ADVICE r12:
     * the graph was fully recomputed per invocation — and
     * dedup_semantic_knn consumes it TWICE in one plan, once for the
-    * cluster labels and once for the degrees). Same parquet-store
-    * shape as Dedup.sessionStore, keyed on the EMBEDDINGS file
-    * fingerprint (the graph's only input). */
-  private val knnStoreIngested =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def knnStorePath(s: SparkSession, dir: String): String = {
-    val app = s.sparkContext.applicationId
-    val abs = new java.io.File(dir).getAbsolutePath
-    val root = new java.io.File(s"$abs/embeddings.parquet")
-    val files = if (root.isDirectory)
-      Option(root.listFiles).getOrElse(Array.empty).sortBy(_.getName).toSeq
-    else Seq(root)
-    val desc = abs + "|" +
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
-    val dh = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(desc.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_knn_graph_${app}_$dh"
-  }
-
-  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val path = knnStorePath(s, dir)
-    Similarity.synchronized {
-      if (!knnStoreIngested.contains(path)) {
-        val t0 = System.nanoTime()
-        annKnnGraphBuild(s, dir).write.mode("overwrite").parquet(path)
-        System.err.println(
-          f"[similarity] one-time kNN-graph store: ${(System.nanoTime() - t0) / 1e9}%.2f s (amortized across the family)")
-        knnStoreIngested.add(path): Unit
-      }
-    }
-    s.read.parquet(path)
-  }
+    * cluster labels and once for the degrees). [[Dedup.sessionStore]]
+    * keyed on the EMBEDDINGS file fingerprint (the graph's only
+    * input). */
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.sessionStore(s, dir, "knn_graph", "kNN-graph",
+      module = "similarity", srcTable = "embeddings.parquet")(
+      annKnnGraphBuild(s, dir))
 
   /** Pre-warm hook for Bench (untimed; see Dedup.prewarmStores). */
   private[graft] def prewarmStores(s: SparkSession, dir: String): Unit = {
