@@ -137,8 +137,11 @@ object Curation {
       round += 1
     }
     // cost telemetry: rounds × fixed job latency is the wall-clock
-    // driver at bench SF (the r13 mm_phash_clusters adjudication)
-    System.err.println(s"[curation] clustersFromPairs converged in $round rounds")
+    // driver at bench SF (the r13 mm_phash_clusters adjudication).
+    // The cap case must say so — labels are NOT a fixpoint there.
+    System.err.println(
+      if (active == 0) s"[curation] clustersFromPairs converged in $round rounds"
+      else s"[curation] clustersFromPairs STOPPED at the $round-round cap without converging ($active active)")
     // expand rep labels back through the contraction map, materialize
     // the (small, node-sized) result OUTSIDE ck — only the result's
     // own checkpoint survives the scope's cleanup

@@ -486,12 +486,19 @@ object Dedup {
     * unpersists every persistent RDD between queries, which would
     * destroy (unrecoverable — truncated lineage) a shared
     * localCheckpoint. */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[operators] def sessionStore(s: SparkSession, dir: String, tag: String,
                            what: String, module: String = "dedup",
                            srcTable: String = "documents.parquet")
                           (build: => DataFrame): DataFrame = {
     val path = storePath(s, dir, tag, srcTable)
-    Dedup.synchronized {
+    // per-path lock: concurrent FIRST builds of unrelated stores
+    // (different modules, different datasets) must not serialize
+    // behind one global monitor for multi-second parquet writes
+    val lock = storeLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
       if (!storeIngested.contains(path)) {
         val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)

@@ -120,16 +120,8 @@ object Similarity {
                                 nProbes: Int): DataFrame = {
     val e = emb(s, dir)
     val q = queriesDf(e)
-    val buckets = withBuckets(e, EmbDim, MpTables, MpBits)
-      .select("vec_id", "tbl", "bucket")
-    val qBuckets = withProbeBuckets(
-        q.select(col("query_id").as("vec_id"), col("qv").as("v")),
-        MpTables, MpBits, nProbes)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-    val cand = buckets.join(broadcast(qBuckets), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
-    cand.join(e, "vec_id")
+    lshCandidates(e, q, MpTables, MpBits, nProbes)
+      .join(e, "vec_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         VectorFns.cosine(col("qv"), col("v")).as("cos"))
@@ -295,6 +287,31 @@ object Similarity {
     * depth sweep can derive every shallower depth from ONE deep search
     * (a depth-d candidate set is exactly `phase1_rank <= d` of the
     * same sketch ordering). */
+  /** Shared phase-0 candidate generation for every bucket-probed
+    * search (ann_lsh's sketch pipeline AND the rank-free range path):
+    * index side one bucket row per (vector, table); query side base
+    * buckets, or — qProbes > 0 — the multi-probe expansion (the
+    * memory/recall trade: FINER tables, FEWER of them, the query also
+    * probes its nearest-boundary buckets while the index stays one
+    * entry per (vector, table)). The join is query-batch × bucket
+    * occupancy — corpus-LINEAR (no capBuckets here: the hot-bucket
+    * cap exists for quadratic SELF-joins; capping a query-batch probe
+    * would silently cost recall at scale). */
+  private def lshCandidates(e0: DataFrame, qdf: DataFrame,
+                            tables: Int, bits: Int, qProbes: Int,
+                            broadcastQueries: Boolean = true): DataFrame = {
+    def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
+    val buckets = withBuckets(e0.select("vec_id", "v"), EmbDim, tables, bits)
+      .select("vec_id", "tbl", "bucket")
+    val qBase = qdf.select(col("query_id").as("vec_id"), col("qv").as("v"))
+    val qBuckets = (if (qProbes > 0) withProbeBuckets(qBase, tables, bits, qProbes)
+                    else withBuckets(qBase, EmbDim, tables, bits))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    buckets.join(qside(qBuckets), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+  }
+
   private[graft] def lshScored(e0: DataFrame, qdf: DataFrame,
                                broadcastQueries: Boolean = true,
                                overFetch: Int = OverFetch,
@@ -302,26 +319,12 @@ object Similarity {
                                qProbes: Int = 0): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
     val e = withSketch(e0)
-    val buckets = withBuckets(e.select("vec_id", "v"), EmbDim, tables, bits)
-      .select("vec_id", "tbl", "bucket")
     val q = qdf
       .join(e.select(col("vec_id").as("query_id"), col("sketch_lo").as("qsketch_lo"),
         col("sketch_hi").as("qsketch_hi")), "query_id")
-    // qProbes = 0 is the plain table-multiplied path (ann_lsh: 16
-    // coarse tables, candidate recall already ~0.9 — the end-recall
-    // limiter there is the reference-mandated 2k over-fetch through
-    // the sketch). qProbes > 0 is the multi-probe memory/recall
-    // trade (ann_lsh_multiprobe): FINER tables, FEWER of them, and
-    // the query also probes its nearest-boundary buckets — the index
-    // stays one entry per (vector, table).
-    val qBase = q.select(col("query_id").as("vec_id"), col("qv").as("v"))
-    val qBuckets = (if (qProbes > 0) withProbeBuckets(qBase, tables, bits, qProbes)
-                    else withBuckets(qBase, EmbDim, tables, bits))
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     // phase 0: candidate gen — bucket equi-join against the query buckets
-    val cand = buckets.join(qside(qBuckets), Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
+    val cand = lshCandidates(e0, q.select("query_id", "qv"),
+      tables, bits, qProbes, broadcastQueries)
     // phase 1: cheap sketch distance, keep 2k per query (over-fetch)
     val wSketch = Window.partitionBy("query_id")
       .orderBy(col("sketch_dist"), col("vec_id"))

@@ -100,8 +100,8 @@ class SimilaritySpec extends SparkSpec {
     val p1 = pairs(Similarity.rangeLshAt(spark, sfDir, 1))
     val p5 = pairs(Similarity.rangeLshAt(spark, sfDir, 5))
     assert(p1.subsetOf(p5), "probe-set prefix property violated (1 vs 5)")
-    assert(p5.subsetOf(pairs(Similarity.rangeLshAt(spark, sfDir, Similarity.MpProbes))),
-      "probe-set prefix property violated (5 vs T)")
+    // `lsh` above IS rangeLshAt(MpProbes) — no need to recompute it
+    assert(p5.subsetOf(lsh), "probe-set prefix property violated (5 vs T)")
   }
 
   test("vec_quality: norms bounded and consistent, counts conserve the table") {
