@@ -97,7 +97,10 @@ private[graft] object PrefixSum {
     * (driver traffic scales with it), and `weightCol` must be a
     * LongType column already present in `df` — the same contract as
     * [[runningSum]] (the driver-side partial collection reads it as
-    * Long). */
+    * Long). A NULL group key is a real group here (both the ranked
+    * output and the totals frame carry it), so any join back against
+    * the returned totals must use null-safe equality (`<=>`) on the
+    * group columns — plain equality silently drops the null group. */
   def runningSumKeyed(df: DataFrame, groupCols: Seq[String], sortCols: Seq[Column],
                       weightCol: String, cumName: String): (DataFrame, DataFrame) = {
     val order = groupCols.map(col) ++ sortCols

@@ -84,14 +84,29 @@ object Similarity {
     exactScoredPairs(e, queriesDf(e)).filter(col("cos") >= RangeTau)
   }
 
+  /** Membership at the τ boundary is decided with an ε band over the
+    * ECHOED pair set (ADVICE r13): a pair whose cosine lands within a
+    * ulp of τ could legitimately be included by one engine's
+    * accumulation order and excluded by the other's, so the oracle
+    * accepts an echoed pair down to τ−ε — while a pair Spark DROPPED
+    * still forces a hash mismatch whenever its cosine is clearly
+    * inside the radius (≥ τ+ε), keeping the completeness check. The
+    * full-scan membership compare survives for every pair outside
+    * the ±1e-9 band. */
   val annRangeSql: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id < $NQueries)
-      |SELECT query_id, vec_id, cos FROM (
+    s"""WITH p AS (SELECT query_id, vec_id
+      |           FROM read_parquet('{VERIFY_OUT}/ann_range/*.parquet')),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < $NQueries),
+      |scored AS (
       |  SELECT q.query_id, e.vec_id,
       |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-      |WHERE cos >= $RangeTau""".stripMargin
+      |SELECT s.query_id, s.vec_id, s.cos
+      |FROM scored s
+      |LEFT JOIN p ON p.query_id = s.query_id AND p.vec_id = s.vec_id
+      |WHERE (p.query_id IS NOT NULL AND s.cos >= $RangeTau - 1e-9)
+      |   OR (p.query_id IS NULL AND s.cos >= $RangeTau + 1e-9)""".stripMargin
 
   // ---- ann_range_lsh: the serving-path twin of ann_range -----------------
   /** Production range search: multiprobe sign-LSH candidate generation

@@ -1100,7 +1100,14 @@ object TextAnalysis {
       Seq(col("bits"), col("doc_id")), "one", "rk")
     val tercile = (floor((col("rk") - 1) * PplTerciles /
       col("__total").cast("double")) + 1).cast("int")
-    ranked.join(broadcast(totals), "lang")
+    // null-SAFE totals join: runningSumKeyed deliberately preserves a
+    // null group key (its partials/offsets treat null as a real
+    // group), so the totals attach must match it too — predLang never
+    // emits null today, but a plain-equality join here would silently
+    // drop any null-group rows a future caller feeds through
+    // (ADVICE r13)
+    ranked.join(broadcast(totals.withColumnRenamed("lang", "__lang")),
+        col("lang") <=> col("__lang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bits"),
         tercile.as("tercile"))
       .withColumn("action", when(col("tercile") === 1, "keep")

@@ -775,17 +775,18 @@ object StreamingPipelines {
     // cluster-shaped state-store partition count (e.g. 400 ≈ 100
     // executors × 4 cores per SURVEY §9's deployment map) — state
     // partitioning is fixed at first checkpoint, so the 100×-shaped
-    // soak must SET it, not inherit the local session's 32. Restored
-    // after stream start; only the soak query is affected.
-    val stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
-    try rateSoakRun(s, soakSecs, rowsPerSec, nKeys)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // soak must SET it, not inherit the local session's 32. The
+    // override is scoped to query STARTUP (rateSoakRun restores it
+    // right after start() — StreamExecution clones the session in
+    // its constructor, so the running stream keeps the override
+    // while concurrent batch queries on the shared session never
+    // see it for the soak's duration; ADVICE r13).
+    rateSoakRun(s, soakSecs, rowsPerSec, nKeys,
+      sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt))
   }
 
   private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
-                          nKeys: Int): Seq[SoakRow] = {
+                          nKeys: Int, stateParts: Option[Int] = None): Seq[SoakRow] = {
     val src = s.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSec.toLong)
       .option("numPartitions", 4)
@@ -797,10 +798,14 @@ object StreamingPipelines {
       .groupBy(window(col("ts"), "5 seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-    val q = agg.writeStream.format("noop")
-      .outputMode(OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
-      .start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+      agg.writeStream.format("noop")
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val samples = scala.collection.mutable.LinkedHashMap
       .empty[Long, (Double, Long, Double, Long, Long, Boolean)]
     val t0 = System.nanoTime()

@@ -196,6 +196,25 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 9L -> 9L, 2L -> 2L))
   }
 
+  test("clustersFromPairs: a long path graph collapses to the chain minimum") {
+    // deterministic multi-round case (ADVICE r13): the sf corpora
+    // happen to produce star-shaped duplicate clusters that converge
+    // in one hook round, so nothing exercised the pointer-doubling
+    // shortcut branch (round >= 1). A 33-node path graph contracts to
+    // a 32-node path whose diameter forces several hook+shortcut
+    // rounds — a regression in the self-join composition (wrong key,
+    // lost coalesce, non-monotone label) cannot collapse it to the
+    // single label this asserts.
+    import spark.implicits._
+    val n = 33
+    val nodes = (1 to n).map(_.toLong).toDF("doc_id")
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val got = Curation.clustersFromPairs(nodes, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1 to n).map(_.toLong).toSet)
+    assert(got.values.toSet == Set(1L), s"expected one cluster rooted at 1, got ${got.values.toSet}")
+  }
+
   test("dedup_weights: mass 1 per cluster, ranks a permutation, Σweight = #clusters") {
     val rows = Curation.dedupWeights(spark, sfDir).collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
