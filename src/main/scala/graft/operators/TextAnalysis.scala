@@ -1079,9 +1079,18 @@ object TextAnalysis {
   private[graft] def ccnetFromDocs(docsDf: DataFrame): DataFrame = {
     val d = docsDf.select(col("doc_id"), col("text"),
       predLang(col("text")).as("lang"))
+    // ONE corpus pass (r13 verdict #4): tf feeds both the (lang, term)
+    // LM counts and the per-doc score join, and their exchanges key
+    // differently ((lang,term) vs (doc_id,lang,term)) so ReuseExchange
+    // can never dedupe the subtree — without the checkpoint the
+    // scan + langid + tokenize + explode + agg pipeline runs TWICE.
+    // The checkpoint materializes the distinct-(doc,term) table once
+    // (far smaller than the exploded token stream it replaces); the
+    // bench frees the blocks between queries.
     val tf = d.select(col("doc_id"), col("lang"),
         explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val counts = tf.groupBy("lang", "term").agg(sum("tf").as("c"))
     val tot = counts.groupBy("lang")
       .agg(sum("c").as("n_total"), count(lit(1)).as("v_vocab"))
