@@ -16,6 +16,22 @@ import org.apache.spark.sql.SparkSession
   * excluded from `queries`/total and reported under `failed`.
   */
 object Bench {
+  /** A measured pass ran LOADED when external processes burned more
+    * than max(1, wall/2) CPU-seconds during it, or the hypervisor
+    * stole >5% of its wall (EnvTelemetrySpec pins the rule). */
+  private[graft] def loadedPass(t: Double, e: EnvTelemetry.PassEnv): Boolean =
+    (e.otherCpuSec >= 0 && e.otherCpuSec > math.max(1.0, 0.5 * t)) ||
+      (e.stealSec >= 0 && e.stealSec > 0.05 * t)
+
+  /** A query's median is load-SUSPECT when half its passes ran loaded,
+    * or when the spread is wide (med >= 2x min) and any pass did. */
+  private[graft] def suspect(pairs: Seq[(Double, EnvTelemetry.PassEnv)],
+                             med: Double): Boolean = {
+    val loaded = pairs.count { case (t, e) => loadedPass(t, e) }
+    pairs.nonEmpty && (loaded * 2 >= pairs.size ||
+      (loaded > 0 && med >= 2 * pairs.map(_._1).min))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.contractLocal("graft-bench")
@@ -96,20 +112,20 @@ object Bench {
       System.err.println(
         f"[bench] one-time store pre-warm: ${(System.nanoTime() - t0) / 1e9}%.2f s (untimed)")
     }
+    // localCheckpoint blocks from earlier queries stay in the
+    // BlockManager until a driver GC lets the ContextCleaner reap
+    // them — and the ContextCleaner frees them ASYNCHRONOUSLY, so a
+    // System.gc() alone still let checkpoint-heavy queries tax their
+    // neighbors (measured: 4-55 s pass spread on unchanged code once
+    // the iterative cluster queries joined the bench). Unpersist
+    // every leaked persistent RDD BLOCKING, then GC the object
+    // graphs.
+    def freeBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // localCheckpoint blocks from earlier queries stay in the
-      // BlockManager until a driver GC lets the ContextCleaner reap
-      // them — and the ContextCleaner frees them ASYNCHRONOUSLY, so a
-      // System.gc() alone still let checkpoint-heavy queries tax their
-      // neighbors (measured: 4-55 s pass spread on unchanged code once
-      // the iterative cluster queries joined the bench). Unpersist
-      // every leaked persistent RDD BLOCKING, then GC the object
-      // graphs.
-      def freeBlocks(): Unit =
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
       freeBlocks()
       System.gc() // between queries only: a full GC per pass on a
                   // large warm heap costs more than the blocks it
@@ -127,13 +143,37 @@ object Bench {
       val runs = (1 to nPasses).map { _ =>
         freeBlocks(); measured(once(fn, sfDir))
       }
-      val oks = runs.collect { case (Right(t), _) => t }
+      val okPairs = runs.collect { case (Right(t), e) => (t, e) }
       val errs = runs.collect { case (Left(m), _) => m }
-      val envs = runs.map(_._2)
+      val oks = okPairs.map(_._1)
       val median = if (oks.isEmpty) None
         else Some(oks.sorted.apply((oks.size - 1) / 2))
-      (name, median, errs.headOption.filter(_ => oks.isEmpty), oks, envs)
+      (name, median, errs.headOption.filter(_ => oks.isEmpty), okPairs)
     }
+
+    // ---- load_suspect adjudication (r13 verdict #5): two of r13's
+    // top-5 "hotspots" were sweep-slot load artifacts that cost a
+    // judge/builder adjudication cycle each. A pass counts as LOADED
+    // when external processes burned more than max(1, wall/2)
+    // CPU-seconds during it, or the hypervisor stole >5% of its wall;
+    // a query's median is suspect when half its passes ran loaded, or
+    // when the spread is wide (med >= 2x min) and any pass ran loaded.
+    // Suspect keys re-run ONCE, isolated, right here (the sweep's
+    // concurrent-load window has usually passed) — the headline median
+    // stays the sweep number for round-over-round comparability; the
+    // isolated time + its env ride in pass_stats for the adjudication.
+    val suspectKeys = results.collect {
+      case (n, Some(t), _, pairs) if !singlePass(n) && suspect(pairs, t) => n
+    }
+    val isolated: Map[String, (Option[Double], PassEnv)] =
+      suspectKeys.map { n =>
+        freeBlocks(); System.gc()
+        val (res, env) = measured(once(SparkEntry.queries(n), sfDir))
+        System.err.println(f"[bench] load_suspect $n: isolated re-run " +
+          res.fold(m => s"FAILED ($m)", t => f"$t%.2f s") +
+          f" (other_cpu ${env.otherCpuSec}%.1f s, steal ${env.stealSec}%.1f s)")
+        n -> ((res.toOption, env))
+      }.toMap
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -141,19 +181,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val ok = results.collect { case (n, Some(t), _, _, _) => n -> t }
-    val failed = results.collect { case (n, None, err, _, _) => n -> err.getOrElse("unknown") }
+    val ok = results.collect { case (n, Some(t), _, _) => n -> t }
+    val failed = results.collect { case (n, None, err, _) => n -> err.getOrElse("unknown") }
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     // per-pass spread, so round-over-round variance is self-documenting
     // (a regressed median with a tight spread is code; with a wide
     // spread it's the environment)
     def r2(d: Double): Double = math.round(d * 100) / 100.0
-    val spread = results.collect { case (n, Some(t), _, oks, envs) =>
-      val env = envs.map(e =>
-        s"""{"load":${r2(e.load)},"our_cpu":${r2(e.ourCpuSec)},"other_cpu":${r2(e.otherCpuSec)},"steal":${r2(e.stealSec)}}""")
-        .mkString("[", ",", "]")
-      jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max},"env":$env}"""
+    def envJson(e: PassEnv): String =
+      s"""{"load":${r2(e.load)},"our_cpu":${r2(e.ourCpuSec)},"other_cpu":${r2(e.otherCpuSec)},"steal":${r2(e.stealSec)}}"""
+    val spread = results.collect { case (n, Some(t), _, pairs) =>
+      val oks = pairs.map(_._1)
+      val env = pairs.map(p => envJson(p._2)).mkString("[", ",", "]")
+      val iso = isolated.get(n).map { case (it, ie) =>
+        it.fold("")(v => s""","isolated":$v""") + s""","isolated_env":${envJson(ie)}"""
+      }.getOrElse("")
+      jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max},""" +
+        s""""load_suspect":${isolated.contains(n)},"env":$env$iso}"""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
 
@@ -183,7 +228,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${ok.size},"n_failed":${failed.size},"failed":$fsShort,""" +
-      s""""queries":$slowest,"queries_note":"slowest 10 of ${ok.size}; full per-query medians + pass spread in full_json","full_json":${jstr(fullPath.toString)},"passes":$passes}""")
+      s""""n_load_suspect":${suspectKeys.size},""" +
+      s""""queries":$slowest,"queries_note":"slowest 10 of ${ok.size}; full per-query medians + pass spread + load_suspect/isolated re-runs in full_json","full_json":${jstr(fullPath.toString)},"passes":$passes}""")
     spark.stop()
   }
 }

@@ -26,6 +26,32 @@ class EnvTelemetrySpec extends AnyFunSuite {
     assert(env.stealSec >= 0.0 || env.stealSec == -1.0)
   }
 
+  test("Bench load_suspect rule: loaded passes and wide loaded spreads flag, clean runs don't") {
+    import EnvTelemetry.PassEnv
+    def env(other: Double, steal: Double = 0.0) = PassEnv(1.0, 10.0, other, steal)
+    val clean = env(0.0)
+    // single clean pass, tight spread: never suspect
+    assert(!Bench.suspect(Seq((2.0, clean), (2.1, clean), (2.0, clean)), 2.0))
+    // external load above max(1, wall/2) CPU-sec marks a pass loaded
+    assert(Bench.loadedPass(4.0, env(other = 3.0)))
+    assert(!Bench.loadedPass(4.0, env(other = 0.5)))
+    // hypervisor steal >5% of wall marks a pass loaded
+    assert(Bench.loadedPass(10.0, env(other = 0.0, steal = 1.0)))
+    // majority-loaded passes flag the median
+    assert(Bench.suspect(
+      Seq((5.0, env(9.0)), (6.0, env(9.0)), (2.0, clean)), 5.0))
+    // wide spread (med >= 2x min) with ANY loaded pass flags too —
+    // the r13 q_histogram shape (2.8-16.4 s at <25% CPU)
+    assert(Bench.suspect(
+      Seq((2.8, clean), (9.1, env(20.0)), (16.4, clean)), 9.1))
+    // wide spread with NO loaded pass stays unflagged (that's code,
+    // not environment — exactly what the flag must not hide)
+    assert(!Bench.suspect(
+      Seq((2.8, clean), (9.1, clean), (16.4, clean)), 9.1))
+    // missing counters (-1 sentinels) never flag
+    assert(!Bench.loadedPass(4.0, PassEnv(1.0, -1.0, -1.0, -1.0)))
+  }
+
   test("jiffy counters are monotone across a measurement") {
     val m0 = EnvTelemetry.machineBusyJiffies()
     val s0 = EnvTelemetry.stealJiffies()
