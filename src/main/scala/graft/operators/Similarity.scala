@@ -28,7 +28,7 @@ object Similarity {
   val OverFetch = 2 * TopK // ferret-pthreads.c:590 — query.topk = 2*top_K
   val NQueries = 8
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(s: SparkSession, dir: String): DataFrame =
     Tables.parallel(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("v"))
 
@@ -490,6 +490,27 @@ object Similarity {
   }
 
   // ---- ferret_pipeline: the reference pipeline end-to-end --------------
+  /** The 10%-of-corpus query batch ferret_pipeline (and its streaming
+    * twin's spec) drives through the index. */
+  private[operators] def ferretQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  /** The promoted production search (r13 verdict #1): the multiprobe
+    * index family ann_lsh_multiprobe certified — [[MpTables]] tables
+    * at [[MpBits]]-bit resolution, each query also probing its
+    * T=[[MpProbes]] nearest-boundary buckets (the reference's own
+    * default, LSH_query.c:59 T=20). The REFBENCH r13 matched-memory
+    * curve proved this family dominates the r12 default (probes buy
+    * recall tables cannot, at a fraction of the index entries), so
+    * the registered ferret keys now serve it by default; ann_lsh
+    * remains the base-bucket contrast key the multiprobe specs
+    * measure against. */
+  private[operators] def ferretSearch(e: DataFrame, q: DataFrame,
+                                      broadcastQueries: Boolean): DataFrame =
+    lshSearch(e, q, broadcastQueries = broadcastQueries,
+      tables = MpTables, bits = MpBits, qProbes = MpProbes)
+
   /** The full 6-stage ferret run as one declarative DAG: a batch of
     * "query images" (every 10th vector — t_load/t_seg/t_extract are
     * the upstream embedding computation) probes the LSH index
@@ -498,11 +519,9 @@ object Similarity {
     * images through exactly this path per run. */
   def ferretPipeline(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // the query batch is a fixed FRACTION of the corpus, so it can
     // never be broadcast at scale — force the shuffle-join path
-    lshSearch(e, q, broadcastQueries = false)
+    ferretSearch(e, ferretQueries(e), broadcastQueries = false)
   }
 
   // ---- ann_ivf_indexed: persisted cell-partitioned IVF index -----------
@@ -2163,7 +2182,7 @@ object Similarity {
     * the exact cosine and the within-query rank — the emitted rows are
     * by construction the top-k of their pool under (cos desc, vec_id),
     * so ranking the emitted set reproduces rank 1..k exactly. */
-  private def annValueSql(name: String): String =
+  private[operators] def annValueSql(name: String): String =
     s"""WITH p AS (SELECT query_id, vec_id FROM read_parquet('{VERIFY_OUT}/$name/*.parquet')),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |scored AS (

@@ -668,10 +668,17 @@ object StreamingPipelines {
     * slice identically, the file source replays in mtime order, and a
     * live stream's file drops are mtime-ordered anyway. One feed
     * serves any number of measured pipelines. */
-  def prepareFeed(s: SparkSession, events: DataFrame, nSlices: Int): Feed = {
+  def prepareFeed(s: SparkSession, events: DataFrame, nSlices: Int): Feed =
+    prepareFeedBy(s, events, nSlices, Seq(col("ts"), col("event_id")))
+
+  /** [[prepareFeed]] with caller-chosen slice ordering — the events
+    * default slices by (ts, event_id); other feeds (e.g. the ferret
+    * query-vector stream) bring their own replay key. */
+  def prepareFeedBy(s: SparkSession, df: DataFrame, nSlices: Int,
+                    sortCols: Seq[org.apache.spark.sql.Column]): Feed = {
     val feedDir = s"${System.getProperty("java.io.tmpdir")}/graft_feed_${System.nanoTime()}"
-    events.repartitionByRange(nSlices, col("ts"), col("event_id"))
-      .sortWithinPartitions("ts", "event_id")
+    df.repartitionByRange(nSlices, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(feedDir)
     val parts = Option(new java.io.File(feedDir).listFiles).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
@@ -683,8 +690,8 @@ object StreamingPipelines {
       require(f.setLastModified(base + i * 2000L),
         s"cannot restamp feed slice ${f.getPath} — replay order would be undefined")
     }
-    val df = s.read.parquet(feedDir)
-    Feed(feedDir, df.count(), parts.length, df.schema)
+    val written = s.read.parquet(feedDir)
+    Feed(feedDir, written.count(), parts.length, written.schema)
   }
 
   /** Drive a pipeline from a DISTRIBUTED file source and measure

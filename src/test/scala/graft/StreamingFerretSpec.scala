@@ -57,6 +57,22 @@ class StreamingFerretSpec extends SparkSpec {
       s"stream=${collected.size} batch=${batchResult.size}")
   }
 
+  test("stream_ferret (registered) equals ferret_pipeline's batch result on the same query set") {
+    // the stream twin's whole claim: replaying the query batch
+    // through the file-source stream and probing per micro-batch
+    // yields EXACTLY the batch search — per-query top-k is
+    // independent of batch composition, and the promoted multiprobe
+    // family is the same on both paths
+    def keyOf(df: DataFrame) = df.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stream = keyOf(graft.operators.StreamingOps.streamFerret(spark, sfDir))
+    val batch = keyOf(Similarity.ferretPipeline(spark, sfDir))
+    assert(stream.nonEmpty, "stream_ferret returned no rows")
+    assert(stream == batch,
+      s"stream=${stream.size} batch=${batch.size}; " +
+        s"onlyStream=${(stream -- batch).take(5)} onlyBatch=${(batch -- stream).take(5)}")
+  }
+
   test("throughput harness reports latency percentiles") {
     import spark.implicits._
     val evs = Tables.events(spark, sfDir)
