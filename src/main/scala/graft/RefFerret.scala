@@ -71,6 +71,124 @@ case class FerretIndexProbe(left: org.apache.spark.sql.catalyst.expressions.Expr
     copy(left = l, right = r)
 }
 
+/** The resident db REGION table behind [[FerretProbeRank]]: one entry
+  * per db region, globally id'd in (img, ridx) order, plus the LSH
+  * postings keyed (tbl<<32 | bucket) pointing at region ids. Region
+  * vectors are stored ONCE (6-7 MB at 57k regions) and postings
+  * reference them by int id, so table count never multiplies the
+  * vector storage — the same layout the binary's LSH keeps (bucket →
+  * pointer into the raw feature table). */
+case class FerretRegionIndex(
+    img: Array[org.apache.spark.unsafe.types.UTF8String],
+    ridx: Array[Int],
+    vecs: Array[Array[Double]],
+    postings: Map[Long, Array[Int]])
+
+/** Fused per-region probe+rank kernel — the binary's t_vec stage as
+  * ONE expression eval (LSH_query.c:281 LSH_query_probe → distance
+  * on collision candidates → per-region 2K cut): z-score the raw
+  * region descriptor, enumerate the T multiprobe buckets per table
+  * ([[graft.functions.LshProbeKernel]] — identical planes/order to
+  * the declarative path), walk the resident postings, dedup
+  * candidate regions across tables/probes (stamped bitmap, no
+  * per-eval allocation), compute exact L2 on the RAW descriptors,
+  * and keep the `depth` nearest by (d2, img, ridx) — returning their
+  * image names for the downstream per-query merge
+  * (cass_result_merge_lists). The r13 declarative multiprobe path
+  * paid the 21× probe fan-out through a Generate + distinct + two
+  * joins + a rank window per pass; this collapses all of it into the
+  * segmentation stage's map tasks, which is what makes the
+  * truth-adjudicated (T=20, dist-ranked) family cheap enough to BE
+  * the default. GRAFT_FERRET_RANKBY=dist_plan keeps the declarative
+  * twin alive as the differential reference. */
+case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: org.apache.spark.broadcast.Broadcast[FerretRegionIndex],
+    mu: Array[Double], sd: Array[Double], seed: Long, nTables: Int,
+    bits: Int, dim: Int, nProbes: Int, depth: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ferret_probe_rank"
+
+  // candidate-dedup stamps, reused across evals per task thread (a
+  // fresh bitmap per region eval would churn ~230 KB each)
+  @transient private lazy val seenTL =
+    new ThreadLocal[(Array[Int], Array[Int])] {
+      override def initialValue(): (Array[Int], Array[Int]) =
+        (new Array[Int](index.value.vecs.length), Array(0))
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val idx = index.value
+    val n = math.min(dim, v.numElements())
+    val raw = new Array[Double](dim)
+    val z = new Array[Double](dim)
+    var i = 0
+    while (i < n) {
+      raw(i) = v.getDouble(i)
+      z(i) = (raw(i) - mu(i)) / sd(i)
+      i += 1
+    }
+    val probes = graft.functions.LshProbeKernel.probes(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(z), false,
+      seed, nTables, bits, dim, nProbes)
+    val (stamps, genHolder) = seenTL.get()
+    genHolder(0) += 1
+    val gen = genHolder(0)
+    val stride = nProbes + 1
+    // bounded worst-at-head heap on (d2, id); id order IS (img, ridx)
+    // order by construction, so ties break like the declarative rank
+    val worstFirst = new java.util.Comparator[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else Integer.compare(b._2, a._2)
+      }
+    }
+    val pq = new java.util.PriorityQueue[(Double, Int)](depth + 1, worstFirst)
+    var pi = 0
+    while (pi < probes.numElements()) {
+      val key = ((pi / stride).toLong << 32) | probes.getLong(pi)
+      idx.postings.get(key) match {
+        case Some(arr) =>
+          var j = 0
+          while (j < arr.length) {
+            val id = arr(j)
+            if (stamps(id) != gen) {
+              stamps(id) = gen
+              val dbv = idx.vecs(id)
+              var d = 0.0
+              var k = 0
+              while (k < dim) { val x = raw(k) - dbv(k); d += x * x; k += 1 }
+              // allocation-gated insert: compare against the current
+              // worst BEFORE boxing a tuple
+              if (pq.size < depth) pq.offer((d, id)): Unit
+              else {
+                val w = pq.peek()
+                if (d < w._1 || (d == w._1 && id < w._2)) {
+                  pq.poll(); pq.offer((d, id)): Unit
+                }
+              }
+            }
+            j += 1
+          }
+        case None =>
+      }
+      pi += 1
+    }
+    val out = new Array[Any](pq.size)
+    var o = 0
+    val it = pq.iterator()
+    while (it.hasNext) { out(o) = idx.img(it.next()._2); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c)
+}
+
 /** EMD against the RESIDENT vecset table: same model as
   * [[FerretIndexProbe]] for the re-rank attach — the db vecsets are
   * loaded once (the binary's raw table), so the EMD stage needs no
@@ -105,10 +223,17 @@ object RefFerret {
   // overrides for the multiprobe cells (fewer tables, probes instead).
   private def LshTables: Int =
     sys.env.get("GRAFT_FERRET_TABLES").map(_.toInt).getOrElse(12)
-  // query-side multi-probe count (the binary's T=20, LSH_query.c:59);
+  // query-side multi-probe count — DEFAULT 20, the binary's own T
+  // (LSH_query.c:59) and the r13 matched-memory curve's frontier;
   // 0 = base-bucket-only probing (the r12 cells)
   private def LshProbes: Int =
-    sys.env.get("GRAFT_FERRET_PROBES").map(_.toInt).getOrElse(0)
+    sys.env.get("GRAFT_FERRET_PROBES").map(_.toInt).getOrElse(20)
+  // over-fetch ordering: "dist" (DEFAULT — the fused FerretProbeRank
+  // kernel, the binary's t_vec semantics), "dist_plan" (the same
+  // semantics as the declarative r13 plan — the kernel's differential
+  // reference), or "count" (collision-count merge, the r12 speed
+  // cells)
+  private def RankBy: String = sys.env.getOrElse("GRAFT_FERRET_RANKBY", "dist")
   // GRAFT_FERRET_BITS overrides for the matched-memory recall sweep
   // (bits set bucket RESOLUTION; index entries/vector stay 1/table).
   private def LshBitsKnob: Int =
@@ -411,10 +536,10 @@ object RefFerret {
     // sc.broadcast each, built untimed, consumed by the
     // FerretIndexProbe / FerretDbEmd expressions every pass — no
     // per-pass broadcast-build job waves
+    val bucketRows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket); index-sized
     val probeIndex = {
-      val rows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket); index-sized
       spark.sparkContext.broadcast(
-        rows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
+        bucketRows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
           .map { case (k, rs) =>
             k -> rs.sortBy(r => (r.getString(0), r.getInt(1))).map { r =>
               org.apache.spark.sql.catalyst.InternalRow(
@@ -422,6 +547,22 @@ object RefFerret {
                 r.getInt(1)): org.apache.spark.sql.catalyst.InternalRow
             }
           })
+    }
+    // the fused-kernel index: region vectors stored once in global
+    // (img, ridx) id order, postings pointing at ids — see
+    // [[FerretRegionIndex]]
+    val regionIndex = {
+      val regs = dbRegionVecs.collect().sortBy(r => (r.getString(0), r.getInt(1)))
+      val idOf = regs.iterator.zipWithIndex
+        .map { case (r, i) => ((r.getString(0), r.getInt(1)), i) }.toMap
+      spark.sparkContext.broadcast(FerretRegionIndex(
+        regs.map(r => org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))),
+        regs.map(_.getInt(1)),
+        regs.map(_.getSeq[Double](2).toArray),
+        bucketRows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
+          .map { case (k, rs) =>
+            k -> rs.map(r => idOf((r.getString(0), r.getInt(1)))).sorted
+          }))
     }
     val emdIndex = spark.sparkContext.broadcast(
       dbImages.collect().map { r =>
@@ -498,14 +639,31 @@ object RefFerret {
       // cell measures both engines at matched candidate-pool depth.
       val perRegions = sys.env.get("GRAFT_FERRET_OVERFETCH").contains("regions")
       val qNr = qS.select(col("img").as("query_img"), size(col("vset")).as("nr"))
-      // GRAFT_FERRET_RANKBY=dist: rank the over-fetch by ACTUAL region
-      // distance instead of collision count — the binary's t_vec
-      // semantics (LSH_query computes real distances on its collision
-      // candidates and each region's 2K list is distance-ordered
-      // before cass_result_merge_lists). Collision count is a far
-      // weaker over-fetch signal; this cell isolates exactly that.
-      val rankByDist = sys.env.get("GRAFT_FERRET_RANKBY").contains("dist")
-      val over = if (rankByDist) {
+      // Over-fetch ordering by ACTUAL region distance is the DEFAULT
+      // (RankBy="dist") — the binary's t_vec semantics (LSH_query
+      // computes real distances on its collision candidates and each
+      // region's 2K list is distance-ordered before
+      // cass_result_merge_lists); the r13 ground-truth cell measured
+      // it retrieving the exact-EMD top-10 ~2× better than collision
+      // count at the same depth. "dist" runs the fused
+      // [[FerretProbeRank]] kernel; "dist_plan" is the declarative
+      // r13 twin kept as its differential reference; "count" is the
+      // r12 collision-count merge.
+      val over = if (RankBy == "dist") {
+        // fused probe+rank inside the segmentation stage's map tasks;
+        // the per-query image union (cass_result_merge_lists) is a
+        // clustering-preserving groupBy — qS is partitioned by img,
+        // so the whole tail stays exchange-free
+        regionsOf(qS).toDF("query_img", "qridx", "qv")
+          .select(col("query_img"),
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(FerretProbeRank(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("qv")),
+              regionIndex, mu.toArray, sd.toArray, BucketSeed, LshTables,
+              LshBitsKnob, Dim, LshProbes, 2 * topK)).as("cands"))
+          .groupBy("query_img")
+          .agg(array_distinct(flatten(collect_list(col("cands")))).as("cands"))
+          .select(col("query_img"), explode(col("cands")).as("cand_img"))
+      } else if (RankBy == "dist_plan") {
         val qrv = regionsOf(qS).toDF("query_img", "qridx", "qv")
         val wReg = Window.partitionBy("query_img", "qridx")
           .orderBy(col("d2"), col("cand_img"), col("cridx"))

@@ -262,6 +262,18 @@ object Similarity {
   private[graft] val MpBits = 8
   private[graft] val MpProbes = 20 // the reference's T (LSH_query.c:59)
 
+  /** ferret_emd's promoted candidate-generation family over SRM
+    * region space (see ferretEmdJoined): few tables, occupancy-
+    * adaptive bucket bits, T=[[MpProbes]] boundary probes. */
+  private[graft] val FerretRegTables = 4
+  /** Target mean region-bucket occupancy — bits =
+    * ceil(log2(n/occupancy)) (floor 4), the ann_knn_graph rule: the
+    * bucket COUNT grows with the corpus, reproducing the max-bits
+    * conclusion of the REFBENCH matched-memory curve at every SF
+    * (1061 regions → 9 bits at sf0.01; 57k → 14 — the reference's
+    * H=19697 ≈ 14.3 bits). */
+  private[graft] val FerretRegOccupancy = 4L
+
   def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
     lshMultiprobeAt(s, dir, MpProbes)
 
@@ -1350,13 +1362,61 @@ object Similarity {
     // same depth, so the library path now carries the reference's
     // ordering. The region vectors ride the bucket explode (14
     // doubles), so no attach join is needed before the distance.
-    def regionBuckets(df: DataFrame, imgCol: String): DataFrame = df
-      .select(col("image_id"), col("region_idx"), col("v"),
-        posexplode(graft.functions.NativeVector.lshBuckets(
-          col("v"), BucketSeed, LshTables, LshBits, graft.functions.Srm.Dim)))
-      .toDF(imgCol, s"${imgCol.take(1)}ridx", s"${imgCol.take(1)}v", "tbl", "bucket")
-    val corpB = regionBuckets(regions, "cand_img")
-    val qB = regionBuckets(regions.filter(col("image_id") < NQueries), "query_img")
+    //
+    // Candidate generation is the PROMOTED family (r13 verdict #1,
+    // REFBENCH matched-memory curve): z-scored projections
+    // (extract.c's static dimension weights span 1000×, so raw sign
+    // planes waste bits on two dominant dims — the binary's tuned
+    // E2LSH -w width plays this role), occupancy-adaptive bucket
+    // resolution (bits grow with the region count, the
+    // ann_knn_graph rule — resolution is FREE index memory at one
+    // entry per region per table), [[FerretRegTables]] tables, and
+    // T=[[MpProbes]] query-side boundary probes (the reference's own
+    // default, LSH_query.c:59) instead of table multiplication.
+    // Moments are DECIMAL sums → bit-deterministic across
+    // invocations regardless of partial-aggregation order —
+    // ferret_emd and emd_check must derive the SAME candidate pool
+    // from separate invocations (EmdCertificateSpec pins it).
+    val srmDim = graft.functions.Srm.Dim
+    val nRegions = regions.count()
+    val regBits = math.max(4,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (nRegions - 1) / FerretRegOccupancy)))
+    val moments = regions
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(
+        sum(col("x").cast(DecimalType(38, 18))).as("s"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 18))).as("ss"))
+      .collect() // srmDim rows — the per-dim moment table, never data-sized
+    val regMu = new Array[Double](srmDim)
+    val regSd = new Array[Double](srmDim)
+    moments.foreach { r =>
+      val mu = r.getDecimal(1).doubleValue() / nRegions
+      val ex2 = r.getDecimal(2).doubleValue() / nRegions
+      regMu(r.getInt(0)) = mu
+      regSd(r.getInt(0)) = math.max(math.sqrt(math.max(0.0, ex2 - mu * mu)), 1e-12)
+    }
+    val muA = array(regMu.toIndexedSeq.map(lit): _*)
+    val sdA = array(regSd.toIndexedSeq.map(lit): _*)
+    def zOf(c: Column): Column = zip_with(c, sequence(lit(0), lit(srmDim - 1)),
+      (x, i) => (x - element_at(muA, i + 1)) / element_at(sdA, i + 1))
+    def regionBuckets(df: DataFrame, imgCol: String, qProbes: Int): DataFrame = {
+      val ids = if (qProbes > 0)
+        graft.functions.NativeVector.lshProbeBuckets(
+          zOf(col("v")), BucketSeed, FerretRegTables, regBits, srmDim, qProbes)
+      else graft.functions.NativeVector.lshBuckets(
+        zOf(col("v")), BucketSeed, FerretRegTables, regBits, srmDim)
+      df.select(col("image_id"), col("region_idx"), col("v"),
+          posexplode(ids))
+        .select(col("image_id"), col("region_idx"), col("v"),
+          (col("pos") / (qProbes + 1)).cast("int").as("tbl"), col("col").as("bucket"))
+        .toDF(imgCol, s"${imgCol.take(1)}ridx", s"${imgCol.take(1)}v", "tbl", "bucket")
+    }
+    // index side: ONE bucket per (region, table); query side fans out
+    // its T boundary probes
+    val corpB = regionBuckets(regions, "cand_img", 0)
+    val qB = regionBuckets(regions.filter(col("image_id") < NQueries),
+      "query_img", MpProbes)
     val wReg = Window.partitionBy("query_img", "qridx")
       .orderBy(col("d2"), col("cand_img"), col("cridx"))
     val over = corpB.join(broadcast(qB), Seq("tbl", "bucket"))

@@ -382,6 +382,40 @@ class SimilaritySpec extends SparkSpec {
     assert(bc.nonEmpty)
   }
 
+  test("ferret_pipeline: the promoted multiprobe default never recalls below its T=0 family") {
+    // the r14 promotion gate (REFBENCH r13/r14: T=20 recall 0.551 vs
+    // 0.453 at T=0 on the 10k-db truth): on the registered key's own
+    // 10% query batch, the shipped default must recall the exact
+    // top-K at least as well as the same index family with probing
+    // disabled — a regression that silently dropped the probe
+    // expansion (or broke its bucket enumeration) fails here
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.join(org.apache.spark.sql.functions.broadcast(q),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFns.cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.TopK)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / math.max(1, exact.size)
+    }
+    val shipped = recallOf(Similarity.ferretPipeline(spark, sfDir))
+    val t0 = recallOf(Similarity.lshSearch(e, q, broadcastQueries = true,
+      tables = Similarity.MpTables, bits = Similarity.MpBits, qProbes = 0))
+    info(f"ferret_pipeline default recall=$shipped%.3f vs T=0 family $t0%.3f")
+    assert(shipped >= t0,
+      s"promoted default recalls worse than its probe-free family: $shipped < $t0")
+  }
+
   test("ferret_emd: top-k per query image, ascending exact EMD") {
     val res = Similarity.ferretEmd(spark, sfDir).cache()
     assert(res.count() > 0)
