@@ -779,6 +779,87 @@ object Dedup {
     }.toDF("bands", "rows_per_band", "n_candidates", "n_dups", "precision")
   }
 
+  // ---- dedup_banding_pick: the banding auto-tuner (r13 verdict #6) -----
+  /** The ANN side's T knob has a banding analogue: given a target
+    * Jaccard threshold τ and a recall target, the analytic S-curve
+    * P(s) = 1 − (1 − s^r)^b is EXACT for (bands × rows) splits of the
+    * same permutation budget, so the (b, r) choice is derivable — no
+    * sweep required — and the measured sweep VALIDATES the curve
+    * (dedup_minhash_sweep's three cells ride along as ground truth).
+    * One row per (target, grid cell) over every split of the 128
+    * permutations: the analytic collision probability at τ and at a
+    * low-similarity junk proxy (s=0.3 — the verify-cost axis), the
+    * sweep's measured candidate/dup counts where that cell was
+    * measured, and `picked` marking the FEWEST-bands cell meeting the
+    * recall target (fewest bands ⇔ tightest curve ⇔ least junk
+    * surviving to the verify join, since P is monotone in b at fixed
+    * b·r). Driver-side arithmetic over a 24-cell grid — no data pass
+    * beyond the shared sweep aggregate; fully hash-oracled (DuckDB
+    * recomputes the curve with pow() and re-aggregates the measured
+    * cells from the dedup_minhash_bands dump). */
+  private[graft] val PickGrid = Seq((128, 1), (64, 2), (32, 4), (16, 8),
+    (8, 16), (4, 32), (2, 64), (1, 128))
+  private[graft] val PickTargets = Seq((0.7, 0.9), (0.8, 0.9), (0.9, 0.95))
+  private val PickLowSim = 0.3
+
+  /** Analytic banding collision probability, rounded to 9 decimals
+    * (both engines compute it independently via pow(); the rounding
+    * absorbs the libm-vs-Math.pow ulp). */
+  private[graft] def pCollide(sim: Double, b: Int, r: Int): Double =
+    java.math.BigDecimal.valueOf(
+        1.0 - math.pow(1.0 - math.pow(sim, r.toDouble), b.toDouble))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def dedupBandingPick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val measured = dedupMinhashSweep(s, dir).collect()
+      .map(row => (row.getInt(0), row.getInt(1)) -> (row.getLong(2), row.getLong(3)))
+      .toMap
+    val rows = PickTargets.flatMap { case (tau, target) =>
+      val okBands = PickGrid.collect {
+        case (b, r) if pCollide(tau, b, r) >= target => b }
+      val pickB = okBands.minOption
+      PickGrid.map { case (b, r) =>
+        (tau, target, b, r, pCollide(tau, b, r), pCollide(PickLowSim, b, r),
+          measured.get((b, r)).map(_._1), measured.get((b, r)).map(_._2),
+          pickB.contains(b))
+      }
+    }
+    rows.toDF("target_tau", "target_recall", "bands", "rows_per_band",
+      "p_collide_tau", "p_collide_low", "n_candidates", "n_dups", "picked")
+  }
+
+  val dedupBandingPickSql: String =
+    """WITH grid(bands, rows_per_band) AS (
+      |  VALUES (128,1),(64,2),(32,4),(16,8),(8,16),(4,32),(2,64),(1,128)),
+      |targets(target_tau, target_recall) AS (
+      |  VALUES (0.7, 0.9), (0.8, 0.9), (0.9, 0.95)),
+      |m AS (SELECT * FROM read_parquet('{VERIFY_OUT}/dedup_minhash_bands/*.parquet')),
+      |cells AS (
+      |  SELECT 16 AS bands, 8 AS rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups FROM m
+      |  UNION ALL SELECT 8, 16, CAST(SUM(CASE WHEN c8 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c8 AND jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) FROM m
+      |  UNION ALL SELECT 4, 32, CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c4 AND jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) FROM m),
+      |p AS (
+      |  SELECT CAST(t.target_tau AS DOUBLE) AS target_tau,
+      |    CAST(t.target_recall AS DOUBLE) AS target_recall,
+      |    g.bands, g.rows_per_band,
+      |    round(1 - pow(1 - pow(CAST(t.target_tau AS DOUBLE), g.rows_per_band), g.bands), 9) AS p_collide_tau,
+      |    round(1 - pow(1 - pow(0.3, g.rows_per_band), g.bands), 9) AS p_collide_low
+      |  FROM grid g CROSS JOIN targets t),
+      |pick AS (
+      |  SELECT target_tau, target_recall, MIN(bands) AS pb FROM p
+      |  WHERE p_collide_tau >= target_recall GROUP BY 1, 2)
+      |SELECT p.target_tau, p.target_recall, p.bands, p.rows_per_band,
+      |  p.p_collide_tau, p.p_collide_low, c.n_candidates, c.n_dups,
+      |  (pick.pb IS NOT NULL AND p.bands = pick.pb) AS picked
+      |FROM p
+      |LEFT JOIN cells c ON c.bands = p.bands AND c.rows_per_band = p.rows_per_band
+      |LEFT JOIN pick ON pick.target_tau = p.target_tau
+      |  AND pick.target_recall = p.target_recall""".stripMargin
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // sig and hset both come from the shared store: the banding join
     // scans only (doc_id, sig), the verify attach only (doc_id, hset)
@@ -1353,6 +1434,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_bands" -> (dedupMinhashBands _),
     "dedup_minhash_sweep" -> (dedupMinhashSweep _),
+    "dedup_banding_pick" -> (dedupBandingPick _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
@@ -1400,6 +1482,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_minhash_bands" -> dedupMinhashBandsSql,
     "dedup_minhash_sweep" -> dedupMinhashSweepSql,
+    "dedup_banding_pick" -> dedupBandingPickSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -334,6 +334,57 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_dups") > 0 || strong == 0))
   }
 
+  test("dedup_banding_pick: analytic curve exact, picks are the fewest-bands qualifying cells") {
+    val rows = Dedup.dedupBandingPick(spark, sfDir).collect()
+    assert(rows.length == Dedup.PickTargets.size * Dedup.PickGrid.size)
+    // the analytic columns ARE the formula (both engines recompute it;
+    // this pins the Spark side against a direct evaluation)
+    rows.foreach { r =>
+      val (tau, b, rb) = (r.getAs[Double]("target_tau"),
+        r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))
+      assert(b * rb == 128, s"grid cell not a 128-perm split: ($b, $rb)")
+      assert(r.getAs[Double]("p_collide_tau") == Dedup.pCollide(tau, b, rb))
+      assert(r.getAs[Double]("p_collide_low") == Dedup.pCollide(0.3, b, rb))
+    }
+    // P is monotone in bands at fixed b·r, so the qualifying set is a
+    // bands-suffix and each target picks its FEWEST-bands member —
+    // exactly one pick per target unless nothing qualifies
+    Dedup.PickTargets.foreach { case (tau, target) =>
+      val cells = rows.filter(r => r.getAs[Double]("target_tau") == tau &&
+        r.getAs[Double]("target_recall") == target)
+      val picked = cells.filter(_.getAs[Boolean]("picked"))
+      val qualifying = cells.filter(_.getAs[Double]("p_collide_tau") >= target)
+      if (qualifying.isEmpty) assert(picked.isEmpty)
+      else {
+        assert(picked.length == 1, s"($tau,$target): ${picked.length} picks")
+        assert(picked.head.getAs[Int]("bands") ==
+          qualifying.map(_.getAs[Int]("bands")).min)
+      }
+    }
+    // the production default's own target: τ=0.9 picks (16, 8)
+    val prod = rows.find(r => r.getAs[Double]("target_tau") == 0.9 &&
+      r.getAs[Boolean]("picked")).get
+    assert(prod.getAs[Int]("bands") == 16 && prod.getAs[Int]("rows_per_band") == 8)
+    // measured validation cells ride along and equal the sweep's
+    val sweep = Dedup.dedupMinhashSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val withMeasured = rows.filter(r => !r.isNullAt(r.fieldIndex("n_candidates")))
+    assert(withMeasured.map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))).toSet
+      == sweep.keySet)
+    withMeasured.foreach { r =>
+      val k = (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))
+      assert((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_dups")) == sweep(k))
+      // measured recall (vs the full-budget dup universe) validates
+      // the curve: every dup pair has jaccard ≥ 0.7, and P only rises
+      // with s, so the τ=0.7 analytic value is a per-pair floor —
+      // the floor claim only holds for the τ=0.7 target rows
+      val d16 = sweep((16, 8))._2
+      if (d16 > 0 && r.getAs[Double]("target_tau") == 0.7)
+        assert(r.getAs[Long]("n_dups").toDouble / d16 >=
+          r.getAs[Double]("p_collide_tau") - 1e-9)
+    }
+  }
+
   test("dedup_minhash_sweep: no base band bucket reaches the cap at test SF") {
     // the sweep derives longer-band cells from base-band collisions;
     // that derivation is exact as long as no base bucket is dropped by
