@@ -199,7 +199,24 @@ object StreamingOps {
     * PLANS.md r11. Self-measuring harness → rows-only by design. */
   def streamSoak(s: SparkSession, dir: String): DataFrame = {
     val secs = sys.env.get("GRAFT_SOAK_SECONDS").map(_.toInt).getOrElse(30)
-    s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
+    // GRAFT_SOAK_PIPELINE=ferret: the ferret stream's continuous
+    // posture (r13 verdict #7 stretch) — query ids arrive from the
+    // rate source, vectors attach from the resident corpus, every
+    // trigger runs the promoted multiprobe search. Stateless, so the
+    // soak gates on per-row service time + block-residue flatness
+    // (StreamingPipelines.ferretRateSoak). GRAFT_SOAK_RATE sets
+    // queries/s (default 100), GRAFT_SOAK_STATE_PARTS the
+    // cluster-shaped shuffle-partition count, as for the dedup soak.
+    if (sys.env.get("GRAFT_SOAK_PIPELINE").contains("ferret")) {
+      val e = Similarity.emb(s, dir).localCheckpoint(true)
+      val n = math.max(1L, e.count())
+      val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
+        queriesPerSec = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100),
+        attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),
+        search = q => Similarity.ferretSearch(e, q, broadcastQueries = true),
+        stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt)))
+    } else s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
   }
 
   // ---- stream_replay: Kafka-shaped offset-log source, fully oracled ----

@@ -792,6 +792,86 @@ object StreamingPipelines {
       sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt))
   }
 
+  /** One sampled trigger of the STATELESS-pipeline soak (the ferret
+    * stream): per-trigger service time normalized per input row plus
+    * the residue axes a stateless foreachBatch pipeline can leak on
+    * (persisted RDD blocks, storage memory) — state-store rows don't
+    * exist here, so flatness is claimed on normalized service time
+    * and block count instead. */
+  case class StatelessSoakRow(trigger_idx: Int, elapsed_sec: Double,
+      input_rows: Long, input_rows_per_sec: Double, batch_ms: Double,
+      ms_per_row: Double, persisted_blocks: Int, storage_mem_bytes: Long,
+      n_triggers: Long, mid_median_ms_per_row: Double,
+      late_median_ms_per_row: Double, mid_median_blocks: Long,
+      late_median_blocks: Long, flat_ok: Boolean)
+
+  /** Sustained-rate soak for a STATELESS foreachBatch pipeline — the
+    * ferret stream's continuous posture (the reference's 6-stage
+    * pipeline runs unbounded; bin/parsec_stream drives it at rate).
+    * Queries arrive from the distributed `rate` source at
+    * `queriesPerSec`; each trigger attaches vectors and runs
+    * `search` to a noop sink. With no watermark state, the leak axes
+    * are per-trigger RESIDUE: checkpoint blocks, broadcast pieces,
+    * growing service time. Flatness gate: the late-third median of
+    * ms-per-input-row within 30% of the mid-third's AND the
+    * late-third median block count no higher than the mid-third's
+    * plus 2 (blocks held by the static corpus are constant;
+    * per-trigger residue would grow linearly). `stateParts` starts
+    * the query under a cluster-shaped shuffle-partition count, same
+    * scoping as [[rateSoak]]. */
+  def ferretRateSoak(s: SparkSession, soakSecs: Int, queriesPerSec: Int,
+                     attach: DataFrame => DataFrame,
+                     search: DataFrame => DataFrame,
+                     stateParts: Option[Int] = None): Seq[StatelessSoakRow] = {
+    val src = s.readStream.format("rate")
+      .option("rowsPerSecond", queriesPerSec.toLong)
+      .option("numPartitions", 4)
+      .load()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+      src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          search(attach(b.toDF())).write.format("noop").mode("overwrite").save()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val samples = scala.collection.mutable.LinkedHashMap
+      .empty[Long, (Double, Long, Double, Double, Int, Long)]
+    val t0 = System.nanoTime()
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < soakSecs) {
+        Option(q.lastProgress).filter(_.numInputRows > 0).foreach { p =>
+          samples.getOrElseUpdate(p.batchId, (
+            (System.nanoTime() - t0) / 1e9,
+            p.numInputRows,
+            p.inputRowsPerSecond,
+            p.batchDuration.toDouble,
+            s.sparkContext.getPersistentRDDs.size,
+            s.sparkContext.getRDDStorageInfo.map(_.memSize).sum))
+        }
+        Thread.sleep(200)
+      }
+    } finally q.stop()
+    val rows = samples.toSeq.sortBy(_._1)
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply((xs.size - 1) / 2)
+    val n = rows.size
+    def msPerRow(r: (Double, Long, Double, Double, Int, Long)): Double =
+      r._4 / math.max(1L, r._2)
+    val midMs = med(rows.slice(n / 3, 2 * n / 3).map(t => msPerRow(t._2)))
+    val lateMs = med(rows.drop(2 * n / 3).map(t => msPerRow(t._2)))
+    val midBlocks = med(rows.slice(n / 3, 2 * n / 3).map(_._2._5.toDouble)).toLong
+    val lateBlocks = med(rows.drop(2 * n / 3).map(_._2._5.toDouble)).toLong
+    val flat = n >= 12 && midMs > 0 &&
+      math.abs(lateMs - midMs) / midMs <= 0.3 && lateBlocks <= midBlocks + 2
+    rows.zipWithIndex.map { case ((_, (el, inRows, rps, ms, blocks, mem)), i) =>
+      StatelessSoakRow(i, el, inRows, rps, ms, ms / math.max(1L, inRows),
+        blocks, mem, n.toLong, midMs, lateMs, midBlocks, lateBlocks, flat)
+    }
+  }
+
   private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
                           nKeys: Int, stateParts: Option[Int] = None): Seq[SoakRow] = {
     val src = s.readStream.format("rate")
