@@ -123,8 +123,13 @@ object StreamingOps {
         // OTHER streaming app (ferret-pthreads' 6-stage pipeline),
         // measured with the same per-stage UPL-metric shape
         StreamingPipelines.foreachBatchThroughputBench(s, qvFeed, "ferret",
-          (b, _) => Similarity.ferretSearch(emb, b, broadcastQueries = true)
-            .localCheckpoint(true)))
+          { (b, _) =>
+            // cache: the search reads the batch in three plan branches
+            val q = b.cache()
+            try Similarity.ferretSearch(emb, q, broadcastQueries = true)
+              .localCheckpoint(true) // eager — q fully consumed here
+            finally { q.unpersist(blocking = false): Unit }
+          }))
       s.createDataFrame(results)
     } finally {
       StreamingPipelines.deleteRecursively(new java.io.File(feed.path))

@@ -602,7 +602,12 @@ object StreamingPipelines {
                    onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        onBatch(search(batch.toDF()), id)
+        // cache the trigger batch — the two-phase search references it
+        // in three plan branches, and an uncached foreachBatch frame
+        // re-reads the source once per branch
+        val b = batch.toDF().cache()
+        try onBatch(search(b), id)
+        finally { b.unpersist(blocking = false): Unit }
       }
       .start()
 
@@ -832,7 +837,14 @@ object StreamingPipelines {
       stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
       src.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          search(attach(b.toDF())).write.format("noop").mode("overwrite").save()
+          // cache the trigger batch: the two-phase search references
+          // the query batch in THREE plan branches (bucket probe,
+          // sketch attach, exact-cosine attach), and an uncached
+          // foreachBatch frame re-reads the source once per branch —
+          // tripling both the work and the reported numInputRows
+          val batch = b.toDF().cache()
+          try search(attach(batch)).write.format("noop").mode("overwrite").save()
+          finally { batch.unpersist(blocking = false): Unit }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
         .start()
