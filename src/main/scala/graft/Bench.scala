@@ -16,18 +16,28 @@ import org.apache.spark.sql.SparkSession
   * excluded from `queries`/total and reported under `failed`.
   */
 object Bench {
-  /** A measured pass ran LOADED when external processes burned more
-    * than max(1, wall/2) CPU-seconds during it, or the hypervisor
-    * stole >5% of its wall (EnvTelemetrySpec pins the rule). */
-  private[graft] def loadedPass(t: Double, e: EnvTelemetry.PassEnv): Boolean =
-    (e.otherCpuSec >= 0 && e.otherCpuSec > math.max(1.0, 0.5 * t)) ||
-      (e.stealSec >= 0 && e.stealSec > 0.05 * t)
+  /** A measured pass ran LOADED when external work consumed more than
+    * a quarter of the MACHINE's capacity during it (other_cpu >
+    * 0.25 × cores × wall, floor 2 CPU-sec), or the hypervisor stole
+    * >5% of capacity. Thresholds are capacity-relative on purpose:
+    * absolute floors flagged sub-second passes on daemon noise, and
+    * kernel page-flush work triggered by the measured query's OWN
+    * writes lands in other_cpu (kworkers aren't attributed to the
+    * process) — a few CPU-seconds of that is normal for I/O-heavy
+    * keys, while a genuinely contended box (the r13 q_histogram
+    * case: a concurrent full-verify run) burns a large capacity
+    * share. EnvTelemetrySpec pins the rule at cores=32. */
+  private[graft] def loadedPass(t: Double, e: EnvTelemetry.PassEnv,
+      cores: Int = Runtime.getRuntime.availableProcessors): Boolean =
+    (e.otherCpuSec >= 0 && e.otherCpuSec > math.max(2.0, 0.25 * cores * t)) ||
+      (e.stealSec >= 0 && e.stealSec > math.max(0.5, 0.05 * cores * t))
 
   /** A query's median is load-SUSPECT when half its passes ran loaded,
     * or when the spread is wide (med >= 2x min) and any pass did. */
   private[graft] def suspect(pairs: Seq[(Double, EnvTelemetry.PassEnv)],
-                             med: Double): Boolean = {
-    val loaded = pairs.count { case (t, e) => loadedPass(t, e) }
+      med: Double,
+      cores: Int = Runtime.getRuntime.availableProcessors): Boolean = {
+    val loaded = pairs.count { case (t, e) => loadedPass(t, e, cores) }
     pairs.nonEmpty && (loaded * 2 >= pairs.size ||
       (loaded > 0 && med >= 2 * pairs.map(_._1).min))
   }
@@ -154,9 +164,8 @@ object Bench {
     // ---- load_suspect adjudication (r13 verdict #5): two of r13's
     // top-5 "hotspots" were sweep-slot load artifacts that cost a
     // judge/builder adjudication cycle each. A pass counts as LOADED
-    // when external processes burned more than max(1, wall/2)
-    // CPU-seconds during it, or the hypervisor stole >5% of its wall;
-    // a query's median is suspect when half its passes ran loaded, or
+    // per the capacity-relative rule on the object (loadedPass); a
+    // query's median is suspect when half its passes ran loaded, or
     // when the spread is wide (med >= 2x min) and any pass ran loaded.
     // Suspect keys re-run ONCE, isolated, right here (the sweep's
     // concurrent-load window has usually passed) — the headline median

@@ -30,26 +30,35 @@ class EnvTelemetrySpec extends AnyFunSuite {
     import EnvTelemetry.PassEnv
     def env(other: Double, steal: Double = 0.0) = PassEnv(1.0, 10.0, other, steal)
     val clean = env(0.0)
+    val C = 32 // the rule is capacity-relative; pin it at the bench's cores
     // single clean pass, tight spread: never suspect
-    assert(!Bench.suspect(Seq((2.0, clean), (2.1, clean), (2.0, clean)), 2.0))
-    // external load above max(1, wall/2) CPU-sec marks a pass loaded
-    assert(Bench.loadedPass(4.0, env(other = 3.0)))
-    assert(!Bench.loadedPass(4.0, env(other = 0.5)))
-    // hypervisor steal >5% of wall marks a pass loaded
-    assert(Bench.loadedPass(10.0, env(other = 0.0, steal = 1.0)))
+    assert(!Bench.suspect(Seq((2.0, clean), (2.1, clean), (2.0, clean)), 2.0, C))
+    // external work above a quarter of machine capacity marks a pass
+    // loaded (0.25 x 32 cores x 1 s = 8 CPU-sec)
+    assert(Bench.loadedPass(1.0, env(other = 10.0), C))
+    // ...while kworker flush-scale residue from the query's own I/O
+    // (a few CPU-sec) must NOT flag — the r14 false-positive class
+    assert(!Bench.loadedPass(1.0, env(other = 6.0), C))
+    // sub-second passes get a 2 CPU-sec floor against daemon noise
+    assert(!Bench.loadedPass(0.2, env(other = 1.8), C))
+    assert(Bench.loadedPass(0.2, env(other = 2.5), C))
+    // hypervisor steal above 5% of capacity marks a pass loaded
+    assert(Bench.loadedPass(0.35, env(other = 0.0, steal = 1.89), C))
+    assert(!Bench.loadedPass(10.0, env(other = 0.0, steal = 1.0), C))
     // majority-loaded passes flag the median
     assert(Bench.suspect(
-      Seq((5.0, env(9.0)), (6.0, env(9.0)), (2.0, clean)), 5.0))
+      Seq((5.0, env(60.0)), (6.0, env(60.0)), (2.0, clean)), 5.0, C))
     // wide spread (med >= 2x min) with ANY loaded pass flags too —
-    // the r13 q_histogram shape (2.8-16.4 s at <25% CPU)
+    // the r13 q_histogram shape (2.8-16.4 s at <25% CPU while a
+    // concurrent verify run saturated the box)
     assert(Bench.suspect(
-      Seq((2.8, clean), (9.1, env(20.0)), (16.4, clean)), 9.1))
+      Seq((2.8, clean), (9.1, env(80.0)), (16.4, clean)), 9.1, C))
     // wide spread with NO loaded pass stays unflagged (that's code,
     // not environment — exactly what the flag must not hide)
     assert(!Bench.suspect(
-      Seq((2.8, clean), (9.1, clean), (16.4, clean)), 9.1))
+      Seq((2.8, clean), (9.1, clean), (16.4, clean)), 9.1, C))
     // missing counters (-1 sentinels) never flag
-    assert(!Bench.loadedPass(4.0, PassEnv(1.0, -1.0, -1.0, -1.0)))
+    assert(!Bench.loadedPass(4.0, PassEnv(1.0, -1.0, -1.0, -1.0), C))
   }
 
   test("jiffy counters are monotone across a measurement") {
