@@ -239,6 +239,14 @@ object Similarity {
       .withColumn("sketch_hi", col("sk").getItem(1))
       .drop("sk")
 
+  /** Deliberately KEPT on the base-bucket 16×4 family after the r14
+    * promotion (r13 verdict #1 "consider ann_lsh's default"): every
+    * production ferret key (ferret_pipeline, ferret_emd,
+    * stream_ferret, ann_range_lsh) now serves the multiprobe family,
+    * and ann_lsh is the registered CONTRAST the multiprobe specs
+    * measure against — "T=[[MpProbes]] at a quarter of the index
+    * entries meets ann_lsh's recall" is only a checkable claim while
+    * the 16-table baseline stays a first-class, oracled key. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     lshSearch(e, queriesDf(e))
