@@ -536,8 +536,13 @@ object RefFerret {
     // sc.broadcast each, built untimed, consumed by the
     // FerretIndexProbe / FerretDbEmd expressions every pass — no
     // per-pass broadcast-build job waves
-    val bucketRows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket); index-sized
-    val probeIndex = {
+    // each mode builds ONLY the resident index it consumes (review
+    // r14: both were built unconditionally — a duplicated postings
+    // groupBy plus a dead multi-MB broadcast per run). lazy: the
+    // RankBy branch in pass() forces exactly one of them; the DEBUG/
+    // STAGETIME diagnostics force probeIndex on demand.
+    lazy val bucketRows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket)
+    lazy val probeIndex = {
       spark.sparkContext.broadcast(
         bucketRows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
           .map { case (k, rs) =>
@@ -551,7 +556,7 @@ object RefFerret {
     // the fused-kernel index: region vectors stored once in global
     // (img, ridx) id order, postings pointing at ids — see
     // [[FerretRegionIndex]]
-    val regionIndex = {
+    lazy val regionIndex = {
       val regs = dbRegionVecs.collect().sortBy(r => (r.getString(0), r.getInt(1)))
       val idOf = regs.iterator.zipWithIndex
         .map { case (r, i) => ((r.getString(0), r.getInt(1)), i) }.toMap
@@ -564,6 +569,9 @@ object RefFerret {
             k -> rs.map(r => idOf((r.getString(0), r.getInt(1)))).sorted
           }))
     }
+    // force the mode's own index UNTIMED (inside the db-build window,
+    // like the binary's resident tables)
+    if (RankBy == "dist") { regionIndex; () } else { probeIndex; () }
     val emdIndex = spark.sparkContext.broadcast(
       dbImages.collect().map { r =>
         val cset = new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -618,7 +626,11 @@ object RefFerret {
       // query.topk = 2*top_K (ferret-pthreads.c:590). The probe is a
       // Generate over the resident-index expression: no join operator,
       // no per-pass broadcast build.
-      val joined = qBuckets
+      // lazy: only the count/dist_plan modes (and the DEBUG
+      // diagnostics) consume the probe-index expression — the dist
+      // default must not force the probeIndex broadcast inside a
+      // timed pass
+      lazy val joined = qBuckets
         .select(col("query_img"), col("qridx"), explode(
           org.apache.spark.sql.graftbridge.ColumnBridge.column(FerretIndexProbe(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("tbl")),
@@ -626,7 +638,7 @@ object RefFerret {
             probeIndex))).as("p"))
         .select(col("query_img"), col("qridx"),
           col("p.cand_img").as("cand_img"), col("p.cridx").as("cridx"))
-      val cand = joined
+      lazy val cand = joined
         .groupBy("query_img", "cand_img").agg(count(lit(1)).as("hits"))
       if (sys.env.contains("GRAFT_FERRET_DEBUG")) {
         System.err.println(s"[refferret]   DEBUG joined=${joined.count()} pairs=${cand.count()}")

@@ -282,6 +282,18 @@ object Similarity {
     * H=19697 ≈ 14.3 bits). */
   private[graft] val FerretRegOccupancy = 4L
 
+  /** Occupancy-adaptive region-bucket resolution. Floor 5, NOT 4:
+    * the query side always probes T=[[MpProbes]]=20 boundary buckets
+    * and LshProbeKernel requires nProbes < 2^bits distinct
+    * perturbations — at a 4-bit floor a tiny corpus (≤ 61 regions)
+    * would crash the whole ferret_emd/emd_check query instead of
+    * degrading gracefully (review r14). SimilaritySpec pins
+    * MpProbes < 2^floor. */
+  private[graft] def regBitsFor(nRegions: Long): Int =
+    math.max(5,
+      64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, (nRegions - 1) / FerretRegOccupancy)))
+
   def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
     lshMultiprobeAt(s, dir, MpProbes)
 
@@ -1387,9 +1399,7 @@ object Similarity {
     // from separate invocations (EmdCertificateSpec pins it).
     val srmDim = graft.functions.Srm.Dim
     val nRegions = regions.count()
-    val regBits = math.max(4,
-      64 - java.lang.Long.numberOfLeadingZeros(
-        math.max(1L, (nRegions - 1) / FerretRegOccupancy)))
+    val regBits = regBitsFor(nRegions)
     val moments = regions
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(

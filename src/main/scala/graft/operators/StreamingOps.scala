@@ -122,14 +122,28 @@ object StreamingOps {
         // two-phase search against the static corpus — the reference's
         // OTHER streaming app (ferret-pthreads' 6-stage pipeline),
         // measured with the same per-stage UPL-metric shape
-        StreamingPipelines.foreachBatchThroughputBench(s, qvFeed, "ferret",
-          { (b, _) =>
-            // cache: the search reads the batch in three plan branches
-            val q = b.cache()
-            try Similarity.ferretSearch(emb, q, broadcastQueries = true)
-              .localCheckpoint(true) // eager — q fully consumed here
-            finally { q.unpersist(blocking = false): Unit }
-          }))
+        {
+          // per-trigger residue discipline (the fiveStagePrevCkpt
+          // pattern): the eager checkpoint below outlives its trigger
+          // in the BlockManager, so each trigger frees the PREVIOUS
+          // one — the measured window never accumulates blocks
+          var prevCkpt: Seq[Int] = Nil
+          StreamingPipelines.foreachBatchThroughputBench(s, qvFeed, "ferret",
+            { (b, _) =>
+              prevCkpt.foreach(id => s.sparkContext.getPersistentRDDs
+                .get(id).foreach(_.unpersist(blocking = false)))
+              // cache: the search reads the batch in three plan branches
+              val q = b.cache()
+              val out =
+                try Similarity.ferretSearch(emb, q, broadcastQueries = true)
+                  .localCheckpoint(true) // eager — q fully consumed here
+                finally { q.unpersist(blocking = false): Unit }
+              prevCkpt = out.queryExecution.logical.collect {
+                case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+              }
+              out
+            })
+        })
       s.createDataFrame(results)
     } finally {
       StreamingPipelines.deleteRecursively(new java.io.File(feed.path))

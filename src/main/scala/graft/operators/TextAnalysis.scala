@@ -1091,15 +1091,28 @@ object TextAnalysis {
         explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    // every lang join in this pipeline is null-SAFE (<=>), not just
+    // the totals attach: predLang never emits null today, but the
+    // null-group invariant this function claims (a null-lang row
+    // survives to its own tercile group, matching runningSumKeyed's
+    // contract) only holds if NO upstream join drops it first —
+    // review r14 caught the totals-only version as ineffective.
+    // EqualNullSafe keys stay hash-joinable, so the plan shape is
+    // unchanged.
     val counts = tf.groupBy("lang", "term").agg(sum("tf").as("c"))
     val tot = counts.groupBy("lang")
       .agg(sum("c").as("n_total"), count(lit(1)).as("v_vocab"))
-    val perDoc = tf.join(counts, Seq("lang", "term"))
+    val perDoc = tf.join(
+        counts.withColumnRenamed("lang", "__clang")
+          .withColumnRenamed("term", "__cterm"),
+        col("lang") <=> col("__clang") && col("term") <=> col("__cterm"))
       .groupBy("doc_id", "lang").agg(
         sum("tf").as("n_tokens"),
         sum(col("tf").cast("double") *
           log(col("c").cast("double") + lit(1.0))).as("sumlog"))
-    val scored = perDoc.join(broadcast(tot), "lang")
+    val scored = perDoc.join(
+        broadcast(tot.withColumnRenamed("lang", "__tlang")),
+        col("lang") <=> col("__tlang"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         ((log(col("n_total").cast("double") + col("v_vocab").cast("double")) -
           col("sumlog") / col("n_tokens").cast("double")) / log(lit(2.0)))

@@ -416,6 +416,19 @@ class SimilaritySpec extends SparkSpec {
       s"promoted default recalls worse than its probe-free family: $shipped < $t0")
   }
 
+  test("regBitsFor: floor keeps T=MpProbes legal on any corpus size, grows with regions") {
+    // the probe kernel requires nProbes < 2^bits — a floor below
+    // log2(MpProbes)+1 would crash ferret_emd on tiny corpora
+    Seq(1L, 10L, 61L, 1061L, 57000L, 5700000L).foreach { n =>
+      val b = Similarity.regBitsFor(n)
+      assert(Similarity.MpProbes < (1 << b),
+        s"n=$n -> bits=$b cannot host T=${Similarity.MpProbes} probes")
+    }
+    assert(Similarity.regBitsFor(1061) == 9)   // sf0.01's region count
+    assert(Similarity.regBitsFor(57000) == 14) // the REFBENCH corpus: max-bits
+    assert(Similarity.regBitsFor(10) == 5)     // the floor
+  }
+
   test("ferret_emd: top-k per query image, ascending exact EMD") {
     val res = Similarity.ferretEmd(spark, sfDir).cache()
     assert(res.count() > 0)
