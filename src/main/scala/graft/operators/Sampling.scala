@@ -91,8 +91,13 @@ object Sampling {
   // ---- sample_stratified: fixed per-stratum quota ----------------------
   /** Exactly K documents per source, chosen by hash order (uniform
     * within the stratum, deterministic, stable under corpus growth for
-    * surviving docs). The window is PARTITIONED by the stratum key —
-    * strata spread across the cluster; no global window exists. */
+    * surviving docs). The per-source window is SAFE here despite
+    * few-huge sources: the rank filter (rk <= K, K=25 under the
+    * spark.sql.window.group.limit.threshold) plans a WindowGroupLimit
+    * partial pass that cuts every upstream partition to its own top-K
+    * BEFORE the final per-source sort, so the single-task window sees
+    * ≤ K × #partitions rows — unlike an unbounded per-source cumsum
+    * (mix_budget/mix_epochs ride runningSumKeyed for that). */
   private[operators] val StratumK = 25
 
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
@@ -552,19 +557,27 @@ object Sampling {
     * of each source's budget was used. The quality expression is the
     * curation pipeline's composite score, already proven bit-exact
     * cross-engine (dedup_canonical / text_pipeline oracles), so the
-    * double ORDER BY is stable. Per-SOURCE window — strata spread
-    * across the cluster like sample_stratified; no global window. */
+    * double ORDER BY is stable. The per-source running total rides
+    * [[PrefixSum.runningSumKeyed]] — sources are few and huge, the
+    * keyed-prefix machinery's exact use case. */
   private[operators] val MixBudget = 8192L
 
   def mixBudget(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir).select(col("source"), col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .withColumn("kept", col("cum_tokens") <= MixBudget)
+    // per-source running total WITHOUT a per-source window (r14):
+    // sources are few and huge, so Window.partitionBy(source) plans
+    // ONE sorted task per source at corpus scale — the ccnet language
+    // trap. PrefixSum.runningSumKeyed instead (range-partition on
+    // (source, quality DESC, doc_id), bounded driver partials,
+    // broadcast offsets); the cumsum is integer so values are
+    // bit-identical to the window form.
+    val scored = docs(s, dir).select(col("source"), col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val (cum, _) = PrefixSum.runningSumKeyed(scored, Seq("source"),
+      Seq(col("quality_score").desc, col("doc_id")), "n_tokens", "cum_tokens")
+    cum.withColumn("kept", col("cum_tokens") <= MixBudget)
+      .select("source", "doc_id", "quality_score", "n_tokens",
+        "cum_tokens", "kept")
   }
 
   val mixBudgetSql: String =
@@ -754,9 +767,11 @@ object Sampling {
     * Scale: one partial→final token agg over the corpus, the
     * source-cardinality allocation table broadcast (the
     * mix_temperature shape — the largest-remainder rank is a
-    * broadcast theta-join, never an unpartitioned window), then one
-    * per-SOURCE window for the prefix cumsum (strata spread like
-    * sample_stratified/mix_budget). Integer arithmetic end-to-end —
+    * broadcast theta-join, never an unpartitioned window), then the
+    * per-source prefix cumsum through
+    * [[PrefixSum.runningSumKeyed]] (few-huge sources — the keyed
+    * prefix machinery, not a one-task-per-source window). Integer
+    * arithmetic end-to-end —
     * exact-sqrt weights, floor division, no float rounding — so the
     * operator is FULLY oracled. */
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
@@ -782,11 +797,19 @@ object Sampling {
       .select(col("source"), col("src_tokens"), col("alloc"),
         expr("alloc div src_tokens").as("full_epochs"),
         expr("alloc % src_tokens").as("rem_tokens"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("epoch_key"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.withColumn("epoch_key", hashKey(col("doc_id"), "epoch"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    // per-source prefix cumsum WITHOUT a per-source window: sources
+    // are few and huge (the ccnet language trap — one sorted task per
+    // source at corpus scale), so the rank rides
+    // PrefixSum.runningSumKeyed instead: range-partition on (source,
+    // epoch_key, doc_id), ≤ #partitions + #sources − 1 partial rows
+    // to the driver, broadcast offsets, partitioned-window cumsum —
+    // per-source global order at per-partition wall-clock (r14; same
+    // values bit-exact, the sums are integer)
+    val (cum, _) = PrefixSum.runningSumKeyed(
+      base.withColumn("epoch_key", hashKey(col("doc_id"), "epoch")),
+      Seq("source"), Seq(col("epoch_key"), col("doc_id")),
+      "n_tokens", "cum_tokens")
+    cum
       .join(broadcast(alloc), "source")
       .select(col("source"), col("doc_id"), col("n_tokens"), col("epoch_key"),
         col("cum_tokens"), col("src_tokens"), col("alloc"), col("full_epochs"),
