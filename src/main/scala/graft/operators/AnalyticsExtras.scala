@@ -165,7 +165,12 @@ object AnalyticsExtras {
   /** Balance deciles within each nation. Partitioned by nation so the
     * sort is per-partition — no global single-partition window; the
     * (c_acctbal, c_custkey) order is total, so tiles are
-    * deterministic. */
+    * deterministic. Nation cardinality is FIXED (25), so per-group
+    * size grows with the corpus: this key deliberately demonstrates
+    * the native ntile surface; when a few-huge-groups rank must scale
+    * past one task per group, derive the tile from
+    * [[PrefixSum.runningSumKeyed]]'s (rank, total) instead (the
+    * mix_budget/text_ccnet form). */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -337,7 +342,10 @@ object AnalyticsExtras {
   /** percent_rank + cume_dist per nation over a TOTAL order (balance,
     * then custkey) — with no rank peers both definitions are exact
     * rational arithmetic ((rank-1)/(n-1), rank/n) and bit-identical
-    * cross-engine. Partitioned window, no global sort. */
+    * cross-engine. Partitioned window, no global sort; as with
+    * [[qNtile]], the few-huge-groups scale form is
+    * [[PrefixSum.runningSumKeyed]]'s (rank, total) — this key
+    * demonstrates the native surface. */
   def qPercentRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal"), col("c_custkey"))
