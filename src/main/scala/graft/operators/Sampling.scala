@@ -777,7 +777,16 @@ object Sampling {
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("source"), col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val per = base.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    // ONE corpus pass: the keyed prefix cumsum's per-source totals ARE
+    // src_tokens (runningSumKeyed computes them for the offsets
+    // anyway), so the allocation table derives from the returned
+    // totals frame instead of a second full groupBy over base
+    // (review r14 #2)
+    val (cum, totals) = PrefixSum.runningSumKeyed(
+      base.withColumn("epoch_key", hashKey(col("doc_id"), "epoch")),
+      Seq("source"), Seq(col("epoch_key"), col("doc_id")),
+      "n_tokens", "cum_tokens")
+    val per = totals.withColumnRenamed("__total", "src_tokens")
       .withColumn("weight", isqrt(col("src_tokens")))
     val tot = per.agg(sum("weight").as("w_total"), sum("src_tokens").as("budget"))
     val based = per.crossJoin(broadcast(tot))
@@ -797,20 +806,13 @@ object Sampling {
       .select(col("source"), col("src_tokens"), col("alloc"),
         expr("alloc div src_tokens").as("full_epochs"),
         expr("alloc % src_tokens").as("rem_tokens"))
-    // per-source prefix cumsum WITHOUT a per-source window: sources
-    // are few and huge (the ccnet language trap — one sorted task per
-    // source at corpus scale), so the rank rides
-    // PrefixSum.runningSumKeyed instead: range-partition on (source,
-    // epoch_key, doc_id), ≤ #partitions + #sources − 1 partial rows
-    // to the driver, broadcast offsets, partitioned-window cumsum —
-    // per-source global order at per-partition wall-clock (r14; same
-    // values bit-exact, the sums are integer)
-    val (cum, _) = PrefixSum.runningSumKeyed(
-      base.withColumn("epoch_key", hashKey(col("doc_id"), "epoch")),
-      Seq("source"), Seq(col("epoch_key"), col("doc_id")),
-      "n_tokens", "cum_tokens")
+    // null-SAFE alloc attach: runningSumKeyed treats a null source as
+    // a real group (its documented contract) — plain equality here
+    // would hand a null-source row a cum_tokens and then silently
+    // drop it (review r14 #2)
     cum
-      .join(broadcast(alloc), "source")
+      .join(broadcast(alloc.withColumnRenamed("source", "__asrc")),
+        col("source") <=> col("__asrc"))
       .select(col("source"), col("doc_id"), col("n_tokens"), col("epoch_key"),
         col("cum_tokens"), col("src_tokens"), col("alloc"), col("full_epochs"),
         (col("cum_tokens") <= col("rem_tokens")).as("extra"),
