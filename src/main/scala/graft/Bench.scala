@@ -32,14 +32,28 @@ object Bench {
     (e.otherCpuSec >= 0 && e.otherCpuSec > math.max(2.0, 0.25 * cores * t)) ||
       (e.stealSec >= 0 && e.stealSec > math.max(0.5, 0.05 * cores * t))
 
-  /** A query's median is load-SUSPECT when half its passes ran loaded,
-    * or when the spread is wide (med >= 2x min) and any pass did. */
+  /** A query's median is load-SUSPECT — and earns one isolated
+    * adjudication re-run — when half its passes ran loaded, when any
+    * pass lost >5% of capacity to hypervisor steal, or when the
+    * spread is wide (med >= 1.5x min and not sub-second jitter). The
+    * wide-spread arm deliberately does NOT require a loaded pass
+    * (r14 verdict #1: graph_triangles rode a 2.1x med/min spread
+    * through at n_load_suspect=0 — contention below the other_cpu
+    * threshold still distorts medians). Flagging is cheap: the
+    * isolated re-run adjudicates code-vs-environment either way and
+    * the headline median stays the sweep number. */
   private[graft] def suspect(pairs: Seq[(Double, EnvTelemetry.PassEnv)],
       med: Double,
       cores: Int = Runtime.getRuntime.availableProcessors): Boolean = {
+    if (pairs.isEmpty) return false
     val loaded = pairs.count { case (t, e) => loadedPass(t, e, cores) }
-    pairs.nonEmpty && (loaded * 2 >= pairs.size ||
-      (loaded > 0 && med >= 2 * pairs.map(_._1).min))
+    val minT = pairs.map(_._1).min
+    // 0.3 s absolute floor: a 1.5x ratio on a 0.2 s query is JVM
+    // jitter, not contention worth a re-run
+    val wideSpread = med >= 1.5 * minT && med - minT >= 0.3
+    val stolen = pairs.exists { case (t, e) =>
+      e.stealSec >= 0 && e.stealSec > math.max(0.2, 0.05 * cores * t) }
+    loaded * 2 >= pairs.size || wideSpread || stolen
   }
 
   def main(args: Array[String]): Unit = {
@@ -161,12 +175,12 @@ object Bench {
       (name, median, errs.headOption.filter(_ => oks.isEmpty), okPairs)
     }
 
-    // ---- load_suspect adjudication (r13 verdict #5): two of r13's
-    // top-5 "hotspots" were sweep-slot load artifacts that cost a
+    // ---- load_suspect adjudication (r13 verdict #5, gate widened
+    // r15 per r14 verdict #1): sweep-slot load artifacts cost a
     // judge/builder adjudication cycle each. A pass counts as LOADED
     // per the capacity-relative rule on the object (loadedPass); a
-    // query's median is suspect when half its passes ran loaded, or
-    // when the spread is wide (med >= 2x min) and any pass ran loaded.
+    // query's median is suspect per `suspect` (majority loaded, any
+    // >5%-steal pass, or a wide med/min spread on its own).
     // Suspect keys re-run ONCE, isolated, right here (the sweep's
     // concurrent-load window has usually passed) — the headline median
     // stays the sweep number for round-over-round comparability; the
@@ -227,9 +241,22 @@ object Bench {
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.writeString(fullPath, fullJson + "\n")
 
-    val slowest = ok.sortBy(-_._2).take(10)
+    val slowTen = ok.sortBy(-_._2).take(10)
+    val slowest = slowTen
       .map { case (k, v) => jstr(k) + ":" + (math.round(v * 100) / 100.0) }
       .mkString("{", ",", "}")
+    // self-adjudication data for the same keys (r14 verdict #8): the
+    // parsed summary alone should say whether a slow median had a
+    // tight pass spread (code) or a wide/stolen one (environment),
+    // without digging into full_json. [min, med, steal_max] each.
+    val passStats = results.collect {
+      case (n, Some(t), _, pairs) if pairs.nonEmpty => n -> pairs }.toMap
+    val spreadTen = slowTen.flatMap { case (k, med) =>
+      passStats.get(k).map { pairs =>
+        jstr(k) + s":[${r2(pairs.map(_._1).min)},${r2(med)}," +
+          s"${r2(pairs.map(_._2.stealSec).max)}]"
+      }
+    }.mkString("{", ",", "}")
     // failed entries rarely exist; cap at 3 with messages clipped so a
     // mass failure can't blow the line past the capture window either
     val fsShort = failed.take(3)
@@ -238,7 +265,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jstr(sfDir)},""" +
       s""""n_queries":${ok.size},"n_failed":${failed.size},"failed":$fsShort,""" +
       s""""n_load_suspect":${suspectKeys.size},""" +
-      s""""queries":$slowest,"queries_note":"slowest 10 of ${ok.size}; full per-query medians + pass spread + load_suspect/isolated re-runs in full_json","full_json":${jstr(fullPath.toString)},"passes":$passes}""")
+      s""""queries":$slowest,"spread":$spreadTen,""" +
+      s""""spread_note":"[min,med,steal_max] per slowest-10 key",""" +
+      s""""queries_note":"slowest 10 of ${ok.size}; full per-query medians + pass spread + load_suspect/isolated re-runs in full_json","full_json":${jstr(fullPath.toString)},"passes":$passes}""")
     spark.stop()
   }
 }

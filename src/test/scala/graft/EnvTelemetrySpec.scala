@@ -48,15 +48,27 @@ class EnvTelemetrySpec extends AnyFunSuite {
     // majority-loaded passes flag the median
     assert(Bench.suspect(
       Seq((5.0, env(60.0)), (6.0, env(60.0)), (2.0, clean)), 5.0, C))
-    // wide spread (med >= 2x min) with ANY loaded pass flags too —
-    // the r13 q_histogram shape (2.8-16.4 s at <25% CPU while a
-    // concurrent verify run saturated the box)
+    // wide spread (med >= 1.5x min) flags too — the r13 q_histogram
+    // shape (2.8-16.4 s at <25% CPU while a concurrent verify run
+    // saturated the box)
     assert(Bench.suspect(
       Seq((2.8, clean), (9.1, env(80.0)), (16.4, clean)), 9.1, C))
-    // wide spread with NO loaded pass stays unflagged (that's code,
-    // not environment — exactly what the flag must not hide)
+    // ...and since r15 it flags even with NO loaded pass (r14 verdict
+    // #1: graph_triangles rode a 2.1x spread through under-threshold
+    // contention at n_load_suspect=0) — the isolated re-run
+    // adjudicates code-vs-environment either way
+    assert(Bench.suspect(
+      Seq((6.6, clean), (14.2, clean), (16.4, clean)), 14.2, C))
+    // tight spread (med < 1.5x min) with clean passes stays unflagged
+    assert(!Bench.suspect(Seq((5.0, clean), (6.5, clean), (7.0, clean)), 6.5, C))
+    // sub-second jitter never flags even at a big ratio (0.3 s floor)
+    assert(!Bench.suspect(Seq((0.1, clean), (0.25, clean), (0.3, clean)), 0.25, C))
+    // a single pass losing >5% of capacity to steal flags on its own,
+    // regardless of majority or spread
+    assert(Bench.suspect(
+      Seq((2.0, clean), (2.0, env(0.0, steal = 4.0)), (2.1, clean)), 2.0, C))
     assert(!Bench.suspect(
-      Seq((2.8, clean), (9.1, clean), (16.4, clean)), 9.1, C))
+      Seq((2.0, clean), (2.0, env(0.0, steal = 2.0)), (2.1, clean)), 2.0, C))
     // missing counters (-1 sentinels) never flag
     assert(!Bench.loadedPass(4.0, PassEnv(1.0, -1.0, -1.0, -1.0), C))
   }
