@@ -122,7 +122,12 @@ case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expr
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val idx = index.value
-    val n = math.min(dim, v.numElements())
+    // the declarative dist_plan twin null-propagates (drops) short
+    // descriptors; silently zero-padding here would let the two
+    // "bit-identical" paths diverge — fail fast instead
+    require(v.numElements() == dim,
+      s"graft_ferret_probe_rank: descriptor length ${v.numElements()} != dim $dim")
+    val n = dim
     val raw = new Array[Double](dim)
     val z = new Array[Double](dim)
     var i = 0
@@ -542,11 +547,19 @@ object RefFerret {
     // RankBy branch in pass() forces exactly one of them; the DEBUG/
     // STAGETIME diagnostics force probeIndex on demand.
     lazy val bucketRows = dbBuckets.collect() // (cand_img, cridx, tbl, bucket)
+    // id / posting order must match the declarative twin's d2
+    // tie-break, which compares names as Spark UTF8String (UTF-8
+    // bytes) — Java String sort is UTF-16 order and diverges on
+    // supplementary characters (ADVICE r14), so sort in byte order
+    implicit val utf8NameOrd: Ordering[(String, Int)] =
+      Ordering.by { case (name, ridx) =>
+        (org.apache.spark.unsafe.types.UTF8String.fromString(name), ridx)
+      }
     lazy val probeIndex = {
       spark.sparkContext.broadcast(
         bucketRows.groupBy(r => (r.getInt(2).toLong << 32) | r.getLong(3))
           .map { case (k, rs) =>
-            k -> rs.sortBy(r => (r.getString(0), r.getInt(1))).map { r =>
+            k -> rs.sortBy(r => (r.getString(0), r.getInt(1)))(utf8NameOrd).map { r =>
               org.apache.spark.sql.catalyst.InternalRow(
                 org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
                 r.getInt(1)): org.apache.spark.sql.catalyst.InternalRow
@@ -557,7 +570,8 @@ object RefFerret {
     // (img, ridx) id order, postings pointing at ids — see
     // [[FerretRegionIndex]]
     lazy val regionIndex = {
-      val regs = dbRegionVecs.collect().sortBy(r => (r.getString(0), r.getInt(1)))
+      val regs = dbRegionVecs.collect()
+        .sortBy(r => (r.getString(0), r.getInt(1)))(utf8NameOrd)
       val idOf = regs.iterator.zipWithIndex
         .map { case (r, i) => ((r.getString(0), r.getInt(1)), i) }.toMap
       spark.sparkContext.broadcast(FerretRegionIndex(

@@ -334,6 +334,36 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_dups") > 0 || strong == 0))
   }
 
+  test("dedup_banding_pick: no grid cell sits on a 9-dp rounding knife edge (ADVICE r14)") {
+    // pCollide rounds Math.pow output HALF_UP to 9 dp while DuckDB
+    // rounds libm pow; if a pre-rounding value sat within an ulp of a
+    // 5e-10 boundary the two engines could round differently and flip
+    // p_collide_* (or a picked flag). Assert every cell is safely
+    // distant (> 1e-12) from a boundary and from each recall target,
+    // so the grid can never drift onto the knife edge.
+    for {
+      (b, r) <- Dedup.PickGrid
+      sim <- Dedup.PickTargets.map(_._1).distinct :+ 0.3
+    } {
+      val pre = 1.0 - math.pow(1.0 - math.pow(sim, r.toDouble), b.toDouble)
+      // distance to the nearest x.5e-9 HALF_UP boundary, in value units
+      val frac = {
+        val f = (pre * 1e9) % 1.0
+        if (f < 0) f + 1.0 else f
+      }
+      val boundaryDist = math.abs(frac - 0.5) * 1e-9
+      assert(boundaryDist > 1e-12,
+        s"cell ($b,$r) at sim=$sim: pre-round value $pre is ${boundaryDist}" +
+          " from a 9-dp HALF_UP boundary — cross-engine rounding could flip it")
+      // and the rounded value must not sit exactly on a recall target,
+      // so the >= pick comparison can't straddle either
+      Dedup.PickTargets.map(_._2).distinct.foreach { target =>
+        assert(math.abs(Dedup.pCollide(sim, b, r) - target) > 1e-12,
+          s"cell ($b,$r) at sim=$sim equals recall target $target")
+      }
+    }
+  }
+
   test("dedup_banding_pick: analytic curve exact, picks are the fewest-bands qualifying cells") {
     val rows = Dedup.dedupBandingPick(spark, sfDir).collect()
     assert(rows.length == Dedup.PickTargets.size * Dedup.PickGrid.size)
