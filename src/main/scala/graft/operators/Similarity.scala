@@ -239,15 +239,16 @@ object Similarity {
       .withColumn("sketch_hi", col("sk").getItem(1))
       .drop("sk")
 
-  /** Deliberately KEPT on the base-bucket 16×4 family after the r14
-    * promotion (r13 verdict #1 "consider ann_lsh's default"): every
-    * production ferret key (ferret_pipeline, ferret_emd,
-    * stream_ferret, ann_range_lsh) now serves the multiprobe family,
-    * and ann_lsh is the registered CONTRAST the multiprobe specs
-    * measure against — "T=[[MpProbes]] at a quarter of the index
-    * entries meets ann_lsh's recall" is only a checkable claim while
-    * the 16-table baseline stays a first-class, oracled key. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  /** SPEC-ONLY since r15 (r14 verdict #2): the base-bucket 16×4
+    * family is no longer a registered key — ann_lsh_multiprobe is
+    * the single registered LSH family in every query-serving path
+    * (ann_lsh_multiprobe, ann_recall, ann_depth_picks/sweep,
+    * ferret_pipeline, ferret_emd, stream_ferret, ann_range_lsh).
+    * This method remains as the CONTRAST BASELINE the multiprobe
+    * specs measure against — "T=[[MpProbes]] at a quarter of the
+    * index entries meets the 16-table recall" stays a checkable
+    * claim precisely because this formulation stays executable. */
+  private[graft] def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     lshSearch(e, queriesDf(e))
   }
@@ -1585,7 +1586,10 @@ object Similarity {
   private def depthPicks(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = queriesDf(e)
-    val perDepth = lshScored(e, q, overFetch = SweepDepths.max)
+    // the sweep runs on the REGISTERED index family (multiprobe since
+    // r15, r14 verdict #2) — depth is the only axis that varies here
+    val perDepth = lshScored(e, q, overFetch = SweepDepths.max,
+        tables = MpTables, bits = MpBits, qProbes = MpProbes)
       .withColumn("over_fetch", explode(typedLit(SweepDepths)))
       .filter(col("phase1_rank") <= col("over_fetch"))
     val wCos = Window.partitionBy("over_fetch", "query_id")
@@ -1682,7 +1686,9 @@ object Similarity {
         .groupBy("query_id")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / lit(TopK.toDouble))
           .as(name))
-    recallOf(annLsh(s, dir), "recall_lsh")
+    // recall_lsh measures the REGISTERED family (multiprobe since
+    // r15 — the 16×4 contrast lives only in SimilaritySpec)
+    recallOf(annLshMultiprobe(s, dir), "recall_lsh")
       .join(recallOf(annIvf(s, dir), "recall_ivf"), "query_id")
   }
 
@@ -2215,7 +2221,6 @@ object Similarity {
     "vec_pca_basis" -> (vecPcaBasis _),
     "vec_pca_project" -> (vecPcaProject _),
     "ann_filtered" -> (annFiltered _),
-    "ann_lsh" -> (annLsh _),
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_ivf" -> (annIvf _),
     "ann_recall" -> (annRecall _),
@@ -2360,7 +2365,7 @@ object Similarity {
     s"""WITH ex AS (SELECT query_id, vec_id
        |  FROM read_parquet('{VERIFY_OUT}/ann_bruteforce/*.parquet')),
        |l AS (SELECT query_id, vec_id, 1 AS hit
-       |  FROM read_parquet('{VERIFY_OUT}/ann_lsh/*.parquet')),
+       |  FROM read_parquet('{VERIFY_OUT}/ann_lsh_multiprobe/*.parquet')),
        |i AS (SELECT query_id, vec_id, 1 AS hit
        |  FROM read_parquet('{VERIFY_OUT}/ann_ivf/*.parquet'))
        |SELECT ex.query_id,
@@ -2389,7 +2394,6 @@ object Similarity {
     "ann_depth_sweep" -> annDepthSweepSql,
     "ann_nprobe_picks" -> annNprobePicksSql,
     "ann_nprobe_sweep" -> annNprobeSweepSql,
-    "ann_lsh" -> annValueSql("ann_lsh"),
     "ann_lsh_multiprobe" -> annValueSql("ann_lsh_multiprobe"),
     "ann_ivf" -> annValueSql("ann_ivf"),
     "ann_ivf_indexed" -> annValueSql("ann_ivf_indexed"),

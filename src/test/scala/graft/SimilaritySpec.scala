@@ -190,7 +190,7 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
-  test("ann_lsh: at most K per query, results are real neighbors") {
+  test("ann_lsh (spec-only 16x4 contrast since r15): at most K per query, results are real neighbors") {
     val res = Similarity.annLsh(spark, sfDir).cache()
     assert(res.count() > 0)
     val over = res.groupBy("query_id").count()
@@ -507,7 +507,9 @@ class SimilaritySpec extends SparkSpec {
     // — both sides divide by the same nq*TopK, so hits are the exact
     // quantity under test and immune to float-arithmetic reshuffles
     val expected = Similarity.SweepDepths.map { depth =>
-      val approx = Similarity.lshSearch(e, q, overFetch = depth)
+      val approx = Similarity.lshSearch(e, q, overFetch = depth,
+          tables = Similarity.MpTables, bits = Similarity.MpBits,
+          qProbes = Similarity.MpProbes)
         .select("query_id", "vec_id")
       depth -> exact.intersect(approx).count()
     }.toMap
