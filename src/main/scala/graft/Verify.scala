@@ -74,9 +74,15 @@ object Verify {
     // the candidate set itself can't be oracled. Substituted with the
     // absolute dump path at dump time, so DuckDB resolves it wherever
     // the driver runs the compare.
+    // {SF_DIR} resolves to the INPUT dataset dir the dump was built
+    // from, for oracles that re-read raw source bytes (read_blob only
+    // accepts constant globs in DuckDB 1.0, so the path is baked in
+    // here rather than parameterized at compare time).
     val outAbs = new java.io.File(outDir).getAbsolutePath
+    val sfAbs = new java.io.File(sfDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{VERIFY_OUT}", outAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(
+        v.replace("{VERIFY_OUT}", outAbs).replace("{SF_DIR}", sfAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

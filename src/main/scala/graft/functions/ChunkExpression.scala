@@ -27,14 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ChunkDocument(child: Expression,
                          minSize: Int = 32, maxSize: Int = 256, maskBits: Int = 6,
-                         anchor: String = "buzhash")
+                         anchor: String = "buzhash", emitHexSha: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("chunk_idx", IntegerType, nullable = false),
     StructField("offset", IntegerType, nullable = false),
     StructField("length", IntegerType, nullable = false),
-    StructField("chunk_sha", StringType, nullable = false)))
+    StructField("chunk_sha", StringType, nullable = false)) ++
+    // opt-in second digest (SHA-256 of the chunk's uppercase-hex
+    // encoding): the cross-engine identity for BINARY payloads, where
+    // DuckDB's VARCHAR-only sha256 can't hash raw bytes. Opt-in so
+    // the text dedup hot path never pays a second hash pass.
+    (if (emitHexSha)
+       Seq(StructField("chunk_hex_sha", StringType, nullable = false))
+     else Nil))
 
   override def prettyName: String = "graft_chunk"
 
@@ -56,8 +63,14 @@ case class ChunkDocument(child: Expression,
         case b: Array[Byte] => b
       }
       Chunker.chunk(bytes, minSize, maxSize, maskBits, anchor).map { c =>
-        InternalRow(c.chunk_idx, c.offset, c.length,
-          UTF8String.fromString(c.chunk_sha))
+        if (emitHexSha)
+          InternalRow(c.chunk_idx, c.offset, c.length,
+            UTF8String.fromString(c.chunk_sha),
+            UTF8String.fromString(
+              Chunker.hexSha256(bytes, c.offset, c.length)))
+        else
+          InternalRow(c.chunk_idx, c.offset, c.length,
+            UTF8String.fromString(c.chunk_sha))
       }
     }
   }
@@ -100,13 +113,17 @@ case class CompressedLen(child: Expression, codec: String)
 
 object NativeChunk {
   /** Generator column: use in select() alongside pass-through columns;
-    * output columns are chunk_idx/offset/length/chunk_sha. `anchor`
-    * picks the boundary fingerprint: buzhash (default) or rabin (the
-    * reference's rabin.c polynomial). */
+    * output columns are chunk_idx/offset/length/chunk_sha (plus
+    * chunk_hex_sha when `emitHexSha` — the binary-payload cross-engine
+    * digest, see [[Chunker.hexSha256]]). `anchor` picks the boundary
+    * fingerprint: buzhash (default) or rabin (the reference's rabin.c
+    * polynomial). */
   def chunks(text: Column, minSize: Int = 32, maxSize: Int = 256,
-             maskBits: Int = 6, anchor: String = "buzhash"): Column =
+             maskBits: Int = 6, anchor: String = "buzhash",
+             emitHexSha: Boolean = false): Column =
     ColumnBridge.column(
-      ChunkDocument(ColumnBridge.expression(text), minSize, maxSize, maskBits, anchor))
+      ChunkDocument(ColumnBridge.expression(text), minSize, maxSize, maskBits,
+        anchor, emitHexSha))
 
   /** Compressed byte size of a binary column under `codec`. */
   def compressedLen(bin: Column, codec: String): Column =

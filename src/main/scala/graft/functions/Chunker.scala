@@ -254,6 +254,27 @@ object Chunker {
   def sha256Hex(bytes: Array[Byte], off: Int, len: Int): String =
     hex(digest(bytes, off, len, "SHA-256"))
 
+  private val HexDigitsUpper = "0123456789ABCDEF".getBytes(StandardCharsets.US_ASCII)
+
+  /** SHA-256 (lowercase hex) of the UPPERCASE-hex ASCII encoding of a
+    * byte range — the cross-engine digest for BINARY content: DuckDB
+    * 1.0's sha256() is VARCHAR-only, but its hex(blob) output agrees
+    * byte-for-byte with this encoding, so both engines hash the same
+    * string (hex is injective, so equality ⇔ byte equality). Computed
+    * here, inside the chunking pass, so no operator ever has to carry
+    * whole-file blobs alongside exploded chunk rows to re-slice them. */
+  def hexSha256(bytes: Array[Byte], off: Int, len: Int): String = {
+    val ascii = new Array[Byte](2 * len)
+    var i = 0
+    while (i < len) {
+      val b = bytes(off + i) & 0xff
+      ascii(2 * i) = HexDigitsUpper(b >>> 4)
+      ascii(2 * i + 1) = HexDigitsUpper(b & 0xf)
+      i += 1
+    }
+    hex(digest(ascii, 0, ascii.length, "SHA-256"))
+  }
+
   /** Deflate-compressed size of a byte range (level 6, zlib-wrapped —
     * mirrors the reference's per-chunk gzip of unique chunks). */
   def deflatedLen(bytes: Array[Byte], off: Int, len: Int): Int = {

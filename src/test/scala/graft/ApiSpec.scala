@@ -135,6 +135,25 @@ class ApiSpec extends SparkSpec {
     assert("graft_chunk\\(".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("file_chunks chunk_hex_sha ≡ declarative sha2(hex(substr(content))) twin (differential)") {
+    import org.apache.spark.sql.functions._
+    // the generator computes the cross-engine digest inside the chunk
+    // pass; this recomputes it declaratively by re-slicing the file
+    // bytes at the emitted offsets — the slice-carrying formulation
+    // fileChunks deliberately avoids at scale
+    val got = BinaryFiles.fileChunks(spark, sfDir)
+      .select("file", "chunk_idx", "offset", "chunk_len", "chunk_hex_sha")
+    val files = BinaryFiles.readDir(spark, sfDir, "*.parquet")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"), col("content"))
+    val twin = got.select("file", "chunk_idx", "offset", "chunk_len")
+      .join(files, "file")
+      .select(col("file"), col("chunk_idx"), col("offset"), col("chunk_len"),
+        sha2(hex(col("content").substr(col("offset") + 1, col("chunk_len"))), 256)
+          .as("chunk_hex_sha"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(twin).isEmpty && twin.exceptAll(got).isEmpty)
+  }
+
   test("file_dedup window formulation ≡ the groupBy+join-back fork (differential)") {
     import org.apache.spark.sql.functions._
     val chunks = BinaryFiles.fileChunks(spark, sfDir)
