@@ -675,7 +675,21 @@ object Multimodal {
         sum(col("n_pixels")).cast("long").as("n_pixels"),
         sum(col("r_sum")).as("r_sum"),
         sum(col("g_sum")).as("g_sum"),
-        sum(col("b_sum")).as("b_sum"))
+        sum(col("b_sum")).as("b_sum"),
+        // r15 (r14 verdict #6): the 14-dim descriptors folded into the
+        // hashed check — SHA-256 over the region_idx-ordered
+        // (region_idx, n_pixels, descriptor) serialization. The
+        // descriptor doubles ride their deterministic shortest-repr
+        // string form (descriptorString), so the driver's correctness
+        // hash now covers every descriptor value: a dimension-weights
+        // or moments regression can't hide behind intact pixel sums.
+        sha2(array_join(
+          transform(
+            array_sort(collect_list(struct(
+              col("region_idx"), col("n_pixels"), col("descriptor")))),
+            x => concat_ws(":", x.getField("region_idx"),
+              x.getField("n_pixels"), x.getField("descriptor"))),
+          "|"), 256).as("regions_sha"))
 
   val mmSegmentCheckSql: String =
     """WITH m AS (
@@ -728,11 +742,16 @@ object Multimodal {
       |    CAST(SUM(b1) * 64 AS BIGINT) AS b_sum
       |  FROM dec GROUP BY doc_id
       |), seg AS (
-      |  SELECT doc_id, CAST(MAX(n_regions) AS INT) AS n_regions
+      |  SELECT doc_id, CAST(MAX(n_regions) AS INT) AS n_regions,
+      |    sha256(string_agg(
+      |      CAST(region_idx AS VARCHAR) || ':' || CAST(n_pixels AS VARCHAR)
+      |        || ':' || descriptor,
+      |      '|' ORDER BY region_idx)) AS regions_sha
       |  FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')
       |  GROUP BY doc_id
       |)
-      |SELECT t.doc_id, s.n_regions, t.n_pixels, t.r_sum, t.g_sum, t.b_sum
+      |SELECT t.doc_id, s.n_regions, t.n_pixels, t.r_sum, t.g_sum, t.b_sum,
+      |  s.regions_sha
       |FROM tot t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
 
   // ---- mm_jpeg: the reference's REAL input format, round-tripped -------
