@@ -158,7 +158,7 @@ object StreamingOps {
                       rows_in: Long, rows_out: Long, batches: Long,
                       elapsed_sec: Double, rows_per_sec: Double,
                       batch_ms_p50: Double, batch_ms_p95: Double,
-                      exec_ms_p50: Double)
+                      exec_ms_p50: Double, rate_ok: Boolean)
 
   /** The reference sweeps per-stage replica counts and queue sizes
     * across a config grid (bin/parsec_stream over testbed/t1..t9,
@@ -199,7 +199,7 @@ object StreamingOps {
         s"${name}_${bs}_p$actualParts", pipe, mode, parts)
       SweepRow(name, bs, actualParts, r.rows_in, r.rows_out, r.batches,
         r.elapsed_sec, r.rows_per_sec, r.batch_ms_p50, r.batch_ms_p95,
-        r.exec_ms_p50)
+        r.exec_ms_p50, r.rate_ok)
     }
     s.createDataFrame(rows)
   }
@@ -337,9 +337,24 @@ object StreamingOps {
     "stream_soak" -> (streamSoak _),
     "stream_replay" -> (streamReplay _))
 
+  /** Gate-echo oracles for the self-measuring harness keys (r14
+    * verdict #7): the SQL re-reads the key's own dump FILTERED on its
+    * harness-gate column, so the driver's row compare FAILS whenever
+    * any run row's gate bit is false — a soak that isn't flat, or a
+    * bench leg that didn't consume its whole feed, now fails
+    * CORRECTNESS instead of hiding in a rows-only check. The metric
+    * values themselves are self-reported timings (echoed verbatim,
+    * honestly declared in SURVEY §2) — the semantic content of this
+    * oracle class is the gate. */
+  private def gateEcho(dump: String, gateCol: String): String =
+    s"SELECT * FROM read_parquet('{VERIFY_OUT}/$dump/*.parquet') WHERE $gateCol"
+
   val oracle: Map[String, String] = Map(
     "stream_dedup_batch" -> streamDedupBatchSql,
     "stream_sessions" -> Relational.qSessionTvfSql,
     "stream_ferret" -> Similarity.annValueSql("stream_ferret"),
+    "stream_soak" -> gateEcho("stream_soak", "flat_ok"),
+    "stream_rate_bench" -> gateEcho("stream_rate_bench", "rate_ok"),
+    "stream_param_sweep" -> gateEcho("stream_param_sweep", "rate_ok"),
     "stream_replay" -> streamReplaySql)
 }

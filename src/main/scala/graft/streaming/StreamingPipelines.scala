@@ -625,7 +625,15 @@ object StreamingPipelines {
                          exec_ms_p50: Double, plan_ms_p50: Double,
                          commit_ms_p50: Double, getbatch_ms_p50: Double,
                          trigger_ms_p50: Double, state_update_ms_p50: Double,
-                         state_commit_ms_p50: Double)
+                         state_commit_ms_p50: Double,
+                         // r15 (r14 verdict #7): the harness gate as an
+                         // assertable column — ingested_rows is the
+                         // MEASURED progress-sum (rows_in is the feed's
+                         // expected count), rate_ok the run verdict
+                         // (every feed row consumed, output produced,
+                         // real triggers, real wall-clock), so the
+                         // driver's rows-only check gains a semantic bit
+                         ingested_rows: Long, rate_ok: Boolean)
 
   /** Percentile of observed micro-batch durations (BenSP's per-stage
     * latency metric, at micro-batch granularity). */
@@ -653,13 +661,16 @@ object StreamingPipelines {
     def stateMs(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long)
         : Seq[Double] =
       progress.map(_.stateOperators.map(f(_).toDouble).sum)
+    val ingested = progress.map(_.numInputRows).sum
     BenchResult(name, rowsIn, rowsOut, batches, elapsed, rowsIn / elapsed,
       pct(batchMs, 0.5), pct(batchMs, 0.95),
       pct(phaseMs("addBatch"), 0.5), pct(phaseMs("queryPlanning"), 0.5),
       pct(commitMs, 0.5), pct(phaseMs("getBatch"), 0.5),
       pct(phaseMs("triggerExecution"), 0.5),
       pct(stateMs(p => p.allUpdatesTimeMs + p.allRemovalsTimeMs), 0.5),
-      pct(stateMs(_.commitTimeMs), 0.5))
+      pct(stateMs(_.commitTimeMs), 0.5),
+      ingested,
+      ingested == rowsIn && rowsOut > 0 && batches > 0 && elapsed > 0)
   }
 
   /** A materialized replay feed: path + the metadata every measured

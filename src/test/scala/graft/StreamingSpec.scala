@@ -186,6 +186,9 @@ class StreamingSpec extends SparkSpec {
     assert(r.exec_ms_p50 <= r.trigger_ms_p50)
     assert(r.plan_ms_p50 >= 0 && r.getbatch_ms_p50 >= 0)
     assert(r.state_update_ms_p50 >= 0 && r.state_commit_ms_p50 >= 0)
+    // the r15 semantic gate: every feed row measured as ingested, and
+    // the run verdict rides the row (r14 verdict #7)
+    assert(r.ingested_rows == r.rows_in && r.rate_ok)
     // windowAgg is stateful: at least one batch paid a store commit
     val rows = spark.createDataFrame(Seq(r))
     Seq("getbatch_ms_p50", "trigger_ms_p50", "state_update_ms_p50",
@@ -203,6 +206,7 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("rows_in") > 0)
       assert(r.getAs[Long]("batches") > 0)
       assert(r.getAs[Int]("state_partitions") > 0)
+      assert(r.getAs[Boolean]("rate_ok"), s"cell failed its harness gate: $r")
     }
     // the replica-count axis (reference -t knob): both swept cells
     // exist and processed the full feed
