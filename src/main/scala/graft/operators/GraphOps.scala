@@ -138,21 +138,94 @@ object GraphOps {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     trianglesFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
+  /** Per-node triangle counts via degree-ordered adjacency
+    * intersection COUNTS (r15): orient each edge low→high by
+    * (deg, id), build both node-sized oriented adjacency tables once
+    * (sorted), and count — never enumerate — each edge's closing set
+    * with an allocation-free two-pointer merge
+    * ([[graft.functions.HashKernels.intersectCountLong]]). The
+    * r12-r14 formulation joined the oriented WEDGE set (28M rows at
+    * sf0.1) against the edge list and exploded three corner rows per
+    * triangle; the near-dup graph is clique-heavy (sf0.1: 4.8k nodes,
+    * 445k edges, avg degree ~185, 28M triangles), so both blow up
+    * with triangle mass. This plan's biggest materialized object is
+    * the EDGE list with one long count per row: per-corner credits
+    * come from |adj⁺(u) ∩ adj⁺(v)| at the minimal corner's edge
+    * (pays u and v) and |adj⁻(v) ∩ adj⁻(w)| at the closing edge
+    * (pays w) — each triangle credited exactly once per corner, no
+    * triangle identity ever materialized. Adjacency attaches are
+    * size-gated (broadcast under [[Dedup.AttachBroadcastCapBytes]],
+    * shuffle joins on u/v beyond — the 100 TB path); orientation
+    * bounds every adjacency array by the graph's degeneracy, so no
+    * clique's list outgrows a task. Differential spec pins this equal
+    * to the wedge formulation AND to a driver-side brute force. */
   private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
     CheckpointScope.scoped(pairs.sparkSession) { ck =>
       val p = ck(pairs)
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
-      val withDeg = p
-        .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
-        .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
-      val aFirst = col("deg_a") < col("deg_b") ||
-        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
-      val o = ck(withDeg.select(
-        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
-        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
-        when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v")))
+      val o = ck(orientByDegree(p, deg).select("u", "v"))
+      // both adjacency directions, node-sized, sorted ONCE so the
+      // closing intersections are allocation-free two-pointer merges
+      val adjOut = o.groupBy(col("u").as("doc_id"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      val adjIn = o.groupBy(col("v").as("doc_id"))
+        .agg(sort_array(collect_list(col("u"))).as("nbrs"))
+      // triangle (u→v, u→w, v→w) is credited WITHOUT ever
+      // materializing its identity: at edge (u,v), |adj⁺(u) ∩ adj⁺(v)|
+      // pays u and v (once per triangle, at its minimal corner's
+      // edge); at edge (v,w), |adj⁻(v) ∩ adj⁻(w)| pays w (once per
+      // triangle, at its maximal corner's closing edge). Counts only —
+      // no 28M-row explode, no per-row array copies out of the join.
+      val cntOut = Dedup.attachSide(Dedup.attachSide(o,
+          adjOut.select(col("doc_id").as("u"), col("nbrs").as("nbrs_u")), "u"),
+          adjOut.select(col("doc_id").as("v"), col("nbrs").as("nbrs_v")), "v")
+        .select(col("u"), col("v"),
+          graft.functions.NativeHash.sortedIntersectCount(
+            col("nbrs_u"), col("nbrs_v")).as("c"))
+      val cntIn = Dedup.attachSide(Dedup.attachSide(o,
+          adjIn.select(col("doc_id").as("u"), col("nbrs").as("inn_u")), "u"),
+          adjIn.select(col("doc_id").as("v"), col("nbrs").as("inn_v")), "v")
+        .select(col("v").as("doc_id"),
+          graft.functions.NativeHash.sortedIntersectCount(
+            col("inn_u"), col("inn_v")).as("c"))
+      val corners = cntOut.select(col("u").as("doc_id"), col("c"))
+        .union(cntOut.select(col("v").as("doc_id"), col("c")))
+        .union(cntIn)
+        .groupBy("doc_id").agg(sum(col("c")).as("n_tri"))
+      // node-sized; materialized OUTSIDE ck so the scope can free the
+      // edge/orientation blocks the moment the counts exist
+      deg.join(corners, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The shared low→high (deg, id) edge orientation. */
+  private def orientByDegree(p: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = p
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+    val aFirst = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"),
+      when(aFirst, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+  }
+
+  /** The retired wedge-join formulation, kept executable as the
+    * differential anchor for [[trianglesFromPairs]] (GraphOpsSpec
+    * proves the two produce identical per-node counts). */
+  private[graft] def trianglesFromPairsWedge(pairs: DataFrame): DataFrame = {
+    CheckpointScope.scoped(pairs.sparkSession) { ck =>
+      val p = ck(pairs)
+      val deg = ck(p.select(col("doc_a").as("doc_id"))
+        .union(p.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg")))
+      val o = ck(orientByDegree(p, deg))
       val wedges = o
         .join(o.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), "u")
         .filter(col("deg_v") < col("deg_w") ||
@@ -162,8 +235,6 @@ object GraphOps {
       val corners = tris.select(explode(array(col("u"), col("v"), col("w")))
         .as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-      // node-sized; materialized OUTSIDE ck so the scope can free the
-      // edge/orientation blocks the moment the counts exist
       deg.join(corners, Seq("doc_id"), "left")
         .select(col("doc_id"), col("deg"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))

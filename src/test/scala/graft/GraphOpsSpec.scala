@@ -85,6 +85,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > 0)
   }
 
+  test("graph_triangles: adjacency-intersection ≡ the wedge-join formulation (differential)") {
+    // the r15 plan closes each oriented edge by array_intersect over
+    // the node-sized adjacency table; this re-runs the retired 28M-row
+    // wedge-join plan on the same edges and demands identical rows
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir).select("doc_a", "doc_b")
+    val fast = GraphOps.trianglesFromPairs(pairs)
+    val wedge = GraphOps.trianglesFromPairsWedge(pairs)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(wedge).isEmpty && wedge.exceptAll(fast).isEmpty)
+  }
+
   test("graph *_lsh twins: same loops, banded-LSH edge source, replay-exact") {
     // the production edge wiring (verdict r11 #6): the registered
     // twins must consume dedupMinhash's verified pairs — prove it by

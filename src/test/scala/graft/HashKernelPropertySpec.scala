@@ -27,6 +27,21 @@ class HashKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intersectCountLong matches Set intersection size on sorted inputs") {
+    // the kernel's contract is ASCENDING-sorted inputs (the triangle
+    // plan sorts once at adjacency-build time); overlap is forced by
+    // drawing both sides from a small shared pool
+    for (_ <- 0 until 300) {
+      val pool = Array.fill(60)(rng.nextLong(1000)).distinct
+      def draw() = pool.filter(_ => rng.nextBoolean()).sorted
+      val a = draw(); val b = draw()
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      val got = HashKernels.intersectCountLong(
+        new GenericArrayData(a), new GenericArrayData(b))
+      assert(got == expected, s"${a.toSeq} ∩ ${b.toSeq}")
+    }
+  }
+
   test("minhashSig matches per-permutation min of XXH64") {
     for (_ <- 0 until 50) {
       val a = randomSet()
