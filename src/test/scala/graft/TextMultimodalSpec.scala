@@ -249,7 +249,25 @@ class TextMultimodalSpec extends SparkSpec {
         sum(col("n_pixels")).cast("long").as("n_pixels"),
         sum(col("r_sum")).as("r_sum"), sum(col("g_sum")).as("g_sum"),
         sum(col("b_sum")).as("b_sum"))
-    assert(check.exceptAll(seg).isEmpty && seg.exceptAll(check).isEmpty)
+    val totals = check.drop("regions_sha")
+    assert(totals.exceptAll(seg).isEmpty && seg.exceptAll(totals).isEmpty)
+    // the r15 descriptor fold: regions_sha must equal a driver-side
+    // recompute of SHA-256 over the region_idx-ordered
+    // (region_idx, n_pixels, descriptor) serialization
+    val regions = Multimodal.mmSegment(spark, sfDir)
+      .select("doc_id", "region_idx", "n_pixels", "descriptor").collect()
+      .groupBy(_.getLong(0))
+    val wantSha = regions.map { case (doc, rs) =>
+      val payload = rs.sortBy(_.getInt(1))
+        .map(r => s"${r.getInt(1)}:${r.getInt(2)}:${r.getString(3)}")
+        .mkString("|")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload.getBytes("UTF-8"))
+      doc -> d.map(b => f"$b%02x").mkString
+    }
+    val gotSha = check.select("doc_id", "regions_sha").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotSha == wantSha)
     check.unpersist()
   }
 
