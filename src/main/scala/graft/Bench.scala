@@ -188,8 +188,21 @@ object Bench {
     val suspectKeys = results.collect {
       case (n, Some(t), _, pairs) if !singlePass(n) && suspect(pairs, t) => n
     }
+    // rerun budget: the r15 gate flags on spread alone, so a FULLY
+    // loaded sweep window could mark dozens of keys — re-running all
+    // of them would stretch the bench by minutes in exactly the
+    // environment where it's already slow. Adjudicate the worst
+    // offenders (largest medians first); the rest keep their
+    // load_suspect flag with per-pass env as the evidence.
+    val rerunBudget = sys.env.get("SPARK_GRAFT_BENCH_MAX_RERUNS")
+      .map(_.toInt).getOrElse(12)
+    val medOf = results.collect { case (n, Some(t), _, _) => n -> t }.toMap
+    val toRerun = suspectKeys.sortBy(n => -medOf(n)).take(rerunBudget)
+    if (toRerun.size < suspectKeys.size)
+      System.err.println(s"[bench] ${suspectKeys.size} load_suspect keys; " +
+        s"isolated re-runs capped at $rerunBudget (largest medians)")
     val isolated: Map[String, (Option[Double], PassEnv)] =
-      suspectKeys.map { n =>
+      toRerun.map { n =>
         freeBlocks(); System.gc()
         val (res, env) = measured(once(SparkEntry.queries(n), sfDir))
         System.err.println(f"[bench] load_suspect $n: isolated re-run " +
@@ -221,7 +234,7 @@ object Bench {
         it.fold("")(v => s""","isolated":$v""") + s""","isolated_env":${envJson(ie)}"""
       }.getOrElse("")
       jstr(n) + s""":{"min":${oks.min},"med":$t,"max":${oks.max},""" +
-        s""""load_suspect":${isolated.contains(n)},"env":$env$iso}"""
+        s""""load_suspect":${suspectKeys.contains(n)},"env":$env$iso}"""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
 
