@@ -315,10 +315,23 @@ object GraphOps {
     val s = pairs.sparkSession
     CheckpointScope.scoped(s) { ck =>
       val p = ck(pairs)
-      val ud = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col("src")))
-      val nodes = ck(ud.select(col("src").as("doc_id")).distinct())
+      // adjacency-list frontier expansion (r15): the r12-r14 loop
+      // joined the FULL symmetric edge table against the frontier
+      // every round — rounds × |E| scan work, the per-round cost that
+      // dominated the sf1 step-up (each round re-read 10× edges). The
+      // adjacency table is built once, hash-partitioned on doc_id by
+      // its own groupBy (preserved through the checkpoint), so each
+      // round shuffles only the FRONTIER into it and emits exactly
+      // the frontier's adjacency: total edge work over the whole
+      // traversal is O(|E_reached|), not O(|E| × diameter) — the form
+      // that survives a deep graph at 100 TB. Orientation isn't
+      // applied here (BFS needs both directions), so a hub's array is
+      // its full degree — bounded for the mutual-kNN twin (≤ 2k) and
+      // clique-sized for the ngram graph, both single-task safe.
+      val adj = ck(p.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
+        .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
+        .groupBy("doc_id").agg(collect_list(col("nb")).as("nbrs")))
+      val nodes = adj.select("doc_id")
       val seeds = nodes.orderBy("doc_id").limit(BfsSeeds)
         .withColumn("dist", lit(0L))
       var visited = ck(seeds)
@@ -327,8 +340,8 @@ object GraphOps {
       var done = false
       while (!done && d < BfsCap) {
         d += 1
-        val next = ck(ud.join(frontier.select(col("doc_id").as("src")), "src")
-          .select(col("dst").as("doc_id")).distinct()
+        val next = ck(adj.join(frontier.select("doc_id"), "doc_id")
+          .select(explode(col("nbrs")).as("doc_id")).distinct()
           .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
           .withColumn("dist", lit(d)))
         done = next.isEmpty
