@@ -194,8 +194,18 @@ object Bench {
     // environment where it's already slow. Adjudicate the worst
     // offenders (largest medians first); the rest keep their
     // load_suspect flag with per-pass env as the evidence.
-    val rerunBudget = sys.env.get("SPARK_GRAFT_BENCH_MAX_RERUNS")
-      .map(_.toInt).getOrElse(12)
+    val rerunBudget = sys.env.get("SPARK_GRAFT_BENCH_MAX_RERUNS") match {
+      case None => 12
+      // fail loud with the env var named: a malformed value silently
+      // becoming the default would hide a mistyped cap, and a negative
+      // one would disable all isolated re-runs while keys still report
+      // load_suspect=true
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+        case Some(n) if n >= 0 => n
+        case _ => sys.error(
+          s"SPARK_GRAFT_BENCH_MAX_RERUNS='$v' is not a non-negative integer")
+      }
+    }
     val medOf = results.collect { case (n, Some(t), _, _) => n -> t }.toMap
     val toRerun = suspectKeys.sortBy(n => -medOf(n)).take(rerunBudget)
     if (toRerun.size < suspectKeys.size)
@@ -266,8 +276,12 @@ object Bench {
       case (n, Some(t), _, pairs) if pairs.nonEmpty => n -> pairs }.toMap
     val spreadTen = slowTen.flatMap { case (k, med) =>
       passStats.get(k).map { pairs =>
-        jstr(k) + s":[${r2(pairs.map(_._1).min)},${r2(med)}," +
-          s"${r2(pairs.map(_._2.stealSec).max)}]"
+        // steal counters are -1.0 when the host exposes no steal
+        // telemetry; echo null rather than the sentinel so a reader
+        // sees "unknown", not "negative steal / no contention"
+        val stealMax = pairs.map(_._2.stealSec).max
+        val stealStr = if (stealMax < 0) "null" else r2(stealMax).toString
+        jstr(k) + s":[${r2(pairs.map(_._1).min)},${r2(med)},$stealStr]"
       }
     }.mkString("{", ",", "}")
     // failed entries rarely exist; cap at 3 with messages clipped so a

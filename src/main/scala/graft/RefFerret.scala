@@ -690,7 +690,16 @@ object RefFerret {
           .agg(array_distinct(flatten(collect_list(col("cands")))).as("cands"))
           .select(col("query_img"), explode(col("cands")).as("cand_img"))
       } else if (RankBy == "dist_plan") {
+        // fail-fast on malformed descriptors, IDENTICALLY to the
+        // fused kernel's require (FerretProbeRank): without this,
+        // zip_with null-pads a short qv, aggregate null-propagates,
+        // and the row silently drops — the two "bit-identical" paths
+        // would diverge on malformed input instead of both aborting
         val qrv = regionsOf(qS).toDF("query_img", "qridx", "qv")
+          .withColumn("qv", when(size(col("qv")) === lit(Dim), col("qv"))
+            .otherwise(raise_error(format_string(
+              s"ferret dist_plan: descriptor length %d != dim $Dim",
+              size(col("qv"))))))
         val wReg = Window.partitionBy("query_img", "qridx")
           .orderBy(col("d2"), col("cand_img"), col("cridx"))
         joined.select("query_img", "qridx", "cand_img", "cridx").distinct()

@@ -145,6 +145,13 @@ object BinaryFiles {
     * recomputes each chunk's digest. DuckDB 1.0's sha256 is
     * VARCHAR-only, so the cross-engine digest is SHA-256 of the
     * chunk's UPPERCASE-HEX encoding (hex() agrees across engines;
+    * the read_blob glob is doubly-starred — DuckDB's `**` matches
+    * zero or more directory levels, so it covers BOTH the driver's
+    * flat testdata files AND Spark-written nested layouts
+    * (<table>.parquet/part-*.parquet, the GenScale sf1 shape) that
+    * readDir reaches via recursiveFileLookup; a flat glob would
+    * match no files there and the USING(file) join would silently
+    * drop every chunk row;
     * injective, so digest equality ⇔ byte equality); the true binary
     * SHA-256 (`chunk_sha`, what file_dedup keys on) is echo-gated on
     * that recomputed match — a forged offset, length, or digest
@@ -208,7 +215,7 @@ object BinaryFiles {
     """WITH c AS (SELECT * FROM read_parquet('{VERIFY_OUT}/file_chunks/*.parquet')),
       |b AS (SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
       |             hex(content) AS hx, octet_length(content) AS fsize
-      |      FROM read_blob('{SF_DIR}/*.parquet'))
+      |      FROM read_blob('{SF_DIR}/**/*.parquet'))
       |SELECT c.file, c.n_bytes, c.chunk_idx, c."offset", c.chunk_len,
       |  CASE WHEN b.fsize = c.n_bytes
       |        AND sha256(substr(b.hx, 2 * c."offset" + 1, 2 * c.chunk_len))
