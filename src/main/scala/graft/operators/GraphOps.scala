@@ -138,27 +138,30 @@ object GraphOps {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     trianglesFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
-  /** Per-node triangle counts via degree-ordered adjacency
-    * intersection COUNTS (r15): orient each edge low→high by
-    * (deg, id), build both node-sized oriented adjacency tables once
-    * (sorted), and count — never enumerate — each edge's closing set
-    * with an allocation-free two-pointer merge
-    * ([[graft.functions.HashKernels.intersectCountLong]]). The
-    * r12-r14 formulation joined the oriented WEDGE set (28M rows at
-    * sf0.1) against the edge list and exploded three corner rows per
-    * triangle; the near-dup graph is clique-heavy (sf0.1: 4.8k nodes,
-    * 445k edges, avg degree ~185, 28M triangles), so both blow up
-    * with triangle mass. This plan's biggest materialized object is
-    * the EDGE list with one long count per row: per-corner credits
-    * come from |adj⁺(u) ∩ adj⁺(v)| at the minimal corner's edge
-    * (pays u and v) and |adj⁻(v) ∩ adj⁻(w)| at the closing edge
-    * (pays w) — each triangle credited exactly once per corner, no
-    * triangle identity ever materialized. Adjacency attaches are
+  /** Per-node triangle counts via degree-ordered OUT-adjacency
+    * intersections only (r16, tightening the r15 plan): orient each
+    * edge low→high by (deg, id), build the oriented out-adjacency
+    * table once (sorted), and resolve EVERY corner credit at the
+    * minimal corner's edge (u,v): |adj⁺(u) ∩ adj⁺(v)| pays u and v
+    * (allocation-free count kernel,
+    * [[graft.functions.HashKernels.intersectCountLong]]), and the
+    * intersection ELEMENTS — which are exactly the third corners w —
+    * pay w through an explode that streams straight into a partial
+    * aggregate ([[graft.functions.HashKernels.intersectLong]]): the
+    * per-triangle rows exist only inside whole-stage codegen and the
+    * map-side combine collapses them to node cardinality before any
+    * shuffle. The r15 plan paid w's credit from a SECOND,
+    * in-adjacency table (|adj⁻(v) ∩ adj⁻(w)| at the closing edge) —
+    * but in-lists under this orientation are NOT degeneracy-bounded
+    * (a hub's in-list is its full degree), which is where the sf1
+    * step-up (4.4× for 10× data) lived; out-lists are ≤ √(2m) by
+    * construction, so every merge this plan runs is. The r12-r14
+    * wedge-JOIN formulation (28M shuffled wedge rows at sf0.1) is
+    * kept below as the differential anchor. Adjacency attaches are
     * size-gated (broadcast under [[Dedup.AttachBroadcastCapBytes]],
-    * shuffle joins on u/v beyond — the 100 TB path); orientation
-    * bounds every adjacency array by the graph's degeneracy, so no
-    * clique's list outgrows a task. Differential spec pins this equal
-    * to the wedge formulation AND to a driver-side brute force. */
+    * shuffle joins on u/v beyond — the 100 TB path). Differential
+    * spec pins this equal to the wedge formulation AND to a
+    * driver-side brute force. */
   private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
     CheckpointScope.scoped(pairs.sparkSession) { ck =>
       val p = ck(pairs)
@@ -166,33 +169,28 @@ object GraphOps {
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
       val o = ck(orientByDegree(p, deg).select("u", "v"))
-      // both adjacency directions, node-sized, sorted ONCE so the
-      // closing intersections are allocation-free two-pointer merges
+      // out-adjacency, node-sized, sorted ONCE so the closing
+      // intersections are two-pointer merges
       val adjOut = o.groupBy(col("u").as("doc_id"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      val adjIn = o.groupBy(col("v").as("doc_id"))
-        .agg(sort_array(collect_list(col("u"))).as("nbrs"))
-      // triangle (u→v, u→w, v→w) is credited WITHOUT ever
-      // materializing its identity: at edge (u,v), |adj⁺(u) ∩ adj⁺(v)|
-      // pays u and v (once per triangle, at its minimal corner's
-      // edge); at edge (v,w), |adj⁻(v) ∩ adj⁻(w)| pays w (once per
-      // triangle, at its maximal corner's closing edge). Counts only —
-      // no 28M-row explode, no per-row array copies out of the join.
-      val cntOut = Dedup.attachSide(Dedup.attachSide(o,
-          adjOut.select(col("doc_id").as("u"), col("nbrs").as("nbrs_u")), "u"),
-          adjOut.select(col("doc_id").as("v"), col("nbrs").as("nbrs_v")), "v")
+      def attached = Dedup.attachSide(Dedup.attachSide(o,
+        adjOut.select(col("doc_id").as("u"), col("nbrs").as("nbrs_u")), "u"),
+        adjOut.select(col("doc_id").as("v"), col("nbrs").as("nbrs_v")), "v")
+      // pass 1 — counts only (no arrays leave the kernel): u and v
+      // each earn |adj⁺(u) ∩ adj⁺(v)| at their shared minimal edge
+      val cntOut = attached
         .select(col("u"), col("v"),
           graft.functions.NativeHash.sortedIntersectCount(
             col("nbrs_u"), col("nbrs_v")).as("c"))
-      val cntIn = Dedup.attachSide(Dedup.attachSide(o,
-          adjIn.select(col("doc_id").as("u"), col("nbrs").as("inn_u")), "u"),
-          adjIn.select(col("doc_id").as("v"), col("nbrs").as("inn_v")), "v")
-        .select(col("v").as("doc_id"),
-          graft.functions.NativeHash.sortedIntersectCount(
-            col("inn_u"), col("inn_v")).as("c"))
+      // pass 2 — the SAME intersections' elements are the w corners;
+      // explode → count(*) aggregates them at node cardinality
+      val wCred = attached
+        .select(explode(graft.functions.NativeHash.sortedIntersect(
+          col("nbrs_u"), col("nbrs_v"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
       val corners = cntOut.select(col("u").as("doc_id"), col("c"))
         .union(cntOut.select(col("v").as("doc_id"), col("c")))
-        .union(cntIn)
+        .union(wCred)
         .groupBy("doc_id").agg(sum(col("c")).as("n_tri"))
       // node-sized; materialized OUTSIDE ck so the scope can free the
       // edge/orientation blocks the moment the counts exist
@@ -311,43 +309,147 @@ object GraphOps {
   def graphBfs(s: SparkSession, dir: String): DataFrame =
     bfsFromPairs(Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
 
-  private[graft] def bfsFromPairs(pairs: DataFrame): DataFrame = {
+  /** Local-collapse gates (r15 verdict #5): once the not-yet-settled
+    * region (unvisited nodes plus the live frontier's adjacency)
+    * fits these explicit bounds, the traversal tail — whose
+    * distributed cost is pure round-count × Spark job latency, the
+    * irreducible shape for exact hop counts — finishes in ONE
+    * driver-side pass over the collected subgraph. ~200k nodes /
+    * 8M adjacency entries ≈ 64 MB of primitive longs (the collect is
+    * typed, Array[Long] per node — no per-element boxing): bounded by
+    * construction, never corpus-sized (both gates are checked BEFORE
+    * any collect). */
+  private[operators] val BfsLocalNodeCap = 200000L
+  private[operators] val BfsLocalEntryCap = 8000000L
+
+  private[graft] def bfsFromPairs(pairs: DataFrame): DataFrame =
+    bfsFromPairs(pairs, localCollapse = true)
+
+  private[graft] def bfsFromPairs(pairs: DataFrame, localCollapse: Boolean,
+                                  nodeCap: Long = BfsLocalNodeCap,
+                                  entryCap: Long = BfsLocalEntryCap): DataFrame = {
     val s = pairs.sparkSession
     CheckpointScope.scoped(s) { ck =>
-      val p = ck(pairs)
-      // adjacency-list frontier expansion (r15): the r12-r14 loop
-      // joined the FULL symmetric edge table against the frontier
-      // every round — rounds × |E| scan work, the per-round cost that
-      // dominated the sf1 step-up (each round re-read 10× edges). The
-      // adjacency table is built once, hash-partitioned on doc_id by
-      // its own groupBy (preserved through the checkpoint), so each
-      // round shuffles only the FRONTIER into it and emits exactly
-      // the frontier's adjacency: total edge work over the whole
-      // traversal is O(|E_reached|), not O(|E| × diameter) — the form
-      // that survives a deep graph at 100 TB. Orientation isn't
-      // applied here (BFS needs both directions), so a hub's array is
-      // its full degree — bounded for the mutual-kNN twin (≤ 2k) and
-      // clique-sized for the ngram graph, both single-task safe.
-      val adj = ck(p.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
-        .union(p.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
-        .groupBy("doc_id").agg(collect_list(col("nb")).as("nbrs")))
-      val nodes = adj.select("doc_id")
+      // frontier expansion over the checkpointed EDGE table, probed
+      // from both endpoint columns (r16). The r15 plan pre-built a
+      // collect_list adjacency table; measured at sf1 (45M LSH
+      // edges, 90M entries) that build — a full-width shuffle plus
+      // array assembly — cost 11.4 s while the rounds it served cost
+      // 0.5–1 s each, and a join PROBE scans every block of its build
+      // side regardless of shape (nothing partition-prunes an
+      // in-memory table), so per-round cost is identical against the
+      // flat edge table. Dup-graph diameters are single digits, so
+      // rounds × edge-scan is the cheap term; the one-off build was
+      // the bottleneck. Each round is two equi-joins frontier→edges
+      // (AQE broadcasts the node-sized frontier), a distinct that
+      // map-side-collapses to node cardinality, and an anti-join
+      // against the visited set.
+      val p = ck(pairs.toDF("doc_a", "doc_b"))
+      val nodes = ck(p.select(col("doc_a").as("doc_id"))
+        .union(p.select(col("doc_b").as("doc_id"))).distinct())
+      val totalNodes = nodes.count()
       val seeds = nodes.orderBy("doc_id").limit(BfsSeeds)
         .withColumn("dist", lit(0L))
       var visited = ck(seeds)
       var frontier = visited
+      var visitedCount = math.min(BfsSeeds.toLong, totalNodes)
+      var frontierCount = visitedCount
+      // entry-gate backoff: a failed entry check costs one pass over
+      // the edge table — without backoff a dense graph that passes
+      // the node gate but not the entry gate would pay that pass
+      // EVERY round; retry only once the unsettled node count has at
+      // least halved since the failed attempt
+      var lastEntryAttempt = Long.MaxValue
       var d = 0L
       var done = false
       while (!done && d < BfsCap) {
-        d += 1
-        val next = ck(adj.join(frontier.select("doc_id"), "doc_id")
-          .select(explode(col("nbrs")).as("doc_id")).distinct()
-          .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
-          .withColumn("dist", lit(d)))
-        done = next.isEmpty
+        // local collapse: the rest of the traversal is round-count ×
+        // job latency once the unsettled region is small — collect
+        // every edge with at least one endpoint NOT already settled
+        // at dist < d (a superset of what the traversal can still
+        // touch) and finish with a driver BFS whose fold is exactly
+        // the recursive-CTE oracle's. Gate 1 (node count) is free
+        // from the running counters; gate 2 (edge count) costs one
+        // count over the tagged edge table and runs only once gate 1
+        // holds. Both gates run BEFORE any collect.
+        val unsettled = totalNodes - visitedCount + frontierCount
+        if (localCollapse && unsettled <= nodeCap &&
+            unsettled <= lastEntryAttempt / 2) {
+          lastEntryAttempt = unsettled
+          // interior tags ride node-sized broadcasts; an edge is
+          // settled only when BOTH endpoints are interior
+          val ia = broadcast(visited.filter(col("dist") < d)
+            .select(col("doc_id").as("doc_a")).withColumn("ia", lit(true)))
+          val ib = broadcast(visited.filter(col("dist") < d)
+            .select(col("doc_id").as("doc_b")).withColumn("ib", lit(true)))
+          val rest = p.join(ia, Seq("doc_a"), "left")
+            .join(ib, Seq("doc_b"), "left")
+            .filter(col("ia").isNull || col("ib").isNull)
+            .select("doc_a", "doc_b")
+          val restEdges = rest.count()
+          if (2 * restEdges <= entryCap) {
+            System.err.println(s"[graft-bfs] local collapse at d=$d: " +
+              s"$unsettled unsettled nodes, $restEdges live edges")
+            import s.implicits._
+            val local = rest.as[(Long, Long)].collect()
+            val adjMap = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]](
+              (unsettled * 2).toInt.max(16))
+            def add(x: Long, y: Long): Unit = {
+              var b = adjMap.get(x)
+              if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Long](); adjMap.put(x, b) }
+              b += y: Unit
+            }
+            local.foreach { case (a, b) => add(a, b); add(b, a) }
+            val dist = new java.util.HashMap[Long, Long](local.length.max(16))
+            var queue = frontier.select("doc_id").collect().map(_.getLong(0))
+            queue.foreach(n => dist.put(n, d))
+            var depth = d
+            while (queue.nonEmpty && depth < BfsCap) {
+              depth += 1
+              val nextQ = Array.newBuilder[Long]
+              queue.foreach { n =>
+                val ns = adjMap.get(n)
+                if (ns != null) ns.foreach { m =>
+                  if (!dist.containsKey(m)) { dist.put(m, depth); nextQ += m }
+                }
+              }
+              queue = nextQ.result()
+            }
+            // frontier nodes are already in `visited` at dist d; emit
+            // only the NEWLY settled (dist > d) as the tail rows
+            import scala.jdk.CollectionConverters._
+            val tail = dist.entrySet().asScala.iterator
+              .filter(_.getValue > d).map(e => (e.getKey.longValue(), e.getValue.longValue()))
+              .toSeq
+            val tailDf = s.createDataFrame(tail).toDF("doc_id", "dist")
+            visited = ck(visited.union(tailDf))
+            done = true
+          }
+        }
         if (!done) {
-          visited = ck(visited.union(next))
-          frontier = next
+          d += 1
+          // frontier and visited ride BROADCASTS: both are node-sized
+          // (bounded by the graph's node count — tens of MB of longs
+          // even at a 100 TB corpus's dup-graph scale), and a
+          // checkpointed frame carries no stats, so without the hint
+          // the planner sort-merges the EDGE side — measured 2×
+          // slower than the whole traversal per round at sf1
+          val hits = p.join(broadcast(frontier.select(col("doc_id").as("doc_a"))), "doc_a")
+              .select(col("doc_b").as("doc_id"))
+            .union(p.join(broadcast(frontier.select(col("doc_id").as("doc_b"))), "doc_b")
+              .select(col("doc_a").as("doc_id")))
+            .distinct()
+          val next = ck(hits
+            .join(broadcast(visited.select("doc_id")), Seq("doc_id"), "left_anti")
+            .withColumn("dist", lit(d)))
+          val nc = next.count()
+          done = nc == 0
+          if (!done) {
+            visited = ck(visited.union(next))
+            visitedCount += nc
+            frontierCount = nc
+            frontier = next
+          }
         }
       }
       nodes.join(visited, Seq("doc_id"), "left")

@@ -168,4 +168,29 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
     assert(again == dist)
   }
+
+  test("graph_bfs: local-collapse tail ≡ fully-distributed traversal (differential)") {
+    // a deep graph (60-node chain with sparse shortcuts plus a
+    // disconnected pair) so the switchover is exercised MID-traversal:
+    // the entry cap at half the adjacency forces distributed rounds to
+    // settle roughly half the chain before the local pass finishes it
+    val chain = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val shortcuts = (0L until 36L by 7L).map(i => (i, i + 3L))
+    val pairs = ((chain ++ shortcuts).distinct ++ Seq((900L, 901L)))
+      .toDF("doc_a", "doc_b")
+    def run(collapse: Boolean, entryCap: Long): Map[Long, Long] =
+      GraphOps.bfsFromPairs(pairs, localCollapse = collapse,
+          nodeCap = 1000000L, entryCap = entryCap).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    val full = run(collapse = false, entryCap = 0L)
+    val totalEntries = 2L * pairs.count()
+    // mid-traversal switchover (cap at half the adjacency)
+    assert(run(collapse = true, entryCap = totalEntries / 2) == full)
+    // immediate collapse (cap above the whole graph — the sf0.1 shape)
+    assert(run(collapse = true, entryCap = totalEntries + 1) == full)
+    // unreachable component reported as -1 in every mode
+    assert(full(900L) == -1L && full(901L) == -1L)
+    // real depth: the chain end is many hops out, within the cap
+    assert(full(39L) > 5L)
+  }
 }
