@@ -369,6 +369,105 @@ case class LshBuckets(child: Expression, seed: Long, nTables: Int,
     copy(child = c)
 }
 
+/** p-stable (Euclidean) E2LSH bucket kernel — the reference ferret
+  * index's literal hash family, re-expressed from its public form
+  * (Datar-Indyk-Immorlica-Mirrokni p-stable LSH; reference
+  * apps/ferret/src/src/lsh/LSH.c:143 LSH_hash — h_ij =
+  * floor((α_ij·v + β_ij)/w) with α ~ N(0,1), β ~ U[0,w); LSH.c:129
+  * LSH_hash2 — bucket_i = Σ_j rnd_ij·h_ij mod H; benchmark/mkdb:30
+  * parameterization `-L 12 -M 17 -w 4.0708 -H 19697`). SPEC-ONLY
+  * contrast baseline (r15 verdict #7): the registered family
+  * everywhere is sign-LSH + multiprobe (ann_lsh_multiprobe), which
+  * measures HIGHER recall against the exact truth — this twin exists
+  * so REFBENCH's index-family row is apples-to-apples. Draw order
+  * (all L·M α rows, then all L·M β, then the L·M second-level
+  * multipliers) mirrors LSH.c's init; the RNG is java.util.Random
+  * (seeded, algorithm fixed by its spec) rather than gsl, and the
+  * second-level sum runs in exact Long arithmetic mod H rather than
+  * wrapping uint32 — family-identical semantics, not a bit-clone of
+  * one gsl seed stream. */
+object E2lshKernel {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int, Int, Double, Int),
+    (Array[Array[Double]], Array[Double], Array[Array[Long]])]()
+
+  def params(seed: Long, nTables: Int, m: Int, w: Double, dim: Int)
+      : (Array[Array[Double]], Array[Double], Array[Array[Long]]) =
+    cache.computeIfAbsent((seed, nTables, m, w, dim), _ => {
+      val rng = new java.util.Random(seed)
+      val alphas = Array.fill(nTables * m)(Array.fill(dim)(rng.nextGaussian()))
+      val betas = Array.fill(nTables * m)(rng.nextDouble() * w)
+      val rnd = Array.fill(nTables)(Array.fill(m)(
+        (rng.nextInt(Int.MaxValue - 1) + 1).toLong))
+      (alphas, betas, rnd)
+    })
+
+  def buckets(v: org.apache.spark.sql.catalyst.util.ArrayData, vFloat: Boolean,
+              seed: Long, nTables: Int, m: Int, w: Double, h: Int,
+              dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (alphas, betas, rnd) = params(seed, nTables, m, w, dim)
+    val out = new Array[Long](nTables)
+    val n = math.min(v.numElements(), dim)
+    var t = 0
+    var l = 0
+    while (t < nTables) {
+      var acc = 0L
+      var j = 0
+      while (j < m) {
+        val a = alphas(l)
+        var s = betas(l)
+        var i = 0
+        while (i < n) {
+          s += (if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)) * a(i)
+          i += 1
+        }
+        val hij = math.floor(s / w).toLong
+        // exact mod-H accumulation (Math.floorMod keeps it in [0, H))
+        acc = Math.floorMod(acc + Math.floorMod(rnd(t)(j) * Math.floorMod(hij, h), h), h)
+        j += 1
+        l += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** One second-level E2LSH bucket id per table ([[E2lshKernel]]) —
+  * array<bigint> of length nTables, values in [0, h). */
+case class E2lshBuckets(child: Expression, seed: Long, nTables: Int,
+                        m: Int, w: Double, h: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_e2lsh_buckets"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float|double> column, got ${dt.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    E2lshKernel.buckets(input.asInstanceOf[ArrayData], isFloat,
+      seed, nTables, m, w, h, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.E2lshKernel.buckets($c, $isFloat, ${seed}L, $nTables, $m, $w, $h, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Earth Mover's Distance between two small vector SETS — the
   * reference's `emd` vecset distance used by ferret's t_rank stage
   * (ferret-pthreads.c:870 `cass_reg_lookup(&env->vecset_dist, "emd")`).
@@ -820,4 +919,7 @@ object NativeVector {
     ColumnBridge.column(LshProbeBuckets(ColumnBridge.expression(v), seed, nTables, bits, dim, nProbes))
   def srmVecset(bytes: Column): Column =
     ColumnBridge.column(SrmVecset(ColumnBridge.expression(bytes)))
+  def e2lshBuckets(v: Column, seed: Long, nTables: Int, m: Int, w: Double,
+                   h: Int, dim: Int): Column =
+    ColumnBridge.column(E2lshBuckets(ColumnBridge.expression(v), seed, nTables, m, w, h, dim))
 }

@@ -253,6 +253,69 @@ object Similarity {
     lshSearch(e, queriesDf(e))
   }
 
+  // ---- annE2lsh: SPEC-ONLY p-stable contrast (r15 verdict #7) ----------
+  /** The reference ferret index's LITERAL hash family — p-stable
+    * Euclidean E2LSH at the mkdb parameterization (`-L 12 -M 17
+    * -w 4.0708 -H 19697`, benchmark/mkdb:30; hash semantics
+    * LSH.c:143/129 re-expressed in [[graft.functions.E2lshKernel]]) —
+    * run against the SAME query batch and output contract as the
+    * registered family: second-level bucket equi-join for candidates
+    * (no multiprobe — the binary's T=20 probing is modeled on the
+    * REGISTERED family, which is the promoted production path), then
+    * exact cosine re-rank to TopK. Spec-only, like [[annLsh]]: the
+    * registry keeps ONE LSH family (ann_lsh_multiprobe); this twin
+    * closes the last index-family asymmetry in REFBENCH — the
+    * apples-to-apples anchor SimilaritySpec measures recall against. */
+  private[graft] val E2Tables = 12
+  private[graft] val E2M = 17
+  private[graft] val E2W = 4.0708
+  private[graft] val E2H = 19697
+
+  private[graft] def annE2lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = queriesDf(e)
+    // the p-stable w is a LENGTH in data units: mkdb's 4.0708 follows
+    // the E2LSH convention of data pre-scaled so the target
+    // nearest-neighbor radius is ~1 (DIIM'04 §6 — the reference's SRM
+    // descriptors live at that scale natively). The registered query
+    // set is unit-norm-ish embeddings whose NN distances sit well
+    // below 1, so the same convention applies: scale by 1/R with R =
+    // the query batch's median exact top-1 Euclidean distance —
+    // deterministic, data-derived exactly once (spec-only path; the
+    // exact pass is the same bounded query×corpus scan as
+    // annBruteforce)
+    val l2 = aggregate(zip_with(col("qv"), col("v"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val nn = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), sqrt(l2).as("d"))
+      .groupBy("query_id").agg(min(col("d")).as("nnd"))
+      .select("nnd").collect().map(_.getDouble(0)).sorted
+    val r = if (nn.isEmpty || nn((nn.length - 1) / 2) <= 0) 1.0
+            else nn((nn.length - 1) / 2)
+    val scale = 1.0 / r
+    def withE2(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        posexplode(graft.functions.NativeVector.e2lshBuckets(
+          transform(col("v"), x => x * lit(scale)),
+          BucketSeed, E2Tables, E2M, E2W, E2H, EmbDim)))
+        .toDF("vec_id", "tbl", "bucket")
+    val corpus = withE2(e.select("vec_id", "v"))
+    val qB = withE2(q.select(col("query_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = corpus.join(broadcast(qB), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(e.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.NativeVector.cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+  }
+
   // ---- ann_lsh_multiprobe: fewer+finer tables, boundary-probe expansion
   /** Multi-probe twin of [[annLsh]] (r13; reference:
     * apps/ferret/src/src/lsh/LSH_query.c:59 gen_perturb_set, :281

@@ -199,6 +199,39 @@ class SimilaritySpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("annE2lsh (spec-only p-stable contrast, r15 verdict #7): literal E2LSH family vs the promoted multiprobe") {
+    // the reference index's LITERAL hash family (p-stable E2LSH at
+    // mkdb's -L 12 -M 17 -w 4.0708 -H 19697) run on the registered
+    // query set with the registered output contract — the
+    // apples-to-apples anchor for REFBENCH's index-family row. All
+    // hashes are seeded, so these recalls are exact constants per SF.
+    val exact = Similarity.annBruteforce(spark, sfDir)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def setOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e2 = Similarity.annE2lsh(spark, sfDir).cache()
+    // output contract: at most TopK per query, never a self-match
+    assert(e2.groupBy("query_id").count()
+      .filter(col("count") > Similarity.TopK).count() == 0)
+    assert(e2.filter(col("query_id") === col("vec_id")).count() == 0)
+    val e2Set = setOf(e2)
+    e2.unpersist()
+    val mpSet = setOf(Similarity.annLshMultiprobe(spark, sfDir))
+    val e2Recall = (e2Set & exact).size.toDouble / exact.size
+    val mpRecall = (mpSet & exact).size.toDouble / exact.size
+    info(f"E2LSH (L=12 M=17 w=4.0708 H=19697) recall=$e2Recall%.3f vs " +
+      f"multiprobe (4x8 T=${Similarity.MpProbes}) recall=$mpRecall%.3f")
+    // the family must be live (real collisions, real neighbors found)
+    assert(e2Set.nonEmpty, "E2LSH produced no candidates — the family is inert")
+    assert(e2Recall > 0.0, "E2LSH recalled none of the exact top-k")
+    // the promotion claim, quantified on-corpus: the registered
+    // multiprobe family does not lose to the literal binary family
+    assert(mpRecall >= e2Recall - 0.05,
+      f"registered family under-recalls the E2LSH contrast: $mpRecall%.3f vs $e2Recall%.3f")
+  }
+
   test("ann_lsh_multiprobe: recall monotone in probe count, probes buy real recall") {
     val exact = Similarity.annBruteforce(spark, sfDir)
       .select("query_id", "vec_id").collect()
