@@ -121,10 +121,30 @@ case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expr
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val idx = index.value
-    // the declarative dist_plan twin null-propagates (drops) short
-    // descriptors; silently zero-padding here would let the two
-    // "bit-identical" paths diverge — fail fast instead
+    val (stamps, genHolder) = seenTL.get()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      FerretProbeCore.rankRegion(v, index.value, mu, sd, seed, nTables,
+        bits, dim, nProbes, depth, stamps, genHolder))
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = c)
+}
+
+/** The per-region probe+rank core shared by [[FerretProbeRank]] (one
+  * region per eval, the r14 kernel) and [[FerretProbeRankSet]] (whole
+  * vecset per eval, r16) — extracted verbatim so the two cannot
+  * drift; the differential spec pins both against the declarative
+  * dist_plan twin. */
+private[graft] object FerretProbeCore {
+  def rankRegion(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                 idx: FerretRegionIndex,
+                 mu: Array[Double], sd: Array[Double], seed: Long,
+                 nTables: Int, bits: Int, dim: Int, nProbes: Int, depth: Int,
+                 stamps: Array[Int], genHolder: Array[Int]): Array[Any] = {
+    // the declarative dist_plan twin fail-fasts on a non-dim
+    // descriptor (raise_error) — identical behavior here
     require(v.numElements() == dim,
       s"graft_ferret_probe_rank: descriptor length ${v.numElements()} != dim $dim")
     val n = dim
@@ -139,7 +159,6 @@ case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expr
     val probes = graft.functions.LshProbeKernel.probes(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(z), false,
       seed, nTables, bits, dim, nProbes)
-    val (stamps, genHolder) = seenTL.get()
     genHolder(0) += 1
     val gen = genHolder(0)
     val stride = nProbes + 1
@@ -186,6 +205,51 @@ case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expr
     var o = 0
     val it = pq.iterator()
     while (it.hasNext) { out(o) = idx.img(it.next()._2); o += 1 }
+    out
+  }
+}
+
+/** Whole-vecset probe+rank (r16): [[FerretProbeCore.rankRegion]] per
+  * region IN REGION ORDER, the per-region candidate lists
+  * concatenated with first-occurrence dedup — exactly
+  * array_distinct(flatten(collect_list(cands))) over the exploded
+  * per-region rows (the r14-r15 merge), but evaluated inside ONE row
+  * so the whole query tail (decode → extract → probe → EMD → top-K)
+  * fuses into a single map stage: no per-query groupBy, no decode
+  * cache, no second job wave per pass. */
+case class FerretProbeRankSet(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: org.apache.spark.broadcast.Broadcast[FerretRegionIndex],
+    mu: Array[Double], sd: Array[Double], seed: Long, nTables: Int,
+    bits: Int, dim: Int, nProbes: Int, depth: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ferret_probe_rank_set"
+
+  @transient private lazy val seenTL =
+    new ThreadLocal[(Array[Int], Array[Int])] {
+      override def initialValue(): (Array[Int], Array[Int]) =
+        (new Array[Int](index.value.vecs.length), Array(0))
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vset = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (stamps, genHolder) = seenTL.get()
+    // LinkedHashSet: first-occurrence order, the array_distinct rule
+    val seen = new java.util.LinkedHashSet[Any]()
+    var r = 0
+    while (r < vset.numElements()) {
+      val cands = FerretProbeCore.rankRegion(vset.getArray(r), index.value,
+        mu, sd, seed, nTables, bits, dim, nProbes, depth, stamps, genHolder)
+      var j = 0
+      while (j < cands.length) { seen.add(cands(j)): Unit; j += 1 }
+      r += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
@@ -196,13 +260,15 @@ case class FerretProbeRank(child: org.apache.spark.sql.catalyst.expressions.Expr
 
 /** EMD against the RESIDENT vecset table: same model as
   * [[FerretIndexProbe]] for the re-rank attach — the db vecsets are
-  * loaded once (the binary's raw table), so the EMD stage needs no
-  * per-pass broadcast join at all. */
+  * loaded once (the binary's raw table), PRE-CONVERTED to plain
+  * double arrays at build time (r16 — the per-candidate ArrayData
+  * decode used to repeat per EMD call), so the EMD stage needs no
+  * per-pass broadcast join and no per-call db-side conversion. */
 case class FerretDbEmd(first: org.apache.spark.sql.catalyst.expressions.Expression,
     second: org.apache.spark.sql.catalyst.expressions.Expression,
     third: org.apache.spark.sql.catalyst.expressions.Expression,
     index: org.apache.spark.broadcast.Broadcast[Map[org.apache.spark.unsafe.types.UTF8String,
-      (org.apache.spark.sql.catalyst.util.ArrayData, org.apache.spark.sql.catalyst.util.ArrayData)]])
+      (Array[Array[Double]], Array[Double])]])
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
@@ -210,10 +276,91 @@ case class FerretDbEmd(first: org.apache.spark.sql.catalyst.expressions.Expressi
   override def prettyName: String = "graft_ferret_db_emd"
   override protected def nullSafeEval(qset: Any, qw: Any, img: Any): Any = {
     val (cset, cw) = index.value(img.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-    graft.functions.EmdWeightedKernel.emd(
-      qset.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      qw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      cset, cw, false, false, false, false)
+    graft.functions.EmdWeightedKernel.emdArrays(
+      FerretEmdConvert.vecs(qset.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]),
+      FerretEmdConvert.weights(qw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]),
+      cset, cw)
+  }
+  override protected def withNewChildrenInternal(
+      f: org.apache.spark.sql.catalyst.expressions.Expression,
+      s: org.apache.spark.sql.catalyst.expressions.Expression,
+      t: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** ArrayData → plain-array conversion shared by the EMD expressions
+  * (exact — element reads only, so [[FerretDbEmd]] over converted
+  * inputs is bit-identical to the r15 ArrayData path). */
+private[graft] object FerretEmdConvert {
+  def vecs(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Array[Double]] =
+    Array.tabulate(a.numElements()) { i =>
+      val row = a.getArray(i)
+      Array.tabulate(row.numElements())(row.getDouble)
+    }
+  def weights(w: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] =
+    Array.tabulate(w.numElements())(w.getDouble)
+}
+
+/** Whole-candidate-list EMD re-rank (r16): the query vecset converts
+  * ONCE, every candidate's resident (pre-converted) vecset solves one
+  * exact flow, and the top-K cut runs as a bounded worst-at-head heap
+  * on (emd, cand_img) INSIDE the eval — replacing the r15 tail's
+  * per-element HOF machinery (lambda binding + struct allocation per
+  * candidate) and the interpreted array_sort over ~700 structs per
+  * query. Output: ascending (emd, cand_img) structs, length ≤ k —
+  * exactly slice(array_sort(...), 1, k) of the per-candidate scores
+  * (UTF8String.compareTo IS Spark's StringType ordering), so the
+  * final top-K rows are bit-identical to the declarative form. */
+case class FerretDbEmdTopK(first: org.apache.spark.sql.catalyst.expressions.Expression,
+    second: org.apache.spark.sql.catalyst.expressions.Expression,
+    third: org.apache.spark.sql.catalyst.expressions.Expression,
+    index: org.apache.spark.broadcast.Broadcast[Map[org.apache.spark.unsafe.types.UTF8String,
+      (Array[Array[Double]], Array[Double])]],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("emd", DoubleType, nullable = false),
+    StructField("cand_img", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ferret_db_emd_topk"
+  override protected def nullSafeEval(qset: Any, qw: Any, cands: Any): Any = {
+    val va = FerretEmdConvert.vecs(qset.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    val wa = FerretEmdConvert.weights(qw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    val cs = cands.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val idx = index.value
+    // worst-at-head: larger emd first, ties by larger cand_img
+    val worstFirst = new java.util.Comparator[(Double, org.apache.spark.unsafe.types.UTF8String)] {
+      def compare(a: (Double, org.apache.spark.unsafe.types.UTF8String),
+                  b: (Double, org.apache.spark.unsafe.types.UTF8String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else b._2.compareTo(a._2)
+      }
+    }
+    val pq = new java.util.PriorityQueue[(Double, org.apache.spark.unsafe.types.UTF8String)](k + 1, worstFirst)
+    var i = 0
+    while (i < cs.numElements()) {
+      val img = cs.getUTF8String(i)
+      val (vb, wb) = idx(img)
+      val d = graft.functions.EmdWeightedKernel.emdArrays(va, wa, vb, wb)
+      if (pq.size < k) pq.offer((d, img)): Unit
+      else {
+        val w = pq.peek()
+        if (d < w._1 || (d == w._1 && img.compareTo(w._2) < 0)) {
+          pq.poll(); pq.offer((d, img)): Unit
+        }
+      }
+      i += 1
+    }
+    // drain worst-first, fill back-to-front → ascending (emd, cand)
+    val out = new Array[Any](pq.size)
+    var o = out.length - 1
+    while (o >= 0) {
+      val (d, img) = pq.poll()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(d, img)
+      o -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
   override protected def withNewChildrenInternal(
       f: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -233,11 +380,13 @@ object RefFerret {
   // 0 = base-bucket-only probing (the r12 cells)
   private def LshProbes: Int =
     sys.env.get("GRAFT_FERRET_PROBES").map(_.toInt).getOrElse(20)
-  // over-fetch ordering: "dist" (DEFAULT — the fused FerretProbeRank
-  // kernel, the binary's t_vec semantics), "dist_plan" (the same
-  // semantics as the declarative r13 plan — the kernel's differential
-  // reference), or "count" (collision-count merge, the r12 speed
-  // cells)
+  // over-fetch ordering: "dist" (DEFAULT — the r16 single-stage
+  // FerretProbeRankSet pass, the binary's t_vec semantics),
+  // "dist_region" (the r14-r15 per-region kernel + groupBy merge —
+  // the set kernel's differential reference), "dist_plan" (the same
+  // semantics as the declarative r13 plan — the kernels' declarative
+  // differential reference), or "count" (collision-count merge, the
+  // r12 speed cells)
   private def RankBy: String = sys.env.getOrElse("GRAFT_FERRET_RANKBY", "dist")
   // GRAFT_FERRET_BITS overrides for the matched-memory recall sweep
   // (bits set bucket RESOLUTION; index entries/vector stay 1/table).
@@ -585,17 +734,18 @@ object RefFerret {
     }
     // force the mode's own index UNTIMED (inside the db-build window,
     // like the binary's resident tables)
-    if (RankBy == "dist") { regionIndex; () } else { probeIndex; () }
+    if (RankBy == "dist" || RankBy == "dist_region") { regionIndex; () }
+    else { probeIndex; () }
+    // pre-converted plain arrays (r16): every EMD call used to decode
+    // the candidate's ArrayData vecset — at 5k queries × ~700
+    // candidates that conversion repeated 3.5M times per pass
     val emdIndex = spark.sparkContext.broadcast(
       dbImages.collect().map { r =>
-        val cset = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          r.getSeq[scala.collection.Seq[Double]](1)
-            .map(v => new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray): Any).toArray)
-        val cw = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          r.getSeq[Double](2).toArray)
+        val cset = r.getSeq[scala.collection.Seq[Double]](1)
+          .map(_.toArray).toArray
+        val cw = r.getSeq[Double](2).toArray
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)) ->
-          ((cset: org.apache.spark.sql.catalyst.util.ArrayData,
-            cw: org.apache.spark.sql.catalyst.util.ArrayData))
+          ((cset, cw))
       }.toMap)
     val dbBuildSec = (System.nanoTime() - t0) / 1e9
     // the db-side checkpoints are the index — they must survive every
@@ -607,6 +757,64 @@ object RefFerret {
     // ---- timed passes: the binary's query_time window ----
     def pass(writeOut: Option[String]): Double = {
       val t = System.nanoTime()
+      // ---- the DEFAULT (dist) pass: ONE fused map stage (r16) ----
+      // decode → SRM/extract → multiprobe probe+rank → EMD → top-K
+      // all evaluated inside the scan task's row: FerretProbeRankSet
+      // merges the per-region candidate lists in region order
+      // (bit-identical to the r15 explode + groupBy merge, proven by
+      // the dist_plan differential), and the EMD re-rank rides a
+      // transform() over that list against the resident vecset
+      // table — so the pass needs NO exchange, NO decode cache, NO
+      // second job wave: exactly the binary's pipeline model (queries
+      // stream through one thread-pipeline against in-RAM tables).
+      // The r15 shape paid a decode-materialization job plus a
+      // per-query groupBy per pass — ~0.3 s of fixed scheduling at
+      // 1k queries, the whole remaining head-to-head gap.
+      if (RankBy == "dist") {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        // default one-wave slicing: measured against 4 slices/core,
+        // over-slicing bought no wall-clock (the per-image variance
+        // amortizes at 31 imgs/task) and cost ~10% extra CPU in task
+        // machinery
+        val qRaw = graft.sources.BinaryFiles.readDirDirect(spark, queryDir, "*.jpg")
+          .toDF("img", "bytes")
+          .select(col("img"), explode(array(
+            graft.functions.NativeVector.srmVecset(col("bytes")))).as("s"))
+          .select(col("img"), col("s.vset").as("vset"), col("s.wset").as("wset"))
+        val cands = ColumnBridge.column(FerretProbeRankSet(
+          ColumnBridge.expression(col("vset")),
+          regionIndex, mu.toArray, sd.toArray, BucketSeed, LshTables,
+          LshBitsKnob, Dim, LshProbes, 2 * topK))
+        val ranked = qRaw
+          .select(col("img").as("query_img"),
+            ColumnBridge.column(FerretDbEmdTopK(
+              ColumnBridge.expression(col("vset")),
+              ColumnBridge.expression(col("wset")),
+              ColumnBridge.expression(cands), emdIndex, topK)).as("top"))
+          .select(col("query_img"), posexplode(col("top")))
+          .select(col("query_img"),
+            col("col").getField("cand_img").as("cand_img"),
+            col("col").getField("emd").as("emd"),
+            (col("pos") + 1).as("rank"))
+        if (sys.env.contains("GRAFT_FERRET_STAGETIME")) {
+          // diagnosis only: prefixes re-materialize, read as deltas
+          val t1 = System.nanoTime()
+          qRaw.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          qRaw.select(col("img"), cands.as("cands"))
+            .write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          System.err.println(f"[refferret]   STAGETIME decode ${(t2 - t1) / 1e9}%.2f s | +probe ${(t3 - t2) / 1e9}%.2f s")
+        }
+        writeOut match {
+          case Some(p) => ranked.repartition(1) // exchange, not coalesce
+            .write.mode("overwrite").parquet(p)
+          case None => ranked.write.format("noop").mode("overwrite").save()
+        }
+        val tAll = (System.nanoTime() - t) / 1e9
+        System.err.println(f"[refferret]   fused one-stage pass $tAll%.2f s")
+        return tAll
+      }
       // The pass's ONLY exchange moves the RAW query files (one tiny
       // row per image) so everything after it is already clustered by
       // query_img. Decode+SRM+extract runs as a Catalyst EXPRESSION
@@ -675,11 +883,12 @@ object RefFerret {
       // [[FerretProbeRank]] kernel; "dist_plan" is the declarative
       // r13 twin kept as its differential reference; "count" is the
       // r12 collision-count merge.
-      val over = if (RankBy == "dist") {
-        // fused probe+rank inside the segmentation stage's map tasks;
-        // the per-query image union (cass_result_merge_lists) is a
-        // clustering-preserving groupBy — qS is partitioned by img,
-        // so the whole tail stays exchange-free
+      // "dist" never reaches here (the fused single-stage branch above
+      // returned); "dist_region" keeps the r14-r15 per-region-kernel +
+      // groupBy-merge shape executable as the fused-set kernel's OWN
+      // differential reference (RefFerretKernelSpec pins all three
+      // rank modes to identical top-K rows)
+      val over = if (RankBy == "dist_region") {
         regionsOf(qS).toDF("query_img", "qridx", "qv")
           .select(col("query_img"),
             org.apache.spark.sql.graftbridge.ColumnBridge.column(FerretProbeRank(

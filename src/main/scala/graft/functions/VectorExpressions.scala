@@ -589,6 +589,20 @@ object EmdWeightedKernel {
     if (totalFlow <= 0) 0.0 else totalCost / totalFlow
   }
 
+  /** [[emd]] on pre-converted plain arrays (both sides) — the ferret
+    * re-rank hot path (r16): the query vecset converts ONCE per query
+    * and the resident db vecsets convert ONCE at index-build time, so
+    * the per-candidate cost is exactly one solveFlow. Same arithmetic
+    * as [[emd]] (the conversion is exact), so results are
+    * bit-identical. */
+  def emdArrays(va: Array[Array[Double]], wa: Array[Double],
+                vb: Array[Array[Double]], wb: Array[Double]): Double = {
+    require(wa.length == va.length && wb.length == vb.length,
+      s"graft_emd_w weight/vector cardinality mismatch (${va.length}/${wa.length}, ${vb.length}/${wb.length})")
+    val (_, _, totalFlow, totalCost) = solveFlow(va, wa, vb, wb)
+    if (totalFlow <= 0) 0.0 else totalCost / totalFlow
+  }
+
   /** Solve + duals, on plain arrays (the verification path — the hot
     * ranking path goes through [[emd]] and skips the dual pass). */
   def certificate(va: Array[Array[Double]], wa: Array[Double],
