@@ -127,6 +127,33 @@ object HashKernels {
     common
   }
 
+  /** All three corner credits of one degree-oriented edge from ONE
+    * two-pointer merge (r16): for edge (u,v), |adj⁺(u) ∩ adj⁺(v)| = k
+    * pays u and v, and each intersection element w pays 1 — emitted
+    * together as (id, credit) rows so the triangle plan runs the
+    * merge (and the adjacency attach feeding it) exactly ONCE instead
+    * of a count pass plus an elements pass. */
+  def triCredits(a: ArrayData, b: ArrayData, u: Long, v: Long): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var k = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { buf(k) = x; k += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val out = new Array[Any](k + 2)
+    out(0) = org.apache.spark.sql.catalyst.InternalRow(u, k.toLong)
+    out(1) = org.apache.spark.sql.catalyst.InternalRow(v, k.toLong)
+    var o = 0
+    while (o < k) {
+      out(o + 2) = org.apache.spark.sql.catalyst.InternalRow(buf(o), 1L)
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** A ∩ B of two ASCENDING-sorted long arrays via the same
     * two-pointer merge, ELEMENTS (ascending) rather than cardinality —
     * the generator input of degree-oriented triangle counting's
@@ -252,6 +279,40 @@ case class SortedIntersect(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Per-edge triangle corner credits ([[HashKernels.triCredits]]):
+  * array<struct<id bigint, c bigint>> — (u, k), (v, k), then one
+  * (w, 1) per intersection element. Explode feeds a partial
+  * aggregate, so per-triangle rows exist only inside the stage. */
+case class TriCredits(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_tri_credits"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second).forall(_.dataType match {
+          case ArrayType(LongType, false) => true; case _ => false }) &&
+        Seq(third, fourth).forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>, bigint, bigint), got " +
+        children.map(_.dataType.sql).mkString(", "))
+
+  override protected def nullSafeEval(a: Any, b: Any, u: Any, v: Any): Any =
+    HashKernels.triCredits(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      u.asInstanceOf[Long], v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, u, v) =>
+      s"graft.functions.HashKernels.triCredits($a, $b, $u, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Column constructors. */
 object NativeHash {
   def minhashSig(hs: Column, nPerms: Int): Column =
@@ -264,4 +325,7 @@ object NativeHash {
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sortedIntersect(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def triCredits(a: Column, b: Column, u: Column, v: Column): Column =
+    ColumnBridge.column(TriCredits(ColumnBridge.expression(a), ColumnBridge.expression(b),
+      ColumnBridge.expression(u), ColumnBridge.expression(v)))
 }

@@ -56,19 +56,30 @@ object GraphOps {
     * the clustersFromPairs lifecycle discipline. */
   private[graft] def pagerankFromPairs(pairs: DataFrame): DataFrame =
     CheckpointScope.scoped(pairs.sparkSession) { ck =>
-      val p = pairs.toDF("doc_a", "doc_b")
-      val edges = ck(p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col("src")))
-      val deg = ck(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      // ONE checkpoint of the canonical pairs; each iteration probes
+      // it from both endpoint columns with the node-sized
+      // contribution table BROADCAST (r16 — the r15 plan materialized
+      // the symmetric 2m-row edge table with a full repartition, then
+      // sort-merged it against a stats-less checkpointed contrib
+      // every iteration: at sf1 that was one 90M-row shuffle up front
+      // plus six 90M-row sorts, the whole key's cost). The grouped
+      // inflow sum partial-aggregates map-side, so the only
+      // per-iteration shuffle is node-sized.
+      val p = ck(pairs.toDF("doc_a", "doc_b"))
+      val deg = ck(p.select(col("doc_a").as("src"))
+        .union(p.select(col("doc_b").as("src")))
+        .groupBy("src").agg(count(lit(1)).as("deg")))
       var ranks = ck(deg.select(col("src").as("doc_id"), col("deg"),
         lit(PrInit).as("rank")))
       for (_ <- 1 to PrIters) {
         val contrib = ranks.select(col("doc_id").as("src"),
           expr(s"(${85}L * rank) DIV (${100}L * deg)").as("c"))
-        ranks = ck(edges.join(contrib, "src")
-          .groupBy(col("dst").as("doc_id"))
-          .agg(sum("c").as("inflow"))
+        val inflow = p.join(broadcast(contrib),
+            col("doc_a") === col("src")).select(col("doc_b").as("doc_id"), col("c"))
+          .union(p.join(broadcast(contrib),
+            col("doc_b") === col("src")).select(col("doc_a").as("doc_id"), col("c")))
+          .groupBy("doc_id").agg(sum("c").as("inflow"))
+        ranks = ck(inflow
           .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
           .select(col("doc_id"), col("deg"),
             (lit(PrBase) + col("inflow")).as("rank")))
@@ -142,15 +153,14 @@ object GraphOps {
     * intersections only (r16, tightening the r15 plan): orient each
     * edge low→high by (deg, id), build the oriented out-adjacency
     * table once (sorted), and resolve EVERY corner credit at the
-    * minimal corner's edge (u,v): |adj⁺(u) ∩ adj⁺(v)| pays u and v
-    * (allocation-free count kernel,
-    * [[graft.functions.HashKernels.intersectCountLong]]), and the
-    * intersection ELEMENTS — which are exactly the third corners w —
-    * pay w through an explode that streams straight into a partial
-    * aggregate ([[graft.functions.HashKernels.intersectLong]]): the
-    * per-triangle rows exist only inside whole-stage codegen and the
-    * map-side combine collapses them to node cardinality before any
-    * shuffle. The r15 plan paid w's credit from a SECOND,
+    * minimal corner's edge (u,v) from ONE two-pointer merge
+    * ([[graft.functions.HashKernels.triCredits]]): |adj⁺(u) ∩
+    * adj⁺(v)| = k pays u and v, and the intersection ELEMENTS —
+    * which are exactly the third corners w — each pay 1; all three
+    * credits explode from the same kernel eval straight into a
+    * partial aggregate, so the per-triangle rows exist only inside
+    * whole-stage codegen and the map-side combine collapses them to
+    * node cardinality before any shuffle. The r15 plan paid w's credit from a SECOND,
     * in-adjacency table (|adj⁻(v) ∩ adj⁻(w)| at the closing edge) —
     * but in-lists under this orientation are NOT degeneracy-bounded
     * (a hub's in-list is its full degree), which is where the sf1
@@ -173,24 +183,18 @@ object GraphOps {
       // intersections are two-pointer merges
       val adjOut = o.groupBy(col("u").as("doc_id"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      def attached = Dedup.attachSide(Dedup.attachSide(o,
+      val attached = Dedup.attachSide(Dedup.attachSide(o,
         adjOut.select(col("doc_id").as("u"), col("nbrs").as("nbrs_u")), "u"),
         adjOut.select(col("doc_id").as("v"), col("nbrs").as("nbrs_v")), "v")
-      // pass 1 — counts only (no arrays leave the kernel): u and v
-      // each earn |adj⁺(u) ∩ adj⁺(v)| at their shared minimal edge
-      val cntOut = attached
-        .select(col("u"), col("v"),
-          graft.functions.NativeHash.sortedIntersectCount(
-            col("nbrs_u"), col("nbrs_v")).as("c"))
-      // pass 2 — the SAME intersections' elements are the w corners;
-      // explode → count(*) aggregates them at node cardinality
-      val wCred = attached
-        .select(explode(graft.functions.NativeHash.sortedIntersect(
-          col("nbrs_u"), col("nbrs_v"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("c"))
-      val corners = cntOut.select(col("u").as("doc_id"), col("c"))
-        .union(cntOut.select(col("v").as("doc_id"), col("c")))
-        .union(wCred)
+      // ONE merge per edge (TriCredits): (u, k), (v, k), and one
+      // (w, 1) per intersection element come out of the same
+      // two-pointer pass — the r16.0 two-pass shape (count pass +
+      // elements pass) re-ran both the adjacency attach and the merge
+      // per pass, measured as the two dominant stages at sf1
+      val corners = attached
+        .select(explode(graft.functions.NativeHash.triCredits(
+          col("nbrs_u"), col("nbrs_v"), col("u"), col("v"))).as("cr"))
+        .select(col("cr.id").as("doc_id"), col("cr.c").as("c"))
         .groupBy("doc_id").agg(sum(col("c")).as("n_tri"))
       // node-sized; materialized OUTSIDE ck so the scope can free the
       // edge/orientation blocks the moment the counts exist
@@ -201,11 +205,13 @@ object GraphOps {
     }
   }
 
-  /** The shared low→high (deg, id) edge orientation. */
+  /** The shared low→high (deg, id) edge orientation. The degree table
+    * is NODE-sized and checkpointed (no stats) — broadcast it
+    * explicitly or the planner sort-merges the EDGE side twice. */
   private def orientByDegree(p: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = p
-      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
-      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .join(broadcast(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a"))), "doc_a")
+      .join(broadcast(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b"))), "doc_b")
     val aFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
     withDeg.select(

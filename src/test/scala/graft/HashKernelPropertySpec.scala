@@ -42,6 +42,24 @@ class HashKernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("triCredits emits (u,k),(v,k) then one (w,1) per intersection element") {
+    for (_ <- 0 until 300) {
+      val pool = Array.fill(60)(rng.nextLong(1000)).distinct
+      def draw() = pool.filter(_ => rng.nextBoolean()).sorted
+      val a = draw(); val b = draw()
+      val inter = a.toSet.intersect(b.toSet).toSeq.sorted
+      val u = rng.nextLong(1000); val v = rng.nextLong(1000)
+      val got = HashKernels.triCredits(
+        new GenericArrayData(a), new GenericArrayData(b), u, v)
+      val rows = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val k = inter.size.toLong
+      assert(rows.take(2) == Seq((u, k), (v, k)))
+      assert(rows.drop(2) == inter.map(w => (w, 1L)))
+    }
+  }
+
   test("intersectLong emits the ascending Set intersection on sorted inputs") {
     // the elements twin (triangle third-corner credits): same
     // sortedness contract, and the output must itself be ascending —

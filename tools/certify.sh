@@ -36,6 +36,30 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   2> "$OUT/bench.stderr" | grep '"metric"' | tee "$OUT/BENCH.json"
 cp target/bench_full.json "$OUT/BENCH_full.json"
 
+echo "=== [2b/3] BENCH @ sf1 (10x): the standing scale-certification gate ==="
+# r15 verdict #1: the full-suite bench at 10x the driver SF runs every
+# round at final HEAD, at the DEFAULT driver heap (the r15 one-off
+# needed SPARK_DRIVER_MEM=48g because memory sinks collected streaming
+# results onto the driver; r16 removed every corpus-scaled memory
+# sink, so 8g is the bar). One measured pass: the sf1 point is a
+# scale reading (step-up ratios vs sf0.1), not a median-precision
+# race. Gate: 0 failed keys.
+SF1=target/sf1
+if [ ! -d "$SF1" ]; then
+  echo "generating $SF1 (GenScale 10x from sf0.1)..."
+  sbt -batch "runMain graft.GenScale /root/testdata/sf0.1 $SF1 10" \
+    > "$OUT/genscale.log" 2>&1
+fi
+SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_PASSES=1 \
+  sbt -batch "runMain graft.Bench" \
+  2> "$OUT/bench_sf1.stderr" | grep '"metric"' | tee "$OUT/BENCH_sf1.json"
+cp target/bench_full.json "$OUT/BENCH_sf1_full.json"
+if python3 -c "import json,sys; d=json.load(open('$OUT/BENCH_sf1.json')); sys.exit(0 if d['n_failed']==0 else 1)"; then
+  echo "BENCH sf1: green (0 failed at default heap)"
+else
+  echo "BENCH sf1: RED (failed keys at sf1 — see $OUT/BENCH_sf1.json)"; exit 1
+fi
+
 if [ "$SKIP_REF" != "--skip-refbench" ]; then
   echo "=== [3/3] REFBENCH: head-to-head vs dedup_pthreads ==="
   CORPUS=/tmp/refbench/corpus
