@@ -306,6 +306,20 @@ object StreamingOps {
     s.read.parquet(outDir)
   }
 
+  /** Admission control sized to the corpus (r16): a FIXED 25k-row
+    * trigger made the drain's trigger count grow linearly with the
+    * corpus (40 triggers at sf1, each paying full micro-batch
+    * machinery — exactly the shape that breaks at 100 TB). A
+    * production drain sizes its trigger to throughput: total/16 with
+    * a 25k floor keeps the trigger count O(16) at ANY scale while the
+    * multi-trigger state paths (watermark advance across triggers,
+    * session merge) still genuinely run. Results are
+    * trigger-boundary-independent by design (the sentinels close
+    * every real window at the end), which is what the DuckDB batch
+    * oracle proves. */
+  private def replayRowsPerTrigger(s: SparkSession, dir: String): Long =
+    math.max(25000L, (Tables.events(s, dir).count() + 15) / 16)
+
   def streamReplay(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.DecimalType
@@ -321,7 +335,8 @@ object StreamingOps {
     // batch filter below is defensive.
     drainToParquet(s, "replay") { (outDir, ckpt) =>
       s.readStream.format("graft.sources.ReplayLogProvider")
-        .option("path", logDir).option("maxRowsPerTrigger", "25000").load()
+        .option("path", logDir)
+        .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
@@ -366,7 +381,8 @@ object StreamingOps {
     val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
     drainToParquet(s, "sessions") { (outDir, ckpt) =>
       s.readStream.format("graft.sources.ReplayLogProvider")
-        .option("path", logDir).option("maxRowsPerTrigger", "25000").load()
+        .option("path", logDir)
+        .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n_events"))
