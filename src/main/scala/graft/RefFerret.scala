@@ -293,12 +293,9 @@ case class FerretDbEmd(first: org.apache.spark.sql.catalyst.expressions.Expressi
   * inputs is bit-identical to the r15 ArrayData path). */
 private[graft] object FerretEmdConvert {
   def vecs(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Array[Double]] =
-    Array.tabulate(a.numElements()) { i =>
-      val row = a.getArray(i)
-      Array.tabulate(row.numElements())(row.getDouble)
-    }
+    Array.tabulate(a.numElements())(a.getArray(_).toDoubleArray())
   def weights(w: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] =
-    Array.tabulate(w.numElements())(w.getDouble)
+    w.toDoubleArray()
 }
 
 /** Whole-candidate-list EMD re-rank (r16): the query vecset converts

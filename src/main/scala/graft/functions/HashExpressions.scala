@@ -154,27 +154,6 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** A ∩ B of two ASCENDING-sorted long arrays via the same
-    * two-pointer merge, ELEMENTS (ascending) rather than cardinality —
-    * the generator input of degree-oriented triangle counting's
-    * third-corner credit (the intersection elements ARE the w
-    * corners; explode feeds a partial aggregate, so the triangle
-    * identities stream through codegen without a join or shuffle at
-    * triangle cardinality). Same sortedness contract as
-    * [[intersectCountLong]], pinned by HashKernelPropertySpec. */
-  def intersectLong(a: ArrayData, b: ArrayData): ArrayData = {
-    val na = a.numElements(); val nb = b.numElements()
-    val buf = new Array[Long](math.min(na, nb))
-    var i = 0; var j = 0; var k = 0
-    while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { buf(k) = x; k += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k))
-  }
 }
 
 private object HashExprCheck {
@@ -258,27 +237,6 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Intersection ELEMENTS of two ascending-sorted long-array sets
-  * ([[HashKernels.intersectLong]]) — the explode-side twin of
-  * [[SortedIntersectCount]] for per-element credits. */
-case class SortedIntersect(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_sorted_intersect"
-  override def checkInputDataTypes(): TypeCheckResult =
-    HashExprCheck.requireLongArray(prettyName, left.dataType, right.dataType)
-
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.intersectLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.HashKernels.intersectLong($a, $b)")
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
 /** Per-edge triangle corner credits ([[HashKernels.triCredits]]):
   * array<struct<id bigint, c bigint>> — (u, k), (v, k), then one
   * (w, 1) per intersection element. Explode feeds a partial
@@ -323,8 +281,6 @@ object NativeHash {
     ColumnBridge.column(LongSetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
-  def sortedIntersect(a: Column, b: Column): Column =
-    ColumnBridge.column(SortedIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def triCredits(a: Column, b: Column, u: Column, v: Column): Column =
     ColumnBridge.column(TriCredits(ColumnBridge.expression(a), ColumnBridge.expression(b),
       ColumnBridge.expression(u), ColumnBridge.expression(v)))

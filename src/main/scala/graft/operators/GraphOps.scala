@@ -40,6 +40,16 @@ object GraphOps {
   private[operators] val PrBase = 150000000L
   private[operators] val PrIters = 6
 
+  /** Broadcast a NODE-sized frame only while its exact row count
+    * stays far under Spark's broadcast hard cap (8 GB / executor
+    * memory); past the gate, fall back to a plain join and let the
+    * planner/AQE choose — graceful degradation instead of an abort
+    * at extreme dup-graph node counts (r16 review). 50M long-keyed
+    * rows ≈ hundreds of MB broadcast, a deliberate ceiling. */
+  private[operators] val BroadcastNodeCap = 50000000L
+  private def bcIf(df: DataFrame, n: Long): DataFrame =
+    if (n <= BroadcastNodeCap) broadcast(df) else df
+
   /** Mutual-kNN sparsification degree for graph_triangles_lsh —
     * declared HERE, above every val that interpolates it into oracle
     * SQL (object-init order: a later-declared val reads as 0). */
@@ -69,14 +79,15 @@ object GraphOps {
       val deg = ck(p.select(col("doc_a").as("src"))
         .union(p.select(col("doc_b").as("src")))
         .groupBy("src").agg(count(lit(1)).as("deg")))
+      val nNodes = deg.count()
       var ranks = ck(deg.select(col("src").as("doc_id"), col("deg"),
         lit(PrInit).as("rank")))
       for (_ <- 1 to PrIters) {
         val contrib = ranks.select(col("doc_id").as("src"),
           expr(s"(${85}L * rank) DIV (${100}L * deg)").as("c"))
-        val inflow = p.join(broadcast(contrib),
+        val inflow = p.join(bcIf(contrib, nNodes),
             col("doc_a") === col("src")).select(col("doc_b").as("doc_id"), col("c"))
-          .union(p.join(broadcast(contrib),
+          .union(p.join(bcIf(contrib, nNodes),
             col("doc_b") === col("src")).select(col("doc_a").as("doc_id"), col("c")))
           .groupBy("doc_id").agg(sum("c").as("inflow"))
         ranks = ck(inflow
@@ -178,7 +189,7 @@ object GraphOps {
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
-      val o = ck(orientByDegree(p, deg).select("u", "v"))
+      val o = ck(orientByDegree(p, deg, deg.count()).select("u", "v"))
       // out-adjacency, node-sized, sorted ONCE so the closing
       // intersections are two-pointer merges
       val adjOut = o.groupBy(col("u").as("doc_id"))
@@ -207,11 +218,12 @@ object GraphOps {
 
   /** The shared low→high (deg, id) edge orientation. The degree table
     * is NODE-sized and checkpointed (no stats) — broadcast it
-    * explicitly or the planner sort-merges the EDGE side twice. */
-  private def orientByDegree(p: DataFrame, deg: DataFrame): DataFrame = {
+    * explicitly (size-gated) or the planner sort-merges the EDGE side
+    * twice. */
+  private def orientByDegree(p: DataFrame, deg: DataFrame, nNodes: Long): DataFrame = {
     val withDeg = p
-      .join(broadcast(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a"))), "doc_a")
-      .join(broadcast(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b"))), "doc_b")
+      .join(bcIf(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), nNodes), "doc_a")
+      .join(bcIf(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), nNodes), "doc_b")
     val aFirst = col("deg_a") < col("deg_b") ||
       (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
     withDeg.select(
@@ -229,7 +241,7 @@ object GraphOps {
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
-      val o = ck(orientByDegree(p, deg))
+      val o = ck(orientByDegree(p, deg, deg.count()))
       val wedges = o
         .join(o.select(col("u"), col("v").as("w"), col("deg_v").as("deg_w")), "u")
         .filter(col("deg_v") < col("deg_w") ||
@@ -382,15 +394,23 @@ object GraphOps {
         if (localCollapse && unsettled <= nodeCap &&
             unsettled <= lastEntryAttempt / 2) {
           lastEntryAttempt = unsettled
-          // interior tags ride node-sized broadcasts; an edge is
-          // settled only when BOTH endpoints are interior
-          val ia = broadcast(visited.filter(col("dist") < d)
-            .select(col("doc_id").as("doc_a")).withColumn("ia", lit(true)))
-          val ib = broadcast(visited.filter(col("dist") < d)
-            .select(col("doc_id").as("doc_b")).withColumn("ib", lit(true)))
+          // interior tags ride node-sized broadcasts. Keep ONLY edges
+          // with BOTH endpoints non-interior (frontier or unvisited):
+          // by the BFS invariant every neighbor of a node settled at
+          // dist k is visited by round k+1 ≤ d, so an interior-
+          // incident edge's other endpoint is already visited and the
+          // edge can teach the local walk nothing — while KEEPING
+          // such an edge would let the walk step from the frontier
+          // BACK onto an interior node and emit it again with a
+          // larger dist (caught by the duplicate-row differential in
+          // GraphOpsSpec).
+          val ia = bcIf(visited.filter(col("dist") < d)
+            .select(col("doc_id").as("doc_a")).withColumn("ia", lit(true)), visitedCount)
+          val ib = bcIf(visited.filter(col("dist") < d)
+            .select(col("doc_id").as("doc_b")).withColumn("ib", lit(true)), visitedCount)
           val rest = p.join(ia, Seq("doc_a"), "left")
             .join(ib, Seq("doc_b"), "left")
-            .filter(col("ia").isNull || col("ib").isNull)
+            .filter(col("ia").isNull && col("ib").isNull)
             .select("doc_a", "doc_b")
           val restEdges = rest.count()
           if (2 * restEdges <= entryCap) {
@@ -440,13 +460,13 @@ object GraphOps {
           // checkpointed frame carries no stats, so without the hint
           // the planner sort-merges the EDGE side — measured 2×
           // slower than the whole traversal per round at sf1
-          val hits = p.join(broadcast(frontier.select(col("doc_id").as("doc_a"))), "doc_a")
+          val hits = p.join(bcIf(frontier.select(col("doc_id").as("doc_a")), frontierCount), "doc_a")
               .select(col("doc_b").as("doc_id"))
-            .union(p.join(broadcast(frontier.select(col("doc_id").as("doc_b"))), "doc_b")
+            .union(p.join(bcIf(frontier.select(col("doc_id").as("doc_b")), frontierCount), "doc_b")
               .select(col("doc_a").as("doc_id")))
             .distinct()
           val next = ck(hits
-            .join(broadcast(visited.select("doc_id")), Seq("doc_id"), "left_anti")
+            .join(bcIf(visited.select("doc_id"), visitedCount), Seq("doc_id"), "left_anti")
             .withColumn("dist", lit(d)))
           val nc = next.count()
           done = nc == 0

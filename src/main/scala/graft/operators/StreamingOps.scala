@@ -294,7 +294,8 @@ object StreamingOps {
     * under java.io.tmpdir for the JVM's lifetime (the caller — Verify
     * or Bench — consumes the frame before exit) and is removed by a
     * shutdown hook. */
-  private def drainToParquet(s: SparkSession, name: String)
+  private def drainToParquet(s: SparkSession, name: String,
+                             schema: org.apache.spark.sql.types.StructType)
       (start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${System.nanoTime()}"
     val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
@@ -303,7 +304,15 @@ object StreamingOps {
     }
     val q = start(outDir, ckpt)
     q.awaitTermination()
-    s.read.parquet(outDir)
+    // a drain that committed no output files leaves a parquet dir
+    // Spark cannot infer a schema from — the memory sink this
+    // replaced returned an EMPTY frame there (degenerate corpus:
+    // no events, or no window ever closes); reproduce that contract
+    // with the caller-declared schema instead of crashing the key
+    val hasFiles = Option(new java.io.File(outDir).listFiles)
+      .exists(_.exists(f => f.getName.startsWith("part-") && f.length > 0))
+    if (hasFiles) s.read.schema(schema).parquet(outDir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Admission control sized to the corpus (r16): a FIXED 25k-row
@@ -333,17 +342,17 @@ object StreamingOps {
     // window NEVER closes (watermark peaks 1 h below the sentinel
     // ts), so it cannot reach the append-mode sink; the post-sink
     // batch filter below is defensive.
-    drainToParquet(s, "replay") { (outDir, ckpt) =>
-      s.readStream.format("graft.sources.ReplayLogProvider")
-        .option("path", logDir)
-        .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n_events"), col("sum_value"))
-        .writeStream.format("parquet").option("path", outDir)
+    val sdf = s.readStream.format("graft.sources.ReplayLogProvider")
+      .option("path", logDir)
+      .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    drainToParquet(s, "replay", sdf.schema) { (outDir, ckpt) =>
+      sdf.writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }.filter(col("event_type") =!= graft.sources.ReplayLog.FlushType)
@@ -379,18 +388,18 @@ object StreamingOps {
   def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
-    drainToParquet(s, "sessions") { (outDir, ckpt) =>
-      s.readStream.format("graft.sources.ReplayLogProvider")
-        .option("path", logDir)
-        .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
-        .withWatermark("ts", "1 hour")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_micros(col("w.start")).as("start_us"),
-          unix_micros(col("w.end")).as("end_us"),
-          col("n_events"))
-        .writeStream.format("parquet").option("path", outDir)
+    val sdf = s.readStream.format("graft.sources.ReplayLogProvider")
+      .option("path", logDir)
+      .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+    drainToParquet(s, "sessions", sdf.schema) { (outDir, ckpt) =>
+      sdf.writeStream.format("parquet").option("path", outDir)
         .option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }.filter(col("user_id") =!= -1L)

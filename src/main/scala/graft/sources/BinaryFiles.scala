@@ -66,16 +66,11 @@ object BinaryFiles {
     paths
   }
 
-  def readDirDirect(spark: SparkSession, path: String, glob: String,
-                    slicesPerCore: Int = 1): DataFrame = {
+  def readDirDirect(spark: SparkSession, path: String, glob: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val paths = listDir(path, glob)
-    // slicesPerCore > 1 over-slices for per-file work that varies
-    // enough to straggle a one-wave schedule (the ferret query pass:
-    // decode+SRM cost tracks region count, which varies 2-7× across
-    // images)
     val slices = math.max(1, math.min(paths.length,
-      slicesPerCore * spark.sparkContext.defaultParallelism))
+      spark.sparkContext.defaultParallelism))
     import spark.implicits._
     spark.sparkContext.parallelize(paths.toIndexedSeq, slices)
       .map { p =>

@@ -753,9 +753,6 @@ object StreamingPipelines {
     // query pins its state layout at first start (the setting is
     // per-query, restored after start) — on a real cluster this is
     // the state-partition count you'd size to the trigger volume.
-    val stateParts = math.max(4, math.min(
-      s.sessionState.conf.numShufflePartitions,
-      (feed.rows / math.max(1, feed.slices) / 2000L).toInt))
     // sink is `noop` (r15 verdict #3): the previous memory sink
     // collected every output row onto the driver — at sf1 the
     // window_agg/sessionize legs alone needed a 48 g driver heap.
@@ -764,6 +761,13 @@ object StreamingPipelines {
     // SinkProgress.numOutputRows, so rows_out keeps its meaning
     // (cumulative emitted rows) with nothing held on the driver.
     val q = startLock.synchronized {
+      // stateParts is derived from numShufflePartitions INSIDE the
+      // lock: concurrent legs (streamRateBench) mutate that conf in
+      // their own override windows, and a read outside the lock could
+      // observe another leg's transient value (r16 review)
+      val stateParts = math.max(4, math.min(
+        s.sessionState.conf.numShufflePartitions,
+        (feed.rows / math.max(1, feed.slices) / 2000L).toInt))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
         s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
@@ -779,8 +783,14 @@ object StreamingPipelines {
       val t0 = System.nanoTime()
       q.processAllAvailable()
       val elapsed = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      val rowsOut = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
+      val all = q.recentProgress.toSeq
+      val progress = all.filter(_.numInputRows > 0)
+      // rows_out sums over ALL batches: append-mode pipelines emit
+      // their final windows/sessions in the no-data watermark-flush
+      // batch (numInputRows == 0, numOutputRows > 0) — filtering it
+      // out would undercount exactly the rows the flush exists to
+      // emit (r16 review). Latency percentiles stay input-bearing.
+      val rowsOut = all.map(p => math.max(0L, p.sink.numOutputRows)).sum
       benchResultOf(name, feed.rows, rowsOut, progress.size.toLong, elapsed, progress)
     } finally q.stop() // never leak a live query over its feed dir
   }
@@ -1028,12 +1038,13 @@ object StreamingPipelines {
     // The override is the knob sweep's parallelism axis — the
     // reference's per-stage replica count (-t), which in micro-batch
     // form is the number of parallel state-store tasks per trigger.
-    val stateParts = statePartsOverride.getOrElse(statePartsFor(s, batchSize))
     // noop sink + SinkProgress row counts, as in fileThroughputBench
     // (this feed is driver-bounded by construction — the sweep caps
     // events — but the two harnesses should report rows_out from the
     // same mechanism so their numbers stay comparable)
     val q = startLock.synchronized {
+      // inside the lock, as in fileThroughputBench (conf-read race)
+      val stateParts = statePartsOverride.getOrElse(statePartsFor(s, batchSize))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
         s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
@@ -1050,8 +1061,10 @@ object StreamingPipelines {
     }
     q.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-    val rowsOut = progress.map(p => math.max(0L, p.sink.numOutputRows)).sum
+    val all = q.recentProgress.toSeq
+    val progress = all.filter(_.numInputRows > 0)
+    // ALL batches, as in fileThroughputBench (watermark-flush output)
+    val rowsOut = all.map(p => math.max(0L, p.sink.numOutputRows)).sum
     q.stop()
     benchResultOf(name, events.size.toLong, rowsOut, batches, elapsed, progress)
   }

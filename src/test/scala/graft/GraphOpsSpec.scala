@@ -178,10 +178,19 @@ class GraphOpsSpec extends SparkSpec {
     val shortcuts = (0L until 36L by 7L).map(i => (i, i + 3L))
     val pairs = ((chain ++ shortcuts).distinct ++ Seq((900L, 901L)))
       .toDF("doc_a", "doc_b")
-    def run(collapse: Boolean, entryCap: Long): Map[Long, Long] =
-      GraphOps.bfsFromPairs(pairs, localCollapse = collapse,
+    def run(collapse: Boolean, entryCap: Long): Map[Long, Long] = {
+      val rows = GraphOps.bfsFromPairs(pairs, localCollapse = collapse,
           nodeCap = 1000000L, entryCap = entryCap).collect()
-        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toSeq
+      // EXACTLY one row per node — a .toMap alone would silently
+      // dedup a duplicate-emission bug (the r16 review caught the
+      // mid-traversal collapse emitting an interior node twice with
+      // conflicting dists; this assertion is what makes the
+      // differential actually sensitive to it)
+      assert(rows.map(_._1).distinct.size == rows.size,
+        s"duplicate doc_id rows: ${rows.groupBy(_._1).filter(_._2.size > 1)}")
+      rows.toMap
+    }
     val full = run(collapse = false, entryCap = 0L)
     val totalEntries = 2L * pairs.count()
     // mid-traversal switchover (cap at half the adjacency)

@@ -60,22 +60,6 @@ class HashKernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("intersectLong emits the ascending Set intersection on sorted inputs") {
-    // the elements twin (triangle third-corner credits): same
-    // sortedness contract, and the output must itself be ascending —
-    // downstream explode→aggregate doesn't care, but the contract
-    // keeps the kernel composable with the count variant
-    for (_ <- 0 until 300) {
-      val pool = Array.fill(60)(rng.nextLong(1000)).distinct
-      def draw() = pool.filter(_ => rng.nextBoolean()).sorted
-      val a = draw(); val b = draw()
-      val expected = a.toSet.intersect(b.toSet).toSeq.sorted
-      val got = HashKernels.intersectLong(
-        new GenericArrayData(a), new GenericArrayData(b)).toLongArray().toSeq
-      assert(got == expected, s"${a.toSeq} ∩ ${b.toSeq}")
-    }
-  }
-
   test("minhashSig matches per-permutation min of XXH64") {
     for (_ <- 0 until 50) {
       val a = randomSet()
