@@ -962,7 +962,16 @@ object StreamingPipelines {
     val q = startLock.synchronized {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
-        stateParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+        // default state sizing follows the SAME trigger-volume rule as
+        // the throughput harnesses (statePartsFor: ~2k rows/partition
+        // per trigger, floor 4 — r16): a 500 ms trigger at 20k rows/s
+        // carries ~10k rows, so 32 session-default partitions meant 32
+        // near-empty store commits per trigger — the commit machinery
+        // dominated the trigger and halved the soak's sample rate.
+        // GRAFT_SOAK_STATE_PARTS still overrides for cluster-shaped
+        // certification runs, exactly as before.
+        val parts = stateParts.getOrElse(statePartsFor(s, rowsPerSec / 2))
+        s.conf.set("spark.sql.shuffle.partitions", parts.toString)
         agg.writeStream.format("noop")
           .outputMode(OutputMode.Update())
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
