@@ -883,8 +883,11 @@ object RefFerret {
       // "dist" never reaches here (the fused single-stage branch above
       // returned); "dist_region" keeps the r14-r15 per-region-kernel +
       // groupBy-merge shape executable as the fused-set kernel's OWN
-      // differential reference (RefFerretKernelSpec pins all three
-      // rank modes to identical top-K rows)
+      // differential reference. RefFerretKernelSpec pins the whole
+      // family in-suite (r16 ADVICE): per-region kernel vs independent
+      // reimpl, FerretProbeRankSet vs region-order fold,
+      // FerretDbEmdTopK vs slice(array_sort(...)), and a three-shape
+      // dist / dist_region / dist_plan top-K equality
       val over = if (RankBy == "dist_region") {
         regionsOf(qS).toDF("query_img", "qridx", "qv")
           .select(col("query_img"),

@@ -407,7 +407,13 @@ object E2lshKernel {
               dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val (alphas, betas, rnd) = params(seed, nTables, m, w, dim)
     val out = new Array[Long](nTables)
-    val n = math.min(v.numElements(), dim)
+    // fail-fast on a dim mismatch, matching FerretProbeCore.rankRegion's
+    // contract (r16 ADVICE: the old min(numElements, dim) silently
+    // truncated long vectors / zero-padded short ones — a malformed
+    // descriptor hashed to a wrong-but-plausible bucket with no error)
+    require(v.numElements() == dim,
+      s"graft_e2lsh_buckets: vector length ${v.numElements()} != dim $dim")
+    val n = dim
     var t = 0
     var l = 0
     while (t < nTables) {

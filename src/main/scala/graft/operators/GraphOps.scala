@@ -40,15 +40,25 @@ object GraphOps {
   private[operators] val PrBase = 150000000L
   private[operators] val PrIters = 6
 
-  /** Broadcast a NODE-sized frame only while its exact row count
-    * stays far under Spark's broadcast hard cap (8 GB / executor
-    * memory); past the gate, fall back to a plain join and let the
-    * planner/AQE choose — graceful degradation instead of an abort
-    * at extreme dup-graph node counts (r16 review). 50M long-keyed
-    * rows ≈ hundreds of MB broadcast, a deliberate ceiling. */
-  private[operators] val BroadcastNodeCap = 50000000L
+  /** Broadcast a NODE-sized frame only while its estimated BROADCAST
+    * footprint — not its parquet size — fits a conservative budget;
+    * past the gate, fall back to a plain join and let the planner/AQE
+    * choose: graceful degradation instead of an abort (or driver OOM)
+    * at extreme dup-graph node counts. Every bcIf frame here is 1-2
+    * long columns, but a built LongHashedRelation costs far more than
+    * 16 bytes/row (UnsafeRow headers + page layout + the driver-side
+    * build copy), so the estimate prices [[BroadcastRowBytes]] per row
+    * and the budget derives from the ACTUAL driver heap (maxMemory/16,
+    * ceiling 512 MB — the relation is built on the driver and copied
+    * per executor, and pagerank holds two in flight per iteration).
+    * At the default 8 GB heap the gate admits ~8M rows (r16 ADVICE:
+    * the former flat 50M-row cap was a 1.5-3 GB relation — OOM range,
+    * not the "hundreds of MB" it was justified as). */
+  private[operators] val BroadcastRowBytes = 64L
+  private[operators] def broadcastNodeCap: Long =
+    math.min(512L << 20, Runtime.getRuntime.maxMemory() / 16) / BroadcastRowBytes
   private def bcIf(df: DataFrame, n: Long): DataFrame =
-    if (n <= BroadcastNodeCap) broadcast(df) else df
+    if (n <= broadcastNodeCap) broadcast(df) else df
 
   /** Mutual-kNN sparsification degree for graph_triangles_lsh —
     * declared HERE, above every val that interpolates it into oracle

@@ -159,9 +159,23 @@ object StreamingOps {
         else {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
+          import scala.util.Try
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.global
-          Await.result(Future.sequence(legs.map(l => Future(l()))), Duration.Inf)
+          // each leg wrapped in Try (r16 ADVICE): a bare
+          // Future.sequence fails fast on the first leg error, and the
+          // finally block below would then delete the feed directories
+          // while the other four streaming queries were still running
+          // over them — cascading secondary failures plus leaked live
+          // queries masking the original error. Awaiting ALL legs'
+          // completion (success or failure) first means every query
+          // has stopped (fileThroughputBench stops its query in its
+          // own finally) before any feed dir is reclaimed; the first
+          // failure then surfaces with its real cause.
+          val settled = Await.result(
+            Future.sequence(legs.map(l => Future(Try(l())))), Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+          settled.map(_.get)
         }
       s.createDataFrame(results)
     } finally {

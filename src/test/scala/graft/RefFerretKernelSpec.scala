@@ -96,6 +96,210 @@ class RefFerretKernelSpec extends SparkSpec {
       s"only $nonEmpty/${queries.size} queries found candidates — index too sparse to test")
   }
 
+  // ---- the production-path kernels (r16 dist default) -----------------
+  // A synthetic multi-region IMAGE world reusing the 60 region vectors
+  // above: image k owns regions vec(3k), vec(3k+1), ... (1-3 of them),
+  // so global region id order == (img, ridx) order by construction
+  // (zero-padded names sort bytewise like ints).
+  private val nImgs = 20
+  private def imgName(k: Int): String = f"im_$k%03d"
+  private def nRegionsOf(k: Int): Int = 1 + k % 3
+  private val imgRegions: Seq[(String, Int, Array[Double])] =
+    (0 until nImgs).flatMap { k =>
+      (0 until nRegionsOf(k)).map(r => (imgName(k), r, dbVecs(3 * k + r)))
+    }
+  private val imgPostings: Map[Long, Array[Int]] =
+    imgRegions.zipWithIndex.flatMap { case ((_, _, v), gid) =>
+      bucketsOf(v, 0).map { case (t, b) => ((t.toLong << 32) | b, gid) }
+    }.groupBy(_._1).map { case (key, xs) => key -> xs.map(_._2).sorted.toArray }
+  private def imgIndexOf(s: org.apache.spark.SparkContext)
+      : org.apache.spark.broadcast.Broadcast[FerretRegionIndex] =
+    s.broadcast(FerretRegionIndex(
+      imgRegions.map(r =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(r._1)).toArray,
+      imgRegions.map(_._2).toArray,
+      imgRegions.map(_._3).toArray,
+      imgPostings))
+  private def emdIndexOf(s: org.apache.spark.SparkContext)
+      : org.apache.spark.broadcast.Broadcast[Map[org.apache.spark.unsafe.types.UTF8String,
+          (Array[Array[Double]], Array[Double])]] =
+    s.broadcast((0 until nImgs).map { k =>
+      val nr = nRegionsOf(k)
+      org.apache.spark.unsafe.types.UTF8String.fromString(imgName(k)) ->
+        ((0 until nr).map(r => dbVecs(3 * k + r)).toArray,
+          Array.fill(nr)(1.0 / nr))
+    }.toMap)
+  // queries: 2-3 regions each, √-style uniform weights
+  private val queryRows: Seq[(String, Seq[Seq[Double]], Seq[Double])] =
+    (100 until 130).map { qid =>
+      val nr = 2 + qid % 2
+      val vset = (0 until nr).map(r => vec(qid * 3 + r).toSeq)
+      (f"q_$qid%03d", vset, Seq.fill(nr)(1.0 / nr))
+    }
+
+  test("FerretProbeRankSet == per-region FerretProbeRank folded in region order (first-occurrence dedup)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val index = imgIndexOf(spark.sparkContext)
+    val qdf = queryRows.toDF("query_img", "vset", "wset")
+    val got = qdf.select(col("query_img"),
+        ColumnBridge.column(FerretProbeRankSet(
+          ColumnBridge.expression(col("vset")),
+          index, mu, sd, Seed, Tables, Bits, Dim, Probes, Depth)).as("cands"))
+      .as[(String, Seq[String])].collect().toMap
+    // reference: one kernel eval per region, folded in region order
+    val perRegion = qdf.select(col("query_img"), posexplode(col("vset")))
+      .toDF("query_img", "ridx", "qv")
+      .select(col("query_img"), col("ridx"),
+        ColumnBridge.column(FerretProbeRank(
+          ColumnBridge.expression(col("qv")),
+          index, mu, sd, Seed, Tables, Bits, Dim, Probes, Depth)).as("cands"))
+      .as[(String, Int, Seq[String])].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).flatMap(_._3).distinct.toSeq
+      }
+    var nonTrivial = 0
+    queryRows.foreach { case (q, vset, _) =>
+      assert(got(q) == perRegion(q),
+        s"query $q: set-kernel=${got(q)} per-region-fold=${perRegion(q)}")
+      // the dedup path must actually fire somewhere or the ORDER
+      // equality proves nothing about first-occurrence semantics
+      if (perRegion(q).size < vset.size * Depth) nonTrivial += 1
+    }
+    assert(nonTrivial > 0,
+      "no query's per-region lists overlapped — the dedup rule was never exercised")
+  }
+
+  test("FerretDbEmdTopK == slice(array_sort(collect_list(struct(FerretDbEmd, cand))), 1, k)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val index = imgIndexOf(spark.sparkContext)
+    val emdIdx = emdIndexOf(spark.sparkContext)
+    val topK = 4
+    val qdf = queryRows.toDF("query_img", "vset", "wset")
+    val cands = qdf.select(col("query_img"), col("vset"), col("wset"),
+      ColumnBridge.column(FerretProbeRankSet(
+        ColumnBridge.expression(col("vset")),
+        index, mu, sd, Seed, Tables, Bits, Dim, Probes, Depth)).as("cands"))
+    val got = cands.select(col("query_img"),
+        ColumnBridge.column(FerretDbEmdTopK(
+          ColumnBridge.expression(col("vset")),
+          ColumnBridge.expression(col("wset")),
+          ColumnBridge.expression(col("cands")), emdIdx, topK)).as("top"))
+      .select(col("query_img"), posexplode(col("top")))
+      .select(col("query_img"), col("pos"),
+        col("col").getField("emd").as("emd"),
+        col("col").getField("cand_img").as("cand_img"))
+      .as[(String, Int, Double, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = cands.select(col("query_img"), col("vset"), col("wset"),
+        explode(col("cands")).as("cand_img"))
+      .select(col("query_img"),
+        ColumnBridge.column(FerretDbEmd(
+          ColumnBridge.expression(col("vset")),
+          ColumnBridge.expression(col("wset")),
+          ColumnBridge.expression(col("cand_img")), emdIdx)).as("emd"),
+        col("cand_img"))
+      .groupBy("query_img")
+      .agg(slice(array_sort(collect_list(
+          struct(col("emd"), col("cand_img")))), 1, topK).as("top"))
+      .select(col("query_img"), posexplode(col("top")))
+      .select(col("query_img"), col("pos"),
+        col("col").getField("emd").as("emd"),
+        col("col").getField("cand_img").as("cand_img"))
+      .as[(String, Int, Double, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.nonEmpty, "no candidates at all — index too sparse to test")
+    assert(got == want)
+  }
+
+  test("dist, dist_region and dist_plan rank shapes return identical top-K rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val index = imgIndexOf(spark.sparkContext)
+    val emdIdx = emdIndexOf(spark.sparkContext)
+    val topK = 3
+    val qdf = queryRows.toDF("query_img", "vset", "wset").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Double, Int)] =
+      df.as[(String, String, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    // ---- dist: the fused single-stage production path ----
+    val dist = rows(qdf.select(col("query_img"),
+        ColumnBridge.column(FerretDbEmdTopK(
+          ColumnBridge.expression(col("vset")),
+          ColumnBridge.expression(col("wset")),
+          ColumnBridge.expression(ColumnBridge.column(FerretProbeRankSet(
+            ColumnBridge.expression(col("vset")),
+            index, mu, sd, Seed, Tables, Bits, Dim, Probes, Depth))),
+          emdIdx, topK)).as("top"))
+      .select(col("query_img"), posexplode(col("top")))
+      .select(col("query_img"),
+        col("col").getField("cand_img").as("cand_img"),
+        col("col").getField("emd").as("emd"),
+        (col("pos") + 1).as("rank")))
+    // ---- dist_region: per-region kernel + groupBy merge (r14-r15) ----
+    val regionCands = qdf.select(col("query_img"), posexplode(col("vset")))
+      .toDF("query_img", "ridx", "qv")
+      .select(col("query_img"),
+        ColumnBridge.column(FerretProbeRank(
+          ColumnBridge.expression(col("qv")),
+          index, mu, sd, Seed, Tables, Bits, Dim, Probes, Depth)).as("cands"))
+      .groupBy("query_img")
+      .agg(array_distinct(flatten(collect_list(col("cands")))).as("cands"))
+      .select(col("query_img"), explode(col("cands")).as("cand_img"))
+    def emdRank(over: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      over.join(qdf.select(col("query_img"), col("vset"), col("wset")), "query_img")
+        .select(col("query_img"), col("cand_img"),
+          ColumnBridge.column(FerretDbEmd(
+            ColumnBridge.expression(col("vset")),
+            ColumnBridge.expression(col("wset")),
+            ColumnBridge.expression(col("cand_img")), emdIdx)).as("emd"))
+        .groupBy("query_img")
+        .agg(slice(array_sort(collect_list(
+            struct(col("emd"), col("cand_img")))), 1, topK).as("top"))
+        .select(col("query_img"), posexplode(col("top")))
+        .select(col("query_img"),
+          col("col").getField("cand_img").as("cand_img"),
+          col("col").getField("emd").as("emd"),
+          (col("pos") + 1).as("rank"))
+    val distRegion = rows(emdRank(regionCands))
+    // ---- dist_plan: the fully declarative twin (probe join + d2
+    // window), RefFerret's differential reference shape ----
+    val postingsDf = imgPostings.toSeq.flatMap { case (key, gids) =>
+      gids.map { gid =>
+        val (img, ridx, _) = imgRegions(gid)
+        ((key >> 32).toInt, key & 0xffffffffL, img, ridx)
+      }
+    }.toDF("tbl", "bucket", "cand_img", "cridx")
+    val dbRegionVecs = imgRegions.map { case (img, ridx, v) => (img, ridx, v.toSeq) }
+      .toDF("cand_img", "cridx", "cv")
+    val qProbes = queryRows.flatMap { case (q, vset, _) =>
+      vset.indices.flatMap { r =>
+        bucketsOf(vset(r).toArray, Probes).map { case (t, b) =>
+          (q, r, t, b)
+        }
+      }
+    }.toDF("query_img", "qridx", "tbl", "bucket")
+    val qRegionVecs = qdf.select(col("query_img"), posexplode(col("vset")))
+      .toDF("query_img", "qridx", "qv")
+    val wReg = Window.partitionBy("query_img", "qridx")
+      .orderBy(col("d2"), col("cand_img"), col("cridx"))
+    val planCands = qProbes.join(postingsDf, Seq("tbl", "bucket"))
+      .select("query_img", "qridx", "cand_img", "cridx").distinct()
+      .join(qRegionVecs, Seq("query_img", "qridx"))
+      .join(dbRegionVecs, Seq("cand_img", "cridx"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e))
+      .withColumn("rn", row_number().over(wReg))
+      .filter(col("rn") <= Depth)
+      .select("query_img", "cand_img").distinct()
+    val distPlan = rows(emdRank(planCands))
+    assert(dist.nonEmpty, "dist shape returned nothing — index too sparse to test")
+    assert(dist == distRegion,
+      s"dist vs dist_region diverge: ${dist.diff(distRegion).take(3)} / ${distRegion.diff(dist).take(3)}")
+    assert(dist == distPlan,
+      s"dist vs dist_plan diverge: ${dist.diff(distPlan).take(3)} / ${distPlan.diff(dist).take(3)}")
+  }
+
   test("FerretProbeRank dedups candidates across tables and respects the depth cut") {
     // one db region posted under EVERY probed bucket of a query →
     // the kernel must emit it once, and never more than depth entries
