@@ -691,8 +691,13 @@ object Multimodal {
               x.getField("n_pixels"), x.getField("descriptor"))),
           "|"), 256).as("regions_sha"))
 
-  val mmSegmentCheckSql: String =
-    """WITH m AS (
+  /** The digest→decoded-pixel totals chain (the cross-engine replica
+    * of synthesizeSegJpeg + the q100 4:4:4 yccRoundtrip), shared by
+    * the mm_segment_check oracle and mm_segment's own echo-gate
+    * oracle so the two can never drift. Ends in `tot(doc_id,
+    * n_pixels, r_sum, g_sum, b_sum)`. */
+  private val segTotalsCtes: String =
+    """m AS (
       |  SELECT doc_id, octet_length(encode(text)) AS nb, sha256(text) AS h
       |  FROM documents
       |), g AS (
@@ -741,7 +746,10 @@ object Multimodal {
       |    CAST(SUM(g1) * 64 AS BIGINT) AS g_sum,
       |    CAST(SUM(b1) * 64 AS BIGINT) AS b_sum
       |  FROM dec GROUP BY doc_id
-      |), seg AS (
+      |)""".stripMargin
+
+  val mmSegmentCheckSql: String =
+    s"""WITH $segTotalsCtes, seg AS (
       |  SELECT doc_id, CAST(MAX(n_regions) AS INT) AS n_regions,
       |    sha256(string_agg(
       |      CAST(region_idx AS VARCHAR) || ':' || CAST(n_pixels AS VARCHAR)
@@ -753,6 +761,55 @@ object Multimodal {
       |SELECT t.doc_id, s.n_regions, t.n_pixels, t.r_sum, t.g_sum, t.b_sum,
       |  s.regions_sha
       |FROM tot t JOIN seg s ON t.doc_id = s.doc_id""".stripMargin
+
+  /** mm_segment's OWN value oracle (r16 verdict #1) — the emd_check
+    * echo-gate pattern: DuckDB re-reads the mm_segment dump and
+    * re-admits a document's region rows ONLY when every per-image
+    * invariant it can recompute independently holds —
+    *   - the regions PARTITION the image: per-doc Σ n_pixels and the
+    *     integer Σ r/g/b channel sums equal the totals DuckDB derives
+    *     from the digest-pixel formula through the JPEG color round
+    *     trip (`tot`, the same chain mm_segment_check rides);
+    *   - region_idx is a dense 0..n-1 and every row agrees on
+    *     n_regions = the row count;
+    *   - each emitted weight equals √n_pixels / Σ√n_pixels
+    *     (extract.c:221 img_map_to_seg) and the weights sum to 1.
+    * A segmenter that drops/duplicates pixels, mis-counts regions, or
+    * forges a weight excludes that doc entirely → row-count mismatch.
+    * The 14-dim descriptors are echoed here (the SRM fixpoint is not
+    * SQL-expressible) but remain hash-covered cross-dump by
+    * mm_segment_check's regions_sha, which recomputes the per-doc
+    * digest over (region_idx, n_pixels, descriptor). */
+  val mmSegmentSql: String =
+    s"""WITH $segTotalsCtes, seg AS (
+      |  SELECT * FROM read_parquet('{VERIFY_OUT}/mm_segment/*.parquet')
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MAX(n_regions) AS nr_max, MIN(n_regions) AS nr_min,
+      |    CAST(COUNT(DISTINCT region_idx) AS BIGINT) AS n_idx,
+      |    MIN(region_idx) AS min_idx, MAX(region_idx) AS max_idx,
+      |    CAST(SUM(n_pixels) AS BIGINT) AS n_pixels,
+      |    CAST(SUM(r_sum) AS BIGINT) AS r_sum,
+      |    CAST(SUM(g_sum) AS BIGINT) AS g_sum,
+      |    CAST(SUM(b_sum) AS BIGINT) AS b_sum,
+      |    SUM(weight) AS w_sum,
+      |    SUM(sqrt(CAST(n_pixels AS DOUBLE))) AS sq_sum
+      |  FROM seg GROUP BY doc_id
+      |), wchk AS (
+      |  SELECT s.doc_id,
+      |    bool_and(abs(s.weight
+      |      - sqrt(CAST(s.n_pixels AS DOUBLE)) / a.sq_sum) <= 1e-9) AS w_ok
+      |  FROM seg s JOIN agg a USING (doc_id) GROUP BY s.doc_id
+      |), ok AS (
+      |  SELECT a.doc_id
+      |  FROM agg a JOIN tot t USING (doc_id) JOIN wchk w USING (doc_id)
+      |  WHERE a.n_rows = a.nr_max AND a.nr_max = a.nr_min
+      |    AND a.n_idx = a.n_rows AND a.min_idx = 0 AND a.max_idx = a.n_rows - 1
+      |    AND a.n_pixels = t.n_pixels AND a.r_sum = t.r_sum
+      |    AND a.g_sum = t.g_sum AND a.b_sum = t.b_sum
+      |    AND w.w_ok AND abs(a.w_sum - 1.0) <= 1e-9
+      |)
+      |SELECT s.* FROM seg s JOIN ok USING (doc_id)""".stripMargin
 
   // ---- mm_jpeg: the reference's REAL input format, round-tripped -------
   /** The reference ingests JPEG (libjpeg behind ferret's
@@ -1362,6 +1419,7 @@ object Multimodal {
     "mm_video_scene" -> mmVideoSceneSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "mm_audio" -> mmAudioSql,
+    "mm_segment" -> mmSegmentSql,
     "mm_segment_check" -> mmSegmentCheckSql,
     "mm_jpeg" -> mmJpegSql,
     "mm_jpeg_color" -> mmJpegColorSql,
