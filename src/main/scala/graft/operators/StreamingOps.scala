@@ -249,10 +249,11 @@ object StreamingOps {
     * show (bin/parsec_stream drives an unbounded stream): a
     * watermarked windowed aggregation runs against Spark's
     * distributed `rate` source at a sustained 20k rows/s for
-    * GRAFT_SOAK_SECONDS (default 16; 2 s windows + 500 ms triggers
-    * put the plateau ~5 s in and sample it at ~2/s, so the default
-    * run still clears the n >= 12 floor with its mid third fully on
-    * the plateau — r15 verdict #2 cut the per-round harness wall)
+    * GRAFT_SOAK_SECONDS (default 9; 1 s windows + 250 ms triggers
+    * put the plateau ~2.5 s in and sample it at ~4/s, so the default
+    * run clears the n >= 12 floor with its mid third fully on the
+    * plateau — r16 verdict #7 derived the cadence from the trigger
+    * rate to halve the harness wall without weakening the gate)
     * wall-clock seconds, sampling the state store per trigger.
     * Watermark eviction must hold the state row count FLAT once the
     * first windows close — the run-level flatness gate (late-third
@@ -262,25 +263,38 @@ object StreamingOps {
     * A minutes-long soak is the same query with the env knob raised;
     * the evidence run is recorded in PLANS.md r11. */
   def streamSoak(s: SparkSession, dir: String): DataFrame = {
-    val secs = sys.env.get("GRAFT_SOAK_SECONDS").map(_.toInt).getOrElse(16)
-    // GRAFT_SOAK_PIPELINE=ferret: the ferret stream's continuous
-    // posture (r13 verdict #7 stretch) — query ids arrive from the
-    // rate source, vectors attach from the resident corpus, every
-    // trigger runs the promoted multiprobe search. Stateless, so the
-    // soak gates on per-row service time + block-residue flatness
-    // (StreamingPipelines.ferretRateSoak). GRAFT_SOAK_RATE sets
-    // queries/s (default 100), GRAFT_SOAK_STATE_PARTS the
-    // cluster-shaped shuffle-partition count, as for the dedup soak.
-    if (sys.env.get("GRAFT_SOAK_PIPELINE").contains("ferret")) {
-      val e = Similarity.emb(s, dir).localCheckpoint(true)
-      val n = math.max(1L, e.count())
-      val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
-      s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
-        queriesPerSec = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100),
-        attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),
-        search = q => Similarity.ferretSearch(e, q, broadcastQueries = true),
-        stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt)))
-    } else s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
+    val secs = sys.env.get("GRAFT_SOAK_SECONDS").map(_.toInt).getOrElse(9)
+    s.createDataFrame(StreamingPipelines.rateSoak(s, secs))
+  }
+
+  // ---- stream_soak_ferret: the ferret stream's continuous posture ------
+  /** The reference's OTHER app run unbounded (r16 verdict #2 — this
+    * was an env-selected diagnostic, GRAFT_SOAK_PIPELINE=ferret, with
+    * no CORRECTNESS gate; now a first-class key): query ids arrive
+    * from the distributed `rate` source, vectors attach from the
+    * resident corpus, and every trigger runs the promoted multiprobe
+    * two-phase search to a noop sink — ferret-pthreads' resident-table
+    * stream. Stateless, so the soak gates on per-row service time +
+    * block-residue flatness ([[StreamingPipelines.ferretRateSoak]]);
+    * the DuckDB oracle re-derives ms_per_row, both plateau medians,
+    * the block medians, and the flatness bit itself from the echoed
+    * per-trigger samples (the derived-metric treatment the dedup soak
+    * got in r16). GRAFT_SOAK_RATE sets queries/s (default 100),
+    * GRAFT_SOAK_FERRET_SECONDS the wall (default 10 at a 500 ms
+    * trigger — ~16 plateau samples), GRAFT_SOAK_STATE_PARTS the
+    * cluster-shaped shuffle-partition count, as for the dedup soak. */
+  def streamSoakFerret(s: SparkSession, dir: String): DataFrame = {
+    val secs = sys.env.get("GRAFT_SOAK_FERRET_SECONDS")
+      .orElse(sys.env.get("GRAFT_SOAK_SECONDS")).map(_.toInt).getOrElse(10)
+    val e = Similarity.emb(s, dir).localCheckpoint(true)
+    val n = math.max(1L, e.count())
+    val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
+      queriesPerSec = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100),
+      attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),
+      search = q => Similarity.ferretSearch(e, q, broadcastQueries = true),
+      stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt),
+      triggerMillis = 500))
   }
 
   // ---- stream_replay: Kafka-shaped offset-log source, fully oracled ----
@@ -308,6 +322,26 @@ object StreamingOps {
     * under java.io.tmpdir for the JVM's lifetime (the caller — Verify
     * or Bench — consumes the frame before exit) and is removed by a
     * shutdown hook. */
+  /** Sink choice scaled to the corpus (r16 verdict #3): the parquet
+    * drain is the ONLY safe shape at certification scale, but at
+    * small SFs its fixed price (per-trigger file commits + metadata
+    * log + the final read-back) is most of the key's wall — the exact
+    * small-corpus overhead the r16 round accepted and priced. Below
+    * [[SmallCorpusRows]] source rows the drain keeps the r15 memory
+    * sink (driver-bounded by construction there: the hourly-window /
+    * session output of a sub-million-row corpus is small); at or
+    * above it, the executor-written parquet sink with nothing
+    * result-sized on the driver. The oracle is sink-agnostic. */
+  private[operators] val SmallCorpusRows = 1000000L
+
+  private def drainToMemory(s: SparkSession, name: String)
+      (start: String => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val sinkName = s"${name}_sink_${System.nanoTime()}"
+    val q = start(sinkName)
+    q.awaitTermination()
+    s.table(sinkName)
+  }
+
   private def drainToParquet(s: SparkSession, name: String,
                              schema: org.apache.spark.sql.types.StructType)
       (start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
@@ -340,12 +374,11 @@ object StreamingOps {
     * trigger-boundary-independent by design (the sentinels close
     * every real window at the end), which is what the DuckDB batch
     * oracle proves. */
-  private def replayRowsPerTrigger(s: SparkSession, dir: String): Long =
-    math.max(25000L, (Tables.events(s, dir).count() + 15) / 16)
-
   def streamReplay(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.DecimalType
+    val nEvents = Tables.events(s, dir).count()
+    val rowsPerTrigger = math.max(25000L, (nEvents + 15) / 16)
     val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
     // NO pre-agg filter on the control records: a filter between
     // withWatermark and the agg is pushed BELOW the EventTimeWatermark
@@ -358,18 +391,25 @@ object StreamingOps {
     // batch filter below is defensive.
     val sdf = s.readStream.format("graft.sources.ReplayLogProvider")
       .option("path", logDir)
-      .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
+      .option("maxRowsPerTrigger", rowsPerTrigger.toString).load()
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    drainToParquet(s, "replay", sdf.schema) { (outDir, ckpt) =>
-      sdf.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }.filter(col("event_type") =!= graft.sources.ReplayLog.FlushType)
+    val drained =
+      if (nEvents < SmallCorpusRows)
+        drainToMemory(s, "replay") { sink =>
+          sdf.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
+      else drainToParquet(s, "replay", sdf.schema) { (outDir, ckpt) =>
+        sdf.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+    drained.filter(col("event_type") =!= graft.sources.ReplayLog.FlushType)
   }
 
   val streamReplaySql: String =
@@ -401,10 +441,12 @@ object StreamingOps {
     * → append emission) is cross-engine-proven. */
   def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    val nEvents = Tables.events(s, dir).count()
+    val rowsPerTrigger = math.max(25000L, (nEvents + 15) / 16)
     val logDir = graft.sources.ReplayLog.ingestOnce(s, dir, nParts = 8)
     val sdf = s.readStream.format("graft.sources.ReplayLogProvider")
       .option("path", logDir)
-      .option("maxRowsPerTrigger", replayRowsPerTrigger(s, dir).toString).load()
+      .option("maxRowsPerTrigger", rowsPerTrigger.toString).load()
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -412,11 +454,18 @@ object StreamingOps {
         unix_micros(col("w.start")).as("start_us"),
         unix_micros(col("w.end")).as("end_us"),
         col("n_events"))
-    drainToParquet(s, "sessions", sdf.schema) { (outDir, ckpt) =>
-      sdf.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    }.filter(col("user_id") =!= -1L)
+    val drained =
+      if (nEvents < SmallCorpusRows)
+        drainToMemory(s, "sessions") { sink =>
+          sdf.writeStream.format("memory").queryName(sink)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
+      else drainToParquet(s, "sessions", sdf.schema) { (outDir, ckpt) =>
+        sdf.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+    drained.filter(col("user_id") =!= -1L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -426,6 +475,7 @@ object StreamingOps {
     "stream_rate_bench" -> (streamRateBench _),
     "stream_param_sweep" -> (streamParamSweep _),
     "stream_soak" -> (streamSoak _),
+    "stream_soak_ferret" -> (streamSoakFerret _),
     "stream_replay" -> (streamReplay _))
 
   /** Derived-metric oracles for the self-measuring harness keys (r15
@@ -511,11 +561,50 @@ object StreamingOps {
       |  g.late_mean AS late_mean_state_rows, g.flat AS flat_ok
       |FROM s, g WHERE g.flat""".stripMargin
 
+  /** Ferret-soak oracle (r16 verdict #2): the STATELESS soak's
+    * derived metrics re-derived by DuckDB from the echoed per-trigger
+    * samples — ms_per_row re-divided from batch_ms/input_rows, both
+    * plateau MEDIANS re-picked with ferretRateSoak's exact selection
+    * rule (sorted[(n-1)/2], integer division, so 1-based
+    * (cnt-1)//2 + 1), the block medians likewise, and the flatness
+    * verdict itself re-evaluated (n >= 12, mid > 0, |late-mid|/mid ≤
+    * 0.3, lateBlocks ≤ midBlocks + 2) — rows survive only under the
+    * RECOMPUTED gate. */
+  private val streamSoakFerretOracleSql: String =
+    """WITH s AS (SELECT * FROM read_parquet('{VERIFY_OUT}/stream_soak_ferret/*.parquet')),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+      |m AS (SELECT
+      |        COALESCE(list_sort(list(batch_ms / greatest(CAST(1 AS BIGINT), input_rows)))
+      |          [(CAST(COUNT(*) AS BIGINT) - 1) // 2 + 1], 0.0) AS mid_ms,
+      |        COALESCE(CAST(list_sort(list(CAST(persisted_blocks AS DOUBLE)))
+      |          [(CAST(COUNT(*) AS BIGINT) - 1) // 2 + 1] AS BIGINT), 0) AS mid_blocks
+      |      FROM s, c WHERE trigger_idx >= n // 3 AND trigger_idx < (2 * n) // 3),
+      |l AS (SELECT
+      |        COALESCE(list_sort(list(batch_ms / greatest(CAST(1 AS BIGINT), input_rows)))
+      |          [(CAST(COUNT(*) AS BIGINT) - 1) // 2 + 1], 0.0) AS late_ms,
+      |        COALESCE(CAST(list_sort(list(CAST(persisted_blocks AS DOUBLE)))
+      |          [(CAST(COUNT(*) AS BIGINT) - 1) // 2 + 1] AS BIGINT), 0) AS late_blocks
+      |      FROM s, c WHERE trigger_idx >= (2 * n) // 3),
+      |g AS (SELECT c.n, m.mid_ms, l.late_ms, m.mid_blocks, l.late_blocks,
+      |        (c.n >= 12 AND m.mid_ms > 0 AND
+      |         abs(l.late_ms - m.mid_ms) / m.mid_ms <= 0.3 AND
+      |         l.late_blocks <= m.mid_blocks + 2) AS flat
+      |      FROM c, m, l)
+      |SELECT s.trigger_idx, s.elapsed_sec, s.input_rows, s.input_rows_per_sec,
+      |  s.batch_ms,
+      |  s.batch_ms / greatest(CAST(1 AS BIGINT), s.input_rows) AS ms_per_row,
+      |  s.persisted_blocks, s.storage_mem_bytes,
+      |  g.n AS n_triggers, g.mid_ms AS mid_median_ms_per_row,
+      |  g.late_ms AS late_median_ms_per_row, g.mid_blocks AS mid_median_blocks,
+      |  g.late_blocks AS late_median_blocks, g.flat AS flat_ok
+      |FROM s, g WHERE g.flat""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "stream_dedup_batch" -> streamDedupBatchSql,
     "stream_sessions" -> Relational.qSessionTvfSql,
     "stream_ferret" -> Similarity.annValueSql("stream_ferret"),
     "stream_soak" -> streamSoakOracleSql,
+    "stream_soak_ferret" -> streamSoakFerretOracleSql,
     "stream_rate_bench" -> streamRateBenchOracleSql,
     "stream_param_sweep" -> streamParamSweepOracleSql,
     "stream_replay" -> streamReplaySql)

@@ -876,11 +876,16 @@ object StreamingPipelines {
     * plus 2 (blocks held by the static corpus are constant;
     * per-trigger residue would grow linearly). `stateParts` starts
     * the query under a cluster-shaped shuffle-partition count, same
-    * scoping as [[rateSoak]]. */
+    * scoping as [[rateSoak]]. `triggerMillis` sets the trigger
+    * cadence — the registered stream_soak_ferret key runs at 500 ms
+    * so the n ≥ 12 sample floor clears in ~8 s of plateau (the r16
+    * verdict #7 cadence rule: derive samples from the trigger rate,
+    * not longer wall); the flatness CLAIM is cadence-independent. */
   def ferretRateSoak(s: SparkSession, soakSecs: Int, queriesPerSec: Int,
                      attach: DataFrame => DataFrame,
                      search: DataFrame => DataFrame,
-                     stateParts: Option[Int] = None): Seq[StatelessSoakRow] = {
+                     stateParts: Option[Int] = None,
+                     triggerMillis: Int = 1000): Seq[StatelessSoakRow] = {
     val src = s.readStream.format("rate")
       .option("rowsPerSecond", queriesPerSec.toLong)
       .option("numPartitions", 4)
@@ -900,7 +905,8 @@ object StreamingPipelines {
             try search(attach(batch)).write.format("noop").mode("overwrite").save()
             finally { batch.unpersist(blocking = false): Unit }
           }
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime(s"$triggerMillis milliseconds"))
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
@@ -908,7 +914,12 @@ object StreamingPipelines {
       .empty[Long, (Double, Long, Double, Double, Int, Long)]
     val t0 = System.nanoTime()
     try {
-      while ((System.nanoTime() - t0) / 1e9 < soakSecs) {
+      // sample-count-aware stop, as in rateSoakRun: the flatness gate
+      // needs n >= 12 samples, and trigger latency under machine load
+      // can stretch past the nominal cadence — keep soaking (up to 2×
+      // the nominal wall) until a 14-sample cushion exists
+      def el: Double = (System.nanoTime() - t0) / 1e9
+      while (el < soakSecs || (samples.size < 14 && el < 2.0 * soakSecs)) {
         Option(q.lastProgress).filter(_.numInputRows > 0).foreach { p =>
           samples.getOrElseUpdate(p.batchId, (
             (System.nanoTime() - t0) / 1e9,
@@ -918,7 +929,7 @@ object StreamingPipelines {
             s.sparkContext.getPersistentRDDs.size,
             s.sparkContext.getRDDStorageInfo.map(_.memSize).sum))
         }
-        Thread.sleep(200)
+        Thread.sleep(100)
       }
     } finally q.stop()
     val rows = samples.toSeq.sortBy(_._1)
@@ -945,18 +956,21 @@ object StreamingPipelines {
       .option("rowsPerSecond", rowsPerSec.toLong)
       .option("numPartitions", 4)
       .load()
-    // 2 s windows + 2 s delay + 500 ms triggers (r15 verdict #2): the
-    // plateau exists once the first windows close (~5 s in) and the
-    // sample rate is ~2/s, so a 16 s default soak still clears the
-    // n >= 12 sample floor with its mid third fully on the plateau —
-    // the eviction CLAIM is window-size-independent (state rows must
-    // hold at ≈ live-windows × keys either way); a longer
-    // GRAFT_SOAK_SECONDS certification run exercises the same query
+    // 1 s windows + 1 s delay + 250 ms triggers (r16 verdict #7,
+    // halving the r15 cadence again): the plateau exists once the
+    // first windows close (~2.5 s in) and the sample rate is ~4/s, so
+    // a 9 s default soak clears the n >= 12 sample floor with its mid
+    // third fully on the plateau — the eviction CLAIM is
+    // window-size-independent (state rows must hold at ≈ live-windows
+    // × keys either way: (window+delay)/window + 1 = 3 live windows ×
+    // 1000 keys, the same 2000↔3000 oscillation band as before); a
+    // longer GRAFT_SOAK_SECONDS certification run exercises the same
+    // query
     val agg = src
       .select(col("timestamp").as("ts"), (col("value") % nKeys).as("user_id"),
         (col("value") % 97).cast("double").as("value"))
-      .withWatermark("ts", "2 seconds")
-      .groupBy(window(col("ts"), "2 seconds"), col("user_id"))
+      .withWatermark("ts", "1 second")
+      .groupBy(window(col("ts"), "1 second"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
     val q = startLock.synchronized {
@@ -964,17 +978,17 @@ object StreamingPipelines {
       try {
         // default state sizing follows the SAME trigger-volume rule as
         // the throughput harnesses (statePartsFor: ~2k rows/partition
-        // per trigger, floor 4 — r16): a 500 ms trigger at 20k rows/s
-        // carries ~10k rows, so 32 session-default partitions meant 32
+        // per trigger, floor 4 — r16): a 250 ms trigger at 20k rows/s
+        // carries ~5k rows, so 32 session-default partitions meant 32
         // near-empty store commits per trigger — the commit machinery
         // dominated the trigger and halved the soak's sample rate.
         // GRAFT_SOAK_STATE_PARTS still overrides for cluster-shaped
         // certification runs, exactly as before.
-        val parts = stateParts.getOrElse(statePartsFor(s, rowsPerSec / 2))
+        val parts = stateParts.getOrElse(statePartsFor(s, rowsPerSec / 4))
         s.conf.set("spark.sql.shuffle.partitions", parts.toString)
         agg.writeStream.format("noop")
           .outputMode(OutputMode.Update())
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
@@ -999,7 +1013,7 @@ object StreamingPipelines {
             st.map(_.memoryUsedBytes).getOrElse(0L),
             Option(p.eventTime.get("watermark")).exists(_.startsWith("2"))))
         }
-        Thread.sleep(200)
+        Thread.sleep(100)
       }
     } finally q.stop()
     val rows = samples.toSeq.sortBy(_._1)
