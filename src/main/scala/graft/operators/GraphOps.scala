@@ -564,9 +564,86 @@ object GraphOps {
   def graphBfsLsh(s: SparkSession, dir: String): DataFrame =
     bfsFromPairs(lshEdges(s, dir))
 
+  // ---- graph_triangles_approx: DOULION edge-sampled estimate -----------
+  /** Approximate triangle counts by DOULION edge sparsification
+    * (Tsourakakis et al., KDD'09): keep each edge independently with
+    * probability p = 1/2, count triangles EXACTLY on the sampled
+    * graph (the same degree-oriented plan as graph_triangles), and
+    * scale each surviving count by 1/p³ = [[TriSampleScale]] — an
+    * unbiased estimator of the true count, per node and in total.
+    * This is the scale default the exact key can't be: at 100 TB the
+    * exact plan is Θ(T)-bound and T grows superlinearly on dup graphs
+    * (281 M triangles already at sf1 — r16 verdict #5), while the
+    * sample is a MAP-SIDE filter before any expensive stage, cutting
+    * edges ~p, wedge merges ~p², and enumerated triangles ~p³ (8× here;
+    * steeper p for bigger graphs — variance shrinks as counts grow).
+    *
+    * The coin is the repo's deterministic-randomness primitive
+    * (salted md5 over the canonical edge key, the Sampling.scala
+    * rule), so the sampled edge set — and therefore every output
+    * value — is exact integer arithmetic DuckDB replays bit-for-bit:
+    * the ESTIMATOR itself is oracled, not just the plumbing. Degrees
+    * come from the FULL graph (the diagnostic's denominator);
+    * GraphOpsSpec pins the estimate against the exact key's totals on
+    * a structured graph at test scale. */
+  private[graft] val TriSampleCut = "8000"  // p = 0x8000/0x10000 = 1/2
+  private[graft] val TriSampleScale = 8L    // 1/p³
+
+  private[graft] def trianglesApproxFromPairs(pairs: DataFrame): DataFrame = {
+    val keep = substring(md5(concat(
+      col("doc_a").cast("string"), lit(":"),
+      col("doc_b").cast("string"), lit(":tri")).cast("binary")), 1, 4) < TriSampleCut
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val sampledCounts = trianglesFromPairs(pairs.filter(keep))
+      .select(col("doc_id"), col("n_tri").as("n_tri_sampled"))
+    deg.join(sampledCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri_sampled"), lit(0L)).as("n_tri_sampled"),
+        (coalesce(col("n_tri_sampled"), lit(0L)) * TriSampleScale).as("n_tri_est"))
+  }
+
+  def graphTrianglesApprox(s: SparkSession, dir: String): DataFrame =
+    trianglesApproxFromPairs(
+      Dedup.dedupNgramJaccard(s, dir).select("doc_a", "doc_b"))
+
+  /** The oracle replays the coin (same salted md5, same hex cut), the
+    * exact enumeration over the SAMPLED edges, and the 1/p³ scaling —
+    * full-graph degrees left-joined so every node appears. */
+  val graphTrianglesApproxSql: String =
+    s"""WITH p AS (
+      |  $NgramEdgeSrc
+      |), sp AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  WHERE substr(md5(CAST(doc_a AS VARCHAR) || ':' ||
+      |    CAST(doc_b AS VARCHAR) || ':tri'), 1, 4) < '$TriSampleCut'
+      |), t AS (
+      |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      |  FROM sp e1
+      |  JOIN sp e2 ON e2.doc_a = e1.doc_b
+      |  JOIN sp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+      |), tc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS doc_id FROM t
+      |    UNION ALL SELECT b FROM t
+      |    UNION ALL SELECT c FROM t
+      |  ) GROUP BY doc_id
+      |), deg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT doc_a AS doc_id FROM p
+      |    UNION ALL SELECT doc_b FROM p
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT deg.doc_id, deg.deg,
+      |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri_sampled,
+      |  CAST(COALESCE(tc.n_tri, 0) * $TriSampleScale AS BIGINT) AS n_tri_est
+      |FROM deg LEFT JOIN tc USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_triangles_approx" -> (graphTrianglesApprox _),
     "graph_bfs" -> (graphBfs _),
     "graph_pagerank_lsh" -> (graphPagerankLsh _),
     "graph_triangles_lsh" -> (graphTrianglesLsh _),
@@ -575,6 +652,7 @@ object GraphOps {
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_triangles_approx" -> graphTrianglesApproxSql,
     "graph_bfs" -> graphBfsSql,
     "graph_pagerank_lsh" -> graphPagerankLshSql,
     "graph_triangles_lsh" -> graphTrianglesLshSql,
