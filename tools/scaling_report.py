@@ -13,7 +13,8 @@ def main():
     qa, qb = a["queries"], b["queries"]
     # fixed-duration / self-measuring harnesses: wall-clock by
     # construction, a time ratio says nothing about data scaling
-    harness = {"stream_soak", "stream_rate_bench", "stream_param_sweep"}
+    harness = {"stream_soak", "stream_soak_ferret", "stream_rate_bench",
+               "stream_param_sweep"}
     rows = []
     for k in sorted(set(qa) & set(qb)):
         r = qb[k] / qa[k] if qa[k] > 0 else float("inf")
