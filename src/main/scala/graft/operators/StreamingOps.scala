@@ -289,12 +289,30 @@ object StreamingOps {
     val e = Similarity.emb(s, dir).localCheckpoint(true)
     val n = math.max(1L, e.count())
     val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val rate = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100)
+    // shuffle partitions for the per-trigger search, derived from the
+    // work one trigger carries (the statePartsFor rule, applied to the
+    // probe fan-out): candidate rows ≈ queries/trigger × tables ×
+    // (T+1 probes) × mean bucket occupancy (corpus / 2^bits); one
+    // partition per ~250k candidate rows, floor 4, capped at the
+    // session default so a cluster-shaped default is never exceeded.
+    // Without this the foreachBatch plan — bound to THIS session, not
+    // the stream's clone — shuffled every ~50-row trigger into the
+    // full session default, and the task overhead alone (~1 s/trigger
+    // at 32) starved the soak's n >= 12 sample floor.
+    val qPerTrigger = math.max(1L, rate.toLong * 500 / 1000)
+    val candPerTrigger = qPerTrigger * Similarity.MpTables *
+      (Similarity.MpProbes + 1) * math.max(1L, n >> Similarity.MpBits)
+    val innerParts = math.max(4L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (candPerTrigger + 249999) / 250000)).toInt
     s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
-      queriesPerSec = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100),
+      queriesPerSec = rate,
       attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),
       search = q => Similarity.ferretSearch(e, q, broadcastQueries = true),
       stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt),
-      triggerMillis = 500))
+      triggerMillis = 500,
+      innerParts = Some(innerParts)))
   }
 
   // ---- stream_replay: Kafka-shaped offset-log source, fully oracled ----

@@ -885,11 +885,40 @@ object StreamingPipelines {
                      attach: DataFrame => DataFrame,
                      search: DataFrame => DataFrame,
                      stateParts: Option[Int] = None,
-                     triggerMillis: Int = 1000): Seq[StatelessSoakRow] = {
+                     triggerMillis: Int = 1000,
+                     innerParts: Option[Int] = None): Seq[StatelessSoakRow] = {
     val src = s.readStream.format("rate")
       .option("rowsPerSecond", queriesPerSec.toLong)
       .option("numPartitions", 4)
       .load()
+    // innerParts: shuffle-partition count for the per-trigger BATCH
+    // search. The foreachBatch body's plan binds to the session the
+    // CORPUS frames were built on (this one), not the stream's clone —
+    // so the stateParts startup override never reaches it, and every
+    // ~100-row trigger shuffled into the session default's partitions
+    // (32 here, 200+ on a cluster). Measured at sf0.01: 32 → 4
+    // partitions cuts per-trigger exec ~1000 → ~350 ms, which is the
+    // difference between clearing the n >= 12 sample floor inside the
+    // soak wall and starving it. The caller derives the value from
+    // trigger volume (rate × trigger × probe fan-out), so it scales
+    // with the work per trigger, not with the box. Scoped to the
+    // soak's whole duration (set before start, restored after stop) —
+    // the soak owns the session while it runs.
+    val prevInner = s.conf.get("spark.sql.shuffle.partitions")
+    innerParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+    // Warm the batch-search plan (analysis + codegen + broadcast
+    // machinery) BEFORE the stream starts: the first trigger otherwise
+    // pays ~3-5 s of cold JIT inside the soak wall, and since the soak
+    // stops on a sample-count floor, cold-start latency delays every
+    // sample behind it — pure wall cost, no measurement value (the
+    // first third is warm-up and excluded from the gate anyway).
+    // Best-effort: a real pipeline failure resurfaces in the stream.
+    try {
+      val warmDf = s.range(0, math.min(100L, math.max(1L, queriesPerSec.toLong)))
+        .select(current_timestamp().as("timestamp"), col("id").as("value"))
+      search(attach(warmDf)).write.format("noop").mode("overwrite").save()
+    } catch { case scala.util.control.NonFatal(_) => () }
     val q = startLock.synchronized {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -948,6 +977,7 @@ object StreamingPipelines {
       StatelessSoakRow(i, el, inRows, rps, ms, ms / math.max(1L, inRows),
         blocks, mem, n.toLong, midMs, lateMs, midBlocks, lateBlocks, flat)
     }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevInner)
   }
 
   private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
