@@ -383,14 +383,43 @@ object Similarity {
                                broadcastQueries: Boolean = true,
                                overFetch: Int = OverFetch,
                                tables: Int = LshTables, bits: Int = LshBits,
-                               qProbes: Int = 0): DataFrame = {
+                               qProbes: Int = 0,
+                               pre: Option[FerretIndex] = None): DataFrame = {
     val wCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    lshScored(e0, qdf, broadcastQueries, overFetch, tables, bits, qProbes)
+    lshScored(e0, qdf, broadcastQueries, overFetch, tables, bits, qProbes, pre)
       .select("query_id", "vec_id", "cos")
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= TopK)
   }
+
+  /** Resident corpus-side index for the promoted search — the
+    * reference's mkdb posture (ferret-pthreads builds its db tables
+    * ONCE and streams queries against the resident tables). Holds the
+    * two corpus-side artifacts every search recomputes otherwise:
+    * the 128-plane sign sketches (~8k multiplies per vector — the
+    * dominant corpus-side cost) and the per-table bucket rows.
+    * Built once per key invocation from the parquet inputs (eager
+    * localCheckpoint — nothing persists across runs); streaming
+    * callers probe it every trigger, so without it EVERY trigger paid
+    * the full corpus-side recompute before touching its ~100-row
+    * batch (measured at sf0.1: ~87M sketch multiplies per trigger). */
+  private[operators] case class FerretIndex(sk: DataFrame, buckets: DataFrame)
+
+  private[operators] def ferretIndex(e0: DataFrame): FerretIndex = FerretIndex(
+    withSketch(e0.select("vec_id", "v")).localCheckpoint(true),
+    withBuckets(e0.select("vec_id", "v"), EmbDim, MpTables, MpBits)
+      .select("vec_id", "tbl", "bucket").localCheckpoint(true))
+
+  /** [[ferretSearch]] against a prebuilt [[FerretIndex]]. Output is
+    * identical to the unindexed path (the index is the same frames,
+    * materialized once) — StreamingFerretSpec's equality against
+    * ferret_pipeline pins it. */
+  private[operators] def ferretSearchIndexed(idx: FerretIndex, e0: DataFrame,
+                                             q: DataFrame,
+                                             broadcastQueries: Boolean): DataFrame =
+    lshSearch(e0, q, broadcastQueries = broadcastQueries,
+      tables = MpTables, bits = MpBits, qProbes = MpProbes, pre = Some(idx))
 
   /** The search up to exact scoring: over-fetched candidates carrying
     * BOTH phase-1 sketch rank and the exact cosine — lshSearch's final
@@ -410,10 +439,12 @@ object Similarity {
     * would silently cost recall at scale). */
   private def lshCandidates(e0: DataFrame, qdf: DataFrame,
                             tables: Int, bits: Int, qProbes: Int,
-                            broadcastQueries: Boolean = true): DataFrame = {
+                            broadcastQueries: Boolean = true,
+                            bucketsPre: Option[DataFrame] = None): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
-    val buckets = withBuckets(e0.select("vec_id", "v"), EmbDim, tables, bits)
-      .select("vec_id", "tbl", "bucket")
+    val buckets = bucketsPre.getOrElse(
+      withBuckets(e0.select("vec_id", "v"), EmbDim, tables, bits)
+        .select("vec_id", "tbl", "bucket"))
     val qBase = qdf.select(col("query_id").as("vec_id"), col("qv").as("v"))
     val qBuckets = (if (qProbes > 0) withProbeBuckets(qBase, tables, bits, qProbes)
                     else withBuckets(qBase, EmbDim, tables, bits))
@@ -427,15 +458,16 @@ object Similarity {
                                broadcastQueries: Boolean = true,
                                overFetch: Int = OverFetch,
                                tables: Int = LshTables, bits: Int = LshBits,
-                               qProbes: Int = 0): DataFrame = {
+                               qProbes: Int = 0,
+                               pre: Option[FerretIndex] = None): DataFrame = {
     def qside(df: DataFrame): DataFrame = if (broadcastQueries) broadcast(df) else df
-    val e = withSketch(e0)
+    val e = pre.map(_.sk).getOrElse(withSketch(e0))
     val q = qdf
       .join(e.select(col("vec_id").as("query_id"), col("sketch_lo").as("qsketch_lo"),
         col("sketch_hi").as("qsketch_hi")), "query_id")
     // phase 0: candidate gen — bucket equi-join against the query buckets
     val cand = lshCandidates(e0, q.select("query_id", "qv"),
-      tables, bits, qProbes, broadcastQueries)
+      tables, bits, qProbes, broadcastQueries, pre.map(_.buckets))
     // phase 1: cheap sketch distance, keep 2k per query (over-fetch)
     val wSketch = Window.partitionBy("query_id")
       .orderBy(col("sketch_dist"), col("vec_id"))

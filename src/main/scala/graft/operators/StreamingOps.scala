@@ -58,12 +58,26 @@ object StreamingOps {
     val outDir =
       s"${System.getProperty("java.io.tmpdir")}/graft_sferret_${System.nanoTime()}"
     try {
-      val q = StreamingPipelines.ferretStream(
-        s.readStream.schema(feed.schema)
-          .option("maxFilesPerTrigger", 1).parquet(feed.path),
-        batch => Similarity.ferretSearch(e, batch, broadcastQueries = true),
-        (out, _) => out.write.mode("append").parquet(outDir))
-      try q.processAllAvailable() finally q.stop()
+      // per-trigger batch conf (see ferretInnerConf): one trigger
+      // carries ~1/5 of the query batch; the search plan binds to
+      // THIS session, so the volume-derived shuffle-partition count
+      // and tiny-batch AQE gate are scoped around the whole drain —
+      // this key runs its stream alone, so the scope is race-free
+      val nCorpus = math.max(1L, e.count())
+      // resident index, built ONCE before the stream (the reference's
+      // mkdb posture): each trigger otherwise recomputed the corpus
+      // buckets AND 128-plane sketches before touching its batch
+      val idx = Similarity.ferretIndex(e)
+      StreamingPipelines.withScopedConf(s,
+        ferretInnerConf(s, nCorpus, math.max(1L, (nCorpus / 10 + 4) / 5))) {
+        val q = StreamingPipelines.ferretStream(
+          s.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1).parquet(feed.path),
+          batch => Similarity.ferretSearchIndexed(idx, e, batch,
+            broadcastQueries = true),
+          (out, _) => out.write.mode("append").parquet(outDir))
+        try q.processAllAvailable() finally q.stop()
+      }
       // snapshot the sink before its directory is reclaimed (tiny:
       // TopK rows per query)
       s.read.parquet(outDir).localCheckpoint(true)
@@ -138,6 +152,10 @@ object StreamingOps {
           // in the BlockManager, so each trigger frees the PREVIOUS
           // one — the measured window never accumulates blocks
           var prevCkpt: Seq[Int] = Nil
+          // resident index, built ONCE before the leg's stream (the
+          // reference's mkdb posture): each trigger otherwise
+          // recomputed the corpus buckets and 128-plane sketches
+          val idx = Similarity.ferretIndex(emb)
           StreamingPipelines.foreachBatchThroughputBench(s, qvFeed, "ferret",
             { (b, _) =>
               prevCkpt.foreach(id => s.sparkContext.getPersistentRDDs
@@ -145,7 +163,8 @@ object StreamingOps {
               // cache: the search reads the batch in three plan branches
               val q = b.cache()
               val out =
-                try Similarity.ferretSearch(emb, q, broadcastQueries = true)
+                try Similarity.ferretSearchIndexed(idx, emb, q,
+                    broadcastQueries = true)
                   .localCheckpoint(true) // eager — q fully consumed here
                 finally { q.unpersist(blocking = false): Unit }
               prevCkpt = out.queryExecution.logical.collect {
@@ -290,29 +309,53 @@ object StreamingOps {
     val n = math.max(1L, e.count())
     val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
     val rate = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100)
-    // shuffle partitions for the per-trigger search, derived from the
-    // work one trigger carries (the statePartsFor rule, applied to the
-    // probe fan-out): candidate rows ≈ queries/trigger × tables ×
-    // (T+1 probes) × mean bucket occupancy (corpus / 2^bits); one
-    // partition per ~250k candidate rows, floor 4, capped at the
-    // session default so a cluster-shaped default is never exceeded.
-    // Without this the foreachBatch plan — bound to THIS session, not
-    // the stream's clone — shuffled every ~50-row trigger into the
-    // full session default, and the task overhead alone (~1 s/trigger
-    // at 32) starved the soak's n >= 12 sample floor.
     val qPerTrigger = math.max(1L, rate.toLong * 500 / 1000)
-    val candPerTrigger = qPerTrigger * Similarity.MpTables *
-      (Similarity.MpProbes + 1) * math.max(1L, n >> Similarity.MpBits)
-    val innerParts = math.max(4L, math.min(
-      s.sessionState.conf.numShufflePartitions.toLong,
-      (candPerTrigger + 249999) / 250000)).toInt
+    // resident index, built ONCE before the stream (the reference's
+    // mkdb posture): each trigger otherwise recomputed the corpus
+    // buckets and 128-plane sketches before touching its ~50-row batch
+    val idx = Similarity.ferretIndex(e)
     s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
       queriesPerSec = rate,
       attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),
-      search = q => Similarity.ferretSearch(e, q, broadcastQueries = true),
+      search = q => Similarity.ferretSearchIndexed(idx, e, q, broadcastQueries = true),
       stateParts = sys.env.get("GRAFT_SOAK_STATE_PARTS").map(_.toInt),
       triggerMillis = 500,
-      innerParts = Some(innerParts)))
+      innerConf = ferretInnerConf(s, n, qPerTrigger)))
+  }
+
+  /** Session settings for a per-trigger ferret batch search, derived
+    * from the work ONE trigger carries — not from the box (guide §2.2:
+    * partitioning must follow data volume). Candidate rows ≈
+    * queries/trigger × tables × (T+1 probes) × mean bucket occupancy
+    * (corpus / 2^bits):
+    *   - shuffle partitions: one per ~250k candidate rows, floor 4,
+    *     capped at the session default (a cluster-shaped default is
+    *     never exceeded). The foreachBatch plan binds to the session
+    *     the corpus frames were built on — NOT the stream's clone —
+    *     so without this every ~100-row trigger shuffled into the
+    *     full session default (32 partitions of task overhead per
+    *     tiny stage, ~1 s/trigger measured at sf0.01).
+    *   - AQE: off below [[InnerAqeMinCandidates]] candidate rows.
+    *     AQE re-plans at every exchange via a blocking stage
+    *     materialization; on a sub-second batch those barriers cost
+    *     ~130 ms/trigger (SoakProbe: 480 → 350 ms exec at 4
+    *     partitions) and there is nothing to adapt — partitioning is
+    *     already volume-derived. Large batches keep AQE: skew/coalesce
+    *     decisions matter exactly when the per-trigger volume is big.
+    * Scoped by the caller via [[StreamingPipelines.withScopedConf]];
+    * single-key drains only (never under concurrent legs). */
+  private[operators] val InnerAqeMinCandidates = 2000000L
+  private[operators] def ferretInnerConf(s: SparkSession, corpusN: Long,
+                                         qPerTrigger: Long): Map[String, String] = {
+    val cand = qPerTrigger * Similarity.MpTables *
+      (Similarity.MpProbes + 1) * math.max(1L, corpusN >> Similarity.MpBits)
+    val parts = math.max(4L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (cand + 249999) / 250000))
+    Map("spark.sql.shuffle.partitions" -> parts.toString) ++
+      (if (cand < InnerAqeMinCandidates)
+        Map("spark.sql.adaptive.enabled" -> "false")
+      else Map.empty)
   }
 
   // ---- stream_replay: Kafka-shaped offset-log source, fully oracled ----

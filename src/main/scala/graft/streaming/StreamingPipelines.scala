@@ -881,32 +881,42 @@ object StreamingPipelines {
     * so the n ≥ 12 sample floor clears in ~8 s of plateau (the r16
     * verdict #7 cadence rule: derive samples from the trigger rate,
     * not longer wall); the flatness CLAIM is cadence-independent. */
+  /** Run `body` with session-conf entries set, restoring the previous
+    * values after — for a harness that owns the session while it runs
+    * (a single-key drain; NOT safe under concurrent legs sharing the
+    * session). Used to scope volume-derived inner-batch settings
+    * (shuffle partitions, the tiny-batch AQE gate) to one key. */
+  def withScopedConf[T](s: SparkSession, kv: Map[String, String])(body: => T): T = {
+    val prev = kv.keys.map(k => k -> s.conf.get(k)).toMap
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   def ferretRateSoak(s: SparkSession, soakSecs: Int, queriesPerSec: Int,
                      attach: DataFrame => DataFrame,
                      search: DataFrame => DataFrame,
                      stateParts: Option[Int] = None,
                      triggerMillis: Int = 1000,
-                     innerParts: Option[Int] = None): Seq[StatelessSoakRow] = {
+                     innerConf: Map[String, String] = Map.empty): Seq[StatelessSoakRow] = {
     val src = s.readStream.format("rate")
       .option("rowsPerSecond", queriesPerSec.toLong)
       .option("numPartitions", 4)
       .load()
-    // innerParts: shuffle-partition count for the per-trigger BATCH
-    // search. The foreachBatch body's plan binds to the session the
+    // innerConf: session settings for the per-trigger BATCH search
+    // (shuffle partitions derived from trigger volume, the tiny-batch
+    // AQE gate). The foreachBatch body's plan binds to the session the
     // CORPUS frames were built on (this one), not the stream's clone —
     // so the stateParts startup override never reaches it, and every
     // ~100-row trigger shuffled into the session default's partitions
     // (32 here, 200+ on a cluster). Measured at sf0.01: 32 → 4
     // partitions cuts per-trigger exec ~1000 → ~350 ms, which is the
     // difference between clearing the n >= 12 sample floor inside the
-    // soak wall and starving it. The caller derives the value from
-    // trigger volume (rate × trigger × probe fan-out), so it scales
+    // soak wall and starving it. The caller derives the values from
+    // trigger volume (rate × trigger × probe fan-out), so they scale
     // with the work per trigger, not with the box. Scoped to the
     // soak's whole duration (set before start, restored after stop) —
     // the soak owns the session while it runs.
-    val prevInner = s.conf.get("spark.sql.shuffle.partitions")
-    innerParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p.toString))
-    try {
+    withScopedConf(s, innerConf) {
     // Warm the batch-search plan (analysis + codegen + broadcast
     // machinery) BEFORE the stream starts: the first trigger otherwise
     // pays ~3-5 s of cold JIT inside the soak wall, and since the soak
@@ -977,7 +987,7 @@ object StreamingPipelines {
       StatelessSoakRow(i, el, inRows, rps, ms, ms / math.max(1L, inRows),
         blocks, mem, n.toLong, midMs, lateMs, midBlocks, lateBlocks, flat)
     }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevInner)
+    }
   }
 
   private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
