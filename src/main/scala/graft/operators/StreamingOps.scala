@@ -459,16 +459,30 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+    // state partitions sized to the trigger volume (the statePartsFor
+    // rule every harness uses): every state partition pays a store
+    // commit per trigger, and the default session count (32 here,
+    // 200+ on a cluster) for a ~37k-row trigger is mostly near-empty
+    // commit machinery — per-trigger stateful stages measured ~1 s of
+    // wall with under 1 s of TOTAL task CPU across 32 tasks at sf0.1.
+    // statePartsFor grows with the trigger volume, so certification-
+    // scale runs keep the session default.
+    val stateParts = StreamingPipelines.statePartsFor(s,
+      math.min(rowsPerTrigger, Int.MaxValue.toLong).toInt)
     val drained =
       if (nEvents < SmallCorpusRows)
         drainToMemory(s, "replay") { sink =>
-          sdf.writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          StreamingPipelines.startWithStateParts(s, stateParts) {
+            sdf.writeStream.format("memory").queryName(sink)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
         }
       else drainToParquet(s, "replay", sdf.schema) { (outDir, ckpt) =>
-        sdf.writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        StreamingPipelines.startWithStateParts(s, stateParts) {
+          sdf.writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
       }
     drained.filter(col("event_type") =!= graft.sources.ReplayLog.FlushType)
   }
@@ -515,16 +529,26 @@ object StreamingOps {
         unix_micros(col("w.start")).as("start_us"),
         unix_micros(col("w.end")).as("end_us"),
         col("n_events"))
+    // state partitions sized to the trigger volume — same rationale
+    // and rule as stream_replay above (session-window state merges
+    // live per partition; near-empty store commits dominate a small
+    // trigger at the session default)
+    val stateParts = StreamingPipelines.statePartsFor(s,
+      math.min(rowsPerTrigger, Int.MaxValue.toLong).toInt)
     val drained =
       if (nEvents < SmallCorpusRows)
         drainToMemory(s, "sessions") { sink =>
-          sdf.writeStream.format("memory").queryName(sink)
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          StreamingPipelines.startWithStateParts(s, stateParts) {
+            sdf.writeStream.format("memory").queryName(sink)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          }
         }
       else drainToParquet(s, "sessions", sdf.schema) { (outDir, ckpt) =>
-        sdf.writeStream.format("parquet").option("path", outDir)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        StreamingPipelines.startWithStateParts(s, stateParts) {
+          sdf.writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        }
       }
     drained.filter(col("user_id") =!= -1L)
   }

@@ -743,6 +743,18 @@ object StreamingPipelines {
     * race on the shared session conf without this. */
   private val startLock = new Object
 
+  /** Start a streaming query under a state-partition override scoped
+    * to startup (the fileThroughputBench pattern, shared): the stream
+    * clones the session in its constructor, so the started query keeps
+    * `parts` for its state layout while the shared session is restored
+    * immediately. Serialized on [[startLock]] against concurrent legs. */
+  def startWithStateParts[T](s: SparkSession, parts: Int)(start: => T): T =
+    startLock.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try { s.conf.set("spark.sql.shuffle.partitions", parts.toString); start }
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   def fileThroughputBench(s: SparkSession, feed: Feed,
                           name: String, pipeline: DataFrame => DataFrame,
                           mode: OutputMode = OutputMode.Update()): BenchResult = {
