@@ -46,12 +46,26 @@ object Curation {
     * proof; [[dedupClustersLsh]] (the 100 TB path) feeds it
     * LSH-banded near-dup pairs plus exact-content stitching edges,
     * so no all-pairs generator is anywhere in the production plan. */
+  /** Below this many pair rows the propagation loop runs with AQE off:
+    * a converged run is 3-6 rounds of node-sized joins, each round 2-3
+    * materializations, and AQE wraps every exchange in its own
+    * blocking QueryStage job — measured at sf0.1 (JobProbe), one
+    * cluster key ran ~50 jobs whose LARGEST was 0.56 s, with ~1.3 s of
+    * pure driver gaps between them. With volume-derived inputs this
+    * small there is nothing for AQE to adapt; past the gate (pair
+    * tables that could skew or coalesce badly) AQE stays on. */
+  private[operators] val LoopAqeMinPairs = 50000000L
+
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
    // self-cleaning round-block lifecycle: see CheckpointScope
    CheckpointScope.scoped(nodes.sparkSession) { ck =>
     // directed pair list, materialized ONCE — the pair generator (an
     // LSH verify join) must never re-run per consumer
     val p = ck(pairs.toDF("doc_a", "doc_b"))
+    graft.streaming.StreamingPipelines.withScopedConf(nodes.sparkSession,
+      if (p.count() < LoopAqeMinPairs)
+        Map("spark.sql.adaptive.enabled" -> "false")
+      else Map.empty) {
     // ---- contraction pass (min-neighbor hooking) ----
     // Near-dup graphs are clique-heavy (every member of a dup block
     // pairs with every other), and an iterative loop pays the full
@@ -148,6 +162,7 @@ object Curation {
     l0.join(labels.withColumnRenamed("doc_id", "rep"), "rep")
       .select(col("doc_id"), col("cluster_id"))
       .localCheckpoint(true)
+    }
    }
 
   /** Oracled variant: clusters over the EXACT near-dup pairs
