@@ -56,6 +56,31 @@ object Curation {
     * tables that could skew or coalesce badly) AQE stays on. */
   private[operators] val LoopAqeMinPairs = 50000000L
 
+  /** Rows per shuffle partition inside the iterative loops. Every
+    * in-loop exchange here moves 8-byte id pairs (≤ 16 B/row), so
+    * 250k rows/partition is ~4 MB — conservative against the guide's
+    * 100 MB+ target, but each extra partition costs a ~1 MB block
+    * floor plus a task per materialized round (measured: pagerank's
+    * per-iteration broadcast build read 64 × 1.16 MB of block
+    * overhead for a node-sized frame — 0.7-1.0 s/iteration of pure
+    * per-task cost at sf0.1). */
+  private[graft] val LoopRowsPerPartition = 250000L
+
+  /** Scoped conf for a volume-`rows` iterative loop: shuffle
+    * partitions derived from the volume one round actually moves
+    * (floor 4, ceiling the session default — at production volume
+    * this returns the default and is a no-op, guide §2.2), plus the
+    * small-loop AQE gate ([[LoopAqeMinPairs]]). */
+  private[graft] def loopConf(s: SparkSession, rows: Long): Map[String, String] = {
+    val sessionDefault = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(4L, math.min(sessionDefault.toLong,
+      (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
+    Map("spark.sql.shuffle.partitions" -> parts.toString) ++
+      (if (rows < LoopAqeMinPairs)
+        Map("spark.sql.adaptive.enabled" -> "false")
+      else Map.empty)
+  }
+
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
    // self-cleaning round-block lifecycle: see CheckpointScope
    CheckpointScope.scoped(nodes.sparkSession) { ck =>
@@ -63,9 +88,7 @@ object Curation {
     // LSH verify join) must never re-run per consumer
     val p = ck(pairs.toDF("doc_a", "doc_b"))
     graft.streaming.StreamingPipelines.withScopedConf(nodes.sparkSession,
-      if (p.count() < LoopAqeMinPairs)
-        Map("spark.sql.adaptive.enabled" -> "false")
-      else Map.empty) {
+      loopConf(nodes.sparkSession, p.count())) {
     // ---- contraction pass (min-neighbor hooking) ----
     // Near-dup graphs are clique-heavy (every member of a dup block
     // pairs with every other), and an iterative loop pays the full

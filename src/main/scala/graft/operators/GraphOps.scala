@@ -86,6 +86,16 @@ object GraphOps {
       // inflow sum partial-aggregates map-side, so the only
       // per-iteration shuffle is node-sized.
       val p = ck(pairs.toDF("doc_a", "doc_b"))
+      // volume-derived loop partitioning (Curation.loopConf — floor 4,
+      // ceiling the session default, AQE gated below LoopAqeMinPairs):
+      // every per-iteration exchange and checkpointed round frame here
+      // is node- or pair-sized 8-byte-id rows, and each partition of a
+      // materialized round costs a ~1 MB block floor plus a task in
+      // the NEXT iteration's broadcast build (measured at sf0.1: the
+      // per-iteration contrib build scanned 64 × 1.16 MB for a
+      // node-sized frame, 0.7-1.0 s per iteration — the key's wall).
+      graft.streaming.StreamingPipelines.withScopedConf(pairs.sparkSession,
+        Curation.loopConf(pairs.sparkSession, p.count())) {
       val deg = ck(p.select(col("doc_a").as("src"))
         .union(p.select(col("doc_b").as("src")))
         .groupBy("src").agg(count(lit(1)).as("deg")))
@@ -108,6 +118,7 @@ object GraphOps {
       // materialized OUTSIDE ck: the node-sized result must survive
       // the scope's block cleanup
       ranks.localCheckpoint(true)
+      }
     }
 
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
