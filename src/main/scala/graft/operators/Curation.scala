@@ -81,12 +81,33 @@ object Curation {
       else Map.empty)
   }
 
+  /** A pair plan whose whole tree is scan + projection/filter/union
+    * re-executes for pennies — materializing it through ck() costs
+    * more than it saves (measured at sf0.1: the 4.4M-row minhash
+    * edge STORE checkpointed to 370 MB of row objects and the
+    * contraction then read those blocks back, vs ~16 MB of parquet
+    * per rescan). Generators with joins/windows/aggregates still
+    * checkpoint — those must never re-run per consumer. */
+  private[operators] def cheapToRescan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collect {
+      case p => p
+    }.forall {
+      case _: Project | _: Filter | _: Union => true
+      case _: LeafNode => true
+      case _ => false
+    }
+  }
+
   private[graft] def clustersFromPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
    // self-cleaning round-block lifecycle: see CheckpointScope
    CheckpointScope.scoped(nodes.sparkSession) { ck =>
-    // directed pair list, materialized ONCE — the pair generator (an
-    // LSH verify join) must never re-run per consumer
-    val p = ck(pairs.toDF("doc_a", "doc_b"))
+    // directed pair list, materialized ONCE unless the plan is a bare
+    // (re-runnable) scan — the pair generator (an LSH verify join)
+    // must never re-run per consumer, but a store-backed scan rereads
+    // cheaper than its checkpoint blocks
+    val p0 = pairs.toDF("doc_a", "doc_b")
+    val p = if (cheapToRescan(p0)) p0 else ck(p0)
     graft.streaming.StreamingPipelines.withScopedConf(nodes.sparkSession,
       loopConf(nodes.sparkSession, p.count())) {
     // ---- contraction pass (min-neighbor hooking) ----
@@ -109,12 +130,17 @@ object Curation {
     // node-sized with exact checkpoint stats), then symmetrize only
     // the tiny surviving edge set; distinct's partial aggregation
     // collapses the clique fan-in map-side
-    val e = p
+    // materialize the contracted edge set BEFORE symmetrizing: the
+    // union's two branches would otherwise each re-execute the whole
+    // contraction subtree (p scanned twice, both joins and the
+    // distinct run twice — measured at sf0.1 LSH volume: 741 MB of
+    // duplicate block reads in one ck job)
+    val e = ck(p
       .join(l0.select(col("doc_id").as("doc_a"), col("rep").as("la")), "doc_a")
       .join(l0.select(col("doc_id").as("doc_b"), col("rep").as("lb")), "doc_b")
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("src"), col("lb").as("dst"))
-      .distinct()
+      .distinct())
     val edges = ck(e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")))
@@ -213,18 +239,25 @@ object Curation {
     * runs. CurationSpec proves the invariants that ARE exact: edge
     * closure (every is_dup pair co-clustered), exact-copy
     * co-clustering, and loop-equality on a shared edge set. */
-  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupClustersLsh(s: SparkSession, dir: String): DataFrame =
+   CheckpointScope.scoped(s) { ck =>
     val near = Dedup.dedupMinhash(s, dir)
       .filter(col("is_dup")).select("doc_a", "doc_b")
     val withSha = docs(s, dir).select(col("doc_id"),
       sha2(col("text").cast("binary"), 256).as("content_sha"))
-    val stitch = withSha
+    // pre-checkpoint ONLY the node-sized stitch edges: the window
+    // subtree then never re-runs, and the combined pair plan becomes
+    // a bare scan-union (store parquet + LogicalRDD) that
+    // clustersFromPairs rescans instead of re-materializing — the
+    // 4.4M-row near table checkpointed to 370 MB of row objects that
+    // the contraction re-read 2-3× (cheapToRescan)
+    val stitch = ck(withSha
       .withColumn("rep", min(col("doc_id"))
         .over(Window.partitionBy("content_sha")))
       .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b")))
     clustersFromPairs(withSha.select("doc_id"), near.union(stitch))
-  }
+   }
 
   /** Independent cross-engine recomputation: transitive closure of the
     * same exact near-dup edge set by recursive CTE, cluster id = min

@@ -85,7 +85,14 @@ object GraphOps {
       // plus six 90M-row sorts, the whole key's cost). The grouped
       // inflow sum partial-aggregates map-side, so the only
       // per-iteration shuffle is node-sized.
-      val p = ck(pairs.toDF("doc_a", "doc_b"))
+      // store-backed pair scans are cheaper to re-read per iteration
+      // than their checkpoint blocks (deserialized row objects cost
+      // ~10 CPU-s per scan at the 4.4M-pair LSH volume vs ~0.5 s of
+      // vectorized parquet decode); expensive generators still
+      // checkpoint once — Curation.cheapToRescan, same rule as the
+      // cluster loop
+      val p0 = pairs.toDF("doc_a", "doc_b")
+      val p = if (Curation.cheapToRescan(p0)) p0 else ck(p0)
       // volume-derived loop partitioning (Curation.loopConf — floor 4,
       // ceiling the session default, AQE gated below LoopAqeMinPairs):
       // every per-iteration exchange and checkpointed round frame here
