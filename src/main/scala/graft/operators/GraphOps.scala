@@ -213,15 +213,22 @@ object GraphOps {
     * driver-side brute force. */
   private[graft] def trianglesFromPairs(pairs: DataFrame): DataFrame = {
     CheckpointScope.scoped(pairs.sparkSession) { ck =>
-      val p = ck(pairs)
+      // store-backed pair scans reread cheaper than checkpoint blocks
+      // (Curation.cheapToRescan — p is scanned 3×: deg's union twice,
+      // the orientation once)
+      val p = if (Curation.cheapToRescan(pairs)) pairs else ck(pairs)
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
       val o = ck(orientByDegree(p, deg, deg.count()).select("u", "v"))
       // out-adjacency, node-sized, sorted ONCE so the closing
-      // intersections are two-pointer merges
-      val adjOut = o.groupBy(col("u").as("doc_id"))
-        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      // intersections are two-pointer merges — and CHECKPOINTED once:
+      // both attachSide broadcasts consume it under different key
+      // names, and without the materialization each build re-ran the
+      // groupBy + sort_array subtree (measured at sf0.1: the two
+      // rebuild jobs were 0.8-1.0 s each, the key's dominant cost)
+      val adjOut = ck(o.groupBy(col("u").as("doc_id"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs")))
       val attached = Dedup.attachSide(Dedup.attachSide(o,
         adjOut.select(col("doc_id").as("u"), col("nbrs").as("nbrs_u")), "u"),
         adjOut.select(col("doc_id").as("v"), col("nbrs").as("nbrs_v")), "v")
