@@ -75,7 +75,16 @@ object Curation {
     val sessionDefault = s.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(4L, math.min(sessionDefault.toLong,
       (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition)).toInt
-    Map("spark.sql.shuffle.partitions" -> parts.toString) ++
+    // scan splits follow the same volume rule as the shuffles: the
+    // compacted pair stores arrive as a few ~4 MB files, and the
+    // default 4 MB openCost floor would pack them into 1-2 splits —
+    // too coarse for the in-loop probe/aggregate map stages at real
+    // pair volume. Scoped (restored on exit), volume-derived.
+    val maxSplit = math.min(128L << 20,
+      math.max(1L << 20, rows * 24L / parts))
+    Map("spark.sql.shuffle.partitions" -> parts.toString,
+        "spark.sql.files.maxPartitionBytes" -> maxSplit.toString,
+        "spark.sql.files.openCostInBytes" -> (256L << 10).toString) ++
       (if (rows < LoopAqeMinPairs)
         Map("spark.sql.adaptive.enabled" -> "false")
       else Map.empty)

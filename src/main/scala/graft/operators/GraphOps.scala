@@ -220,7 +220,14 @@ object GraphOps {
       val deg = ck(p.select(col("doc_a").as("doc_id"))
         .union(p.select(col("doc_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("deg")))
-      val o = ck(orientByDegree(p, deg, deg.count()).select("u", "v"))
+      // the oriented edge table's partitioning flows through the
+      // broadcast attaches into the credits EXPLODE — a Θ(T) stage
+      // (super-linear in edges), so it must fan to the session's full
+      // parallelism even when the edge scan arrived as one split
+      // (compacted store = 1-4 files): repartition the edge-sized
+      // frame (cheap) so the explode never runs single-task
+      val o = ck(orientByDegree(p, deg, deg.count()).select("u", "v")
+        .repartition(p.sparkSession.sparkContext.defaultParallelism))
       // out-adjacency, node-sized, sorted ONCE so the closing
       // intersections are two-pointer merges — and CHECKPOINTED once:
       // both attachSide broadcasts consume it under different key
