@@ -299,21 +299,31 @@ object StreamingOps {
     * the block medians, and the flatness bit itself from the echoed
     * per-trigger samples (the derived-metric treatment the dedup soak
     * got in r16). GRAFT_SOAK_RATE sets queries/s (default 100),
-    * GRAFT_SOAK_FERRET_SECONDS the wall (default 10 at a 500 ms
-    * trigger — ~16 plateau samples), GRAFT_SOAK_STATE_PARTS the
-    * cluster-shaped shuffle-partition count, as for the dedup soak. */
+    * GRAFT_SOAK_FERRET_SECONDS the wall (default 8 at a 500 ms
+    * trigger — ~14-16 samples at the measured ~2/s cadence),
+    * GRAFT_SOAK_STATE_PARTS the cluster-shaped shuffle-partition
+    * count, as for the dedup soak. */
   def streamSoakFerret(s: SparkSession, dir: String): DataFrame = {
+    // default wall 8 s: the soak samples at ~2/s (500 ms cadence with
+    // ~500 ms per-trigger exec at bench SF), so 8 s clears the n >= 12
+    // flatness floor with the 14-sample stop cushion engaging only
+    // under load — the r16 verdict #7 rule (derive the wall from the
+    // sample cadence, never weaken the gate). Certification soaks
+    // raise GRAFT_SOAK_FERRET_SECONDS as before.
     val secs = sys.env.get("GRAFT_SOAK_FERRET_SECONDS")
-      .orElse(sys.env.get("GRAFT_SOAK_SECONDS")).map(_.toInt).getOrElse(10)
+      .orElse(sys.env.get("GRAFT_SOAK_SECONDS")).map(_.toInt).getOrElse(8)
+    val tc0 = System.nanoTime()
     val e = Similarity.emb(s, dir).localCheckpoint(true)
     val n = math.max(1L, e.count())
     val corpusQ = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
     val rate = sys.env.get("GRAFT_SOAK_RATE").map(_.toInt).getOrElse(100)
     val qPerTrigger = math.max(1L, rate.toLong * 500 / 1000)
+    val tc1 = StreamingPipelines.phase("ferret-soak corpus ckpt+count", tc0)
     // resident index, built ONCE before the stream (the reference's
     // mkdb posture): each trigger otherwise recomputed the corpus
     // buckets and 128-plane sketches before touching its ~50-row batch
     val idx = Similarity.ferretIndex(e)
+    StreamingPipelines.phase("ferret-soak index build", tc1): Unit
     s.createDataFrame(StreamingPipelines.ferretRateSoak(s, secs,
       queriesPerSec = rate,
       attach = b => b.select((col("value") % n).as("query_id")).join(corpusQ, "query_id"),

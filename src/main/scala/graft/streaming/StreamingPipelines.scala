@@ -910,10 +910,13 @@ object StreamingPipelines {
                      stateParts: Option[Int] = None,
                      triggerMillis: Int = 1000,
                      innerConf: Map[String, String] = Map.empty): Seq[StatelessSoakRow] = {
-    val src = s.readStream.format("rate")
-      .option("rowsPerSecond", queriesPerSec.toLong)
-      .option("numPartitions", 4)
-      .load()
+    // rate-micro-batch for the same reason as [[rateMicroBatch]]: the
+    // plain rate source's 1-second offset granularity left every
+    // sub-second trigger but one per second EMPTY, so the sample rate
+    // was ~1/s regardless of cadence and the soak always ran to its
+    // extension cap
+    val src = rateMicroBatch(s,
+      math.max(1L, queriesPerSec.toLong * triggerMillis / 1000L), triggerMillis)
     // innerConf: session settings for the per-trigger BATCH search
     // (shuffle partitions derived from trigger volume, the tiny-batch
     // AQE gate). The foreachBatch body's plan binds to the session the
@@ -928,6 +931,7 @@ object StreamingPipelines {
     // with the work per trigger, not with the box. Scoped to the
     // soak's whole duration (set before start, restored after stop) —
     // the soak owns the session while it runs.
+    val tf0 = System.nanoTime()
     withScopedConf(s, innerConf) {
     // Warm the batch-search plan (analysis + codegen + broadcast
     // machinery) BEFORE the stream starts: the first trigger otherwise
@@ -941,6 +945,7 @@ object StreamingPipelines {
         .select(current_timestamp().as("timestamp"), col("id").as("value"))
       search(attach(warmDf)).write.format("noop").mode("overwrite").save()
     } catch { case scala.util.control.NonFatal(_) => () }
+    val tf1 = phase("ferret-soak plan-warm", tf0)
     val q = startLock.synchronized {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -961,6 +966,7 @@ object StreamingPipelines {
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+    val tf2 = phase("ferret-soak start()", tf1)
     val samples = scala.collection.mutable.LinkedHashMap
       .empty[Long, (Double, Long, Double, Double, Int, Long)]
     val t0 = System.nanoTime()
@@ -982,7 +988,11 @@ object StreamingPipelines {
         }
         Thread.sleep(100)
       }
-    } finally q.stop()
+    } finally {
+      val tl = phase(s"ferret-soak loop (n=${samples.size})", tf2)
+      q.stop()
+      phase("ferret-soak stop()", tl): Unit
+    }
     val rows = samples.toSeq.sortBy(_._1)
     def med(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else xs.sorted.apply((xs.size - 1) / 2)
@@ -1002,12 +1012,44 @@ object StreamingPipelines {
     }
   }
 
-  private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
-                          nKeys: Int, stateParts: Option[Int] = None): Seq[SoakRow] = {
-    val src = s.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSec.toLong)
+  /** Dev diagnostic: GRAFT_SOAK_PHASES=1 prints per-phase wall times
+    * of the soak harnesses to stderr (start/loop/stop split — the
+    * "where does the wall go" question for a harness whose design
+    * wall is fixed). Zero cost when unset. */
+  private[graft] val soakPhases = sys.env.get("GRAFT_SOAK_PHASES").contains("1")
+  private[graft] def phase(tag: String, t0: Long): Long = {
+    val t = System.nanoTime()
+    if (soakPhases) System.err.println(f"[soak-phase] $tag ${(t - t0) / 1e9}%.2f s")
+    t
+  }
+
+  /** The soak feed: `rate-micro-batch`, not `rate`. The plain rate
+    * source advances its offset at ONE-SECOND granularity (elapsed
+    * whole seconds × rowsPerSecond), so under a sub-second trigger
+    * only ~1 trigger per second carries rows and every other trigger
+    * is empty — measured at sf0.1: a 250 ms-cadence soak collected
+    * ~1 row-bearing sample per second, starving the n ≥ 12 flatness
+    * floor and extending the wall to its 2× cap (14.8 s bench median
+    * for a 9 s design wall). rate-micro-batch delivers exactly
+    * `rowsPerBatch` rows EVERY trigger with event time advancing
+    * `advanceMillisPerBatch` per batch, so the sustained rate (rows ×
+    * cadence) is unchanged, every trigger is a sample, and the
+    * watermark closes windows on the same schedule — the eviction
+    * claim and the flatness gate are untouched; only the sampling
+    * actually runs at the designed cadence. startTimestamp is the
+    * wall clock, as the plain rate source's event time was. */
+  private def rateMicroBatch(s: SparkSession, rowsPerBatch: Long,
+                             advanceMillis: Int): DataFrame =
+    s.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("advanceMillisPerBatch", advanceMillis.toLong)
+      .option("startTimestamp", System.currentTimeMillis())
       .option("numPartitions", 4)
       .load()
+
+  private def rateSoakRun(s: SparkSession, soakSecs: Int, rowsPerSec: Int,
+                          nKeys: Int, stateParts: Option[Int] = None): Seq[SoakRow] = {
+    val src = rateMicroBatch(s, math.max(1L, rowsPerSec / 4L), advanceMillis = 250)
     // 1 s windows + 1 s delay + 250 ms triggers (r16 verdict #7,
     // halving the r15 cadence again): the plateau exists once the
     // first windows close (~2.5 s in) and the sample rate is ~4/s, so
@@ -1018,13 +1060,30 @@ object StreamingPipelines {
     // 1000 keys, the same 2000↔3000 oscillation band as before); a
     // longer GRAFT_SOAK_SECONDS certification run exercises the same
     // query
-    val agg = src
+    def soakAgg(df: DataFrame): DataFrame = df
       .select(col("timestamp").as("ts"), (col("value") % nKeys).as("user_id"),
         (col("value") % 97).cast("double").as("value"))
       .withWatermark("ts", "1 second")
       .groupBy(window(col("ts"), "1 second"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val agg = soakAgg(src)
+    val tw0 = System.nanoTime()
+    // Warm the aggregation plan in batch mode BEFORE the stream starts
+    // (the ferretRateSoak pattern): whole-stage codegen of the
+    // hash-agg/window/decimal expressions otherwise compiles inside the
+    // first triggers, which stretches them to seconds — and since the
+    // stop rule holds a sample-count cushion, a cold start extends the
+    // WALL, not just the warm-up third. Batch mode shares the codegen
+    // cache with the streaming incremental plans; the state-store init
+    // it can't warm is per-partition and cheap. Best-effort.
+    try {
+      import s.implicits._
+      soakAgg(s.range(0, 64)
+        .select(current_timestamp().as("timestamp"), col("id").as("value")))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val tp0 = phase("dedup-soak plan-warm", tw0)
     val q = startLock.synchronized {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
@@ -1044,18 +1103,29 @@ object StreamingPipelines {
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+    val tp1 = phase("dedup-soak start()", tp0)
     val samples = scala.collection.mutable.LinkedHashMap
       .empty[Long, (Double, Long, Double, Long, Long, Boolean)]
     val t0 = System.nanoTime()
     try {
       // sample-count-aware stop (r16): the flatness gate needs n >= 12
       // samples, and trigger latency under machine load can stretch
-      // past the nominal 500 ms — keep soaking (up to 2× the nominal
-      // wall) until a 14-sample cushion exists, so a loaded box slows
-      // the soak instead of failing its own gate on sample starvation
+      // past the nominal cadence — keep soaking (up to 2× the nominal
+      // wall) until a cushion exists, so a loaded box slows the soak
+      // instead of failing its own gate on sample starvation. The
+      // cushion is 24: the event clock advances per BATCH
+      // (rate-micro-batch), so the state ramp is exactly the first
+      // (window+delay)/advance = 8 row-bearing batches, and the
+      // MID third only clears the ramp when n/3 >= 8. A quiet run
+      // collects ~26 samples inside the 9 s wall, so the cushion
+      // never extends a quiet soak.
       def el: Double = (System.nanoTime() - t0) / 1e9
-      while (el < soakSecs || (samples.size < 14 && el < 2.0 * soakSecs)) {
+      while (el < soakSecs || (samples.size < 24 && el < 2.0 * soakSecs)) {
         Option(q.lastProgress).filter(_.numInputRows > 0).foreach { p =>
+          if (soakPhases && !samples.contains(p.batchId))
+            System.err.println(s"[soak-trigger] batch ${p.batchId} dur=${p.batchDuration}ms " +
+              s"rows=${p.numInputRows} durMs=${p.durationMs} " +
+              s"state=${p.stateOperators.headOption.map(o => s"upd=${o.allUpdatesTimeMs} rm=${o.allRemovalsTimeMs} commit=${o.commitTimeMs}")}")
           val st = p.stateOperators.headOption
           samples.getOrElseUpdate(p.batchId, (
             (System.nanoTime() - t0) / 1e9,
@@ -1067,7 +1137,11 @@ object StreamingPipelines {
         }
         Thread.sleep(100)
       }
-    } finally q.stop()
+    } finally {
+      val tl = phase(s"dedup-soak loop (n=${samples.size})", tp1)
+      q.stop()
+      phase("dedup-soak stop()", tl): Unit
+    }
     val rows = samples.toSeq.sortBy(_._1)
     // MEAN, not median (r16): the steady state genuinely OSCILLATES
     // between ceil and floor of the live-window count (2000↔3000 rows
