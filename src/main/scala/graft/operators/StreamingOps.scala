@@ -95,24 +95,37 @@ object StreamingOps {
     * control; this flagship measurement does not). */
   def streamRateBench(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val tp0 = System.nanoTime()
     val events = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val feed = StreamingPipelines.prepareFeed(s, events, nSlices = 10)
     // the flagship 5-stage dedup pipeline streams DOCUMENTS (its own
     // replay feed, ordered by doc_id) against a fresh digest store
     val docs = Tables.documents(s, dir)
       .select(col("doc_id").as("event_id"),
         timestamp_seconds(col("doc_id")).as("ts"), col("doc_id"), col("text"))
-    // 5 slices → ingest-sized triggers: the pipeline runs ~7 Spark
-    // jobs per batch (probe, store append, frontier, emit), so slice
-    // count prices the per-trigger machinery, not the pipeline
-    val docFeed = StreamingPipelines.prepareFeed(s, docs, nSlices = 5)
-    // the ferret leg's query-vector stream: the 10%-of-corpus batch
-    // the registered ferret_pipeline/stream_ferret serve
     val emb = Similarity.emb(s, dir)
-    val qvFeed = StreamingPipelines.prepareFeedBy(s,
-      Similarity.ferretQueries(emb), nSlices = 5, Seq(col("query_id")))
+    // the three replay feeds are INDEPENDENT Spark write jobs — prepare
+    // them concurrently (guide §2.6: overlap independent jobs) so the
+    // untimed-by-no-one setup costs the slowest feed, not the sum.
+    // 5 doc slices → ingest-sized triggers: the pipeline runs ~7 Spark
+    // jobs per batch (probe, store append, frontier, emit), so slice
+    // count prices the per-trigger machinery, not the pipeline; the
+    // qv feed is the 10%-of-corpus query batch the registered
+    // ferret_pipeline/stream_ferret serve.
+    val (feed, docFeed, qvFeed) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val f1 = Future(StreamingPipelines.prepareFeed(s, events, nSlices = 10))
+      val f2 = Future(StreamingPipelines.prepareFeed(s, docs, nSlices = 5))
+      val f3 = Future(StreamingPipelines.prepareFeedBy(s,
+        Similarity.ferretQueries(emb), nSlices = 5, Seq(col("query_id"))))
+      (Await.result(f1, Duration.Inf), Await.result(f2, Duration.Inf),
+        Await.result(f3, Duration.Inf))
+    }
+    StreamingPipelines.phase("rate-bench feeds", tp0): Unit
     val storeDir =
       s"${System.getProperty("java.io.tmpdir")}/graft_5stage_${System.nanoTime()}"
     try {
@@ -173,8 +186,45 @@ object StreamingOps {
               out
             })
         })
-      val results =
-        if (sys.env.get("GRAFT_RATE_SEQUENTIAL").contains("1")) legs.map(_())
+      val tl0 = System.nanoTime()
+      val legTimed = legs.zipWithIndex.map { case (l, i) =>
+        () => {
+          val t0 = System.nanoTime()
+          try l() finally StreamingPipelines.phase(s"rate-bench leg $i", t0)
+        }
+      }
+      val legs2 = legTimed
+      // Volume-derived inner-batch conf for the WHOLE drain (the r17
+      // ferretInnerConf rule, extended from single-key drains to this
+      // key's concurrent legs): the foreachBatch legs' batch plans run
+      // on whatever the session holds when they execute — without this
+      // every ~100-row five-stage trigger and every ~200-query ferret
+      // trigger shuffled into the session default's 32 partitions
+      // (measured: ~1 s/trigger of pure task overhead, the identical
+      // pathology the r17 soak fix measured). Scoping the shared
+      // session is race-free HERE because the conf is ONE value
+      // derived from the LARGEST per-trigger volume any leg carries
+      // (set before any leg starts, restored after every leg has
+      // stopped — legs only ever observe the same scoped value), and
+      // the stateful legs' state sizing already floors at the same
+      // value via statePartsFor. At certification volume the rule
+      // returns the session default and AQE stays on — a no-op.
+      val evPerTrigger = feed.rows / math.max(1, feed.slices)
+      val docPerTrigger = docFeed.rows / math.max(1, docFeed.slices)
+      val qPerTrigger = math.max(1L, qvFeed.rows / math.max(1, qvFeed.slices))
+      val nCorpus = math.max(1L, emb.count())
+      val ferretConf = ferretInnerConf(s, nCorpus, qPerTrigger)
+      val rowParts = StreamingPipelines.statePartsFor(s,
+        math.min(Int.MaxValue.toLong, math.max(evPerTrigger, docPerTrigger)).toInt)
+      val innerParts = math.max(rowParts,
+        ferretConf("spark.sql.shuffle.partitions").toInt)
+      val aqeOff = ferretConf.contains("spark.sql.adaptive.enabled") &&
+        math.max(evPerTrigger, docPerTrigger) < InnerAqeMinCandidates
+      val drainConf =
+        Map("spark.sql.shuffle.partitions" -> innerParts.toString) ++
+          (if (aqeOff) Map("spark.sql.adaptive.enabled" -> "false") else Map.empty)
+      val results = StreamingPipelines.withScopedConf(s, drainConf) {
+        if (sys.env.get("GRAFT_RATE_SEQUENTIAL").contains("1")) legs2.map(_())
         else {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
@@ -192,10 +242,12 @@ object StreamingOps {
           // own finally) before any feed dir is reclaimed; the first
           // failure then surfaces with its real cause.
           val settled = Await.result(
-            Future.sequence(legs.map(l => Future(Try(l())))), Duration.Inf)
+            Future.sequence(legs2.map(l => Future(Try(l())))), Duration.Inf)
           settled.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
           settled.map(_.get)
         }
+      }
+      StreamingPipelines.phase("rate-bench all legs", tl0): Unit
       s.createDataFrame(results)
     } finally {
       StreamingPipelines.deleteRecursively(new java.io.File(feed.path))

@@ -446,6 +446,7 @@ object StreamingPipelines {
       s.sparkContext.getPersistentRDDs.get(id)
         .foreach(_.unpersist(blocking = false))
     })
+    val t5s0 = System.nanoTime()
     // Fragment + Refine: chunk boundaries + identities + bytes. Eager
     // checkpoint: the CDC+SHA pass is the dominant map stage, and both
     // the batch fingerprint and the tagged table read it.
@@ -455,6 +456,7 @@ object StreamingPipelines {
       .withColumn("piece", expr("substring(payload, offset + 1, length)"))
       .drop("payload")
       .localCheckpoint(true)
+    val t5s1 = phase("5stage chunks-ckpt", t5s0)
     // Replay detection for the at-least-once contract: foreachBatch
     // may redeliver an epoch after a crash that already advanced the
     // store/frontier, and a NEW query over the same store restarts
@@ -470,6 +472,7 @@ object StreamingPipelines {
       bit_xor(xxhash64(col("doc_id"), col("chunk_idx"), col("chunk_sha"))).as("fp"),
       count(lit(1)).as("n")).collect().head
     val (fp, n) = (if (fpRow.isNullAt(0)) 0L else fpRow.getLong(0), fpRow.getLong(1))
+    val t5s2 = phase("5stage fp-agg", t5s1)
     val stored =
       if (parquetNonEmpty(s, frontierPath)) {
         val f = s.read.parquet(frontierPath)
@@ -503,21 +506,25 @@ object StreamingPipelines {
           .select(col("chunk_sha"))
           .withColumn("in_store", lit(true))
       else chunks.select("chunk_sha").limit(0).withColumn("in_store", lit(true))
+    val t5s3 = phase("5stage frontier-read", t5s2)
     val firstW = Window.partitionBy("chunk_sha").orderBy("doc_id", "chunk_idx")
     val tagged = chunks.join(known, Seq("chunk_sha"), "left")
       .withColumn("rn", row_number().over(firstW))
       .withColumn("is_first", col("in_store").isNull && col("rn") === 1)
       .drop("in_store", "rn")
       .localCheckpoint(true) // consumed 3× (append, count, caller)
+    val t5s4 = phase("5stage tagged-ckpt", t5s3)
     // one file per batch (the store is digests-only, tiny per batch;
     // un-coalesced appends would accumulate #partitions small files
     // per batch), in the batch attempt's own txn partition
     tagged.filter(col("is_first")).select("chunk_sha")
       .coalesce(1).write.mode("overwrite").parquet(s"$digestPath/txn=$txn")
+    val t5s5 = phase("5stage digest-write", t5s4)
     import s.implicits._
     Seq((frontier + n, frontier, epoch, fp, txn))
       .toDF("next_seq", "base", "epoch", "fp", "txn")
       .write.mode("overwrite").parquet(frontierPath)
+    val t5s6 = phase("5stage frontier-write", t5s5)
     // Compress (firsts only) + Reorder: emit_seq is the DISTRIBUTED
     // prefix sum (unit weights) over (doc_id, chunk_idx) — identical
     // contiguous ranks to a global row_number, but only #partitions
@@ -545,6 +552,7 @@ object StreamingPipelines {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }).distinct
     fiveStagePrevCkpt.put(storeDir, ckptIds): Unit
+    phase("5stage prefix-sum", t5s6): Unit
     ordered
   }
 
