@@ -123,7 +123,7 @@ object Bench {
           () => graft.operators.Multimodal.prewarmStores(spark, sfDir)),
         ("storage-layout", Seq("q_"),
           () => graft.operators.StorageLayout.prewarmStores(spark, sfDir)),
-        ("similarity", Seq("ann_knn", "dedup_clusters_knn", "dedup_semantic_knn"),
+        ("similarity", Seq("ann_", "dedup_clusters_knn", "dedup_semantic"),
           () => graft.operators.Similarity.prewarmStores(spark, sfDir))
       ).foreach { case (tag, prefixes, warm) =>
         if (wanted(prefixes)) {

@@ -70,6 +70,15 @@ object Sessions {
   def contractLocal(appName: String, defaultCpus: String = "32",
                     overrides: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
-    contract(s"local[$cpus]", cpus, appName, overrides)
+    // SPARK_GRAFT_CONF="k=v;k=v": documented env passthrough for
+    // deployment-specific settings (cluster shuffle sizing, codec
+    // choices) and for conf A/B experiments — the contract defaults
+    // above stay the local bench configuration, so driver runs are
+    // unaffected unless the env explicitly says otherwise.
+    val envConf = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+        }.toMap).getOrElse(Map.empty)
+    contract(s"local[$cpus]", cpus, appName, envConf ++ overrides)
   }
 }

@@ -568,7 +568,7 @@ object Curation {
       .select(col("vec_id"), col("embedding").as("v"))
     // one k-means + assignment pass feeds both pair sides, the
     // cluster node list, and the keep join
-    val assigned = Similarity.cellAssignments(e).localCheckpoint(true)
+    val assigned = Similarity.cellAssignments(s, dir, e).localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("cc").as("cc_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),

@@ -225,19 +225,23 @@ object TextAnalysis {
 
   /** Deterministic argmax over the marker scores: max score, ties
     * broken by marker order — reusable (score, lang) struct for the
-    * langid query and the curation pipeline. */
-  private[operators] def langBest(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, re) =>
+    * langid query and the curation pipeline.
+    *
+    * Shape matters (guide §7.3 — planning time IS part of a query's
+    * cost): the previous nested when(a,b).otherwise(a) fold embedded
+    * the accumulated expression ~3× per step, so the tree grew
+    * exponentially in the marker count (hundreds of regexp nodes for
+    * 5 languages) and Catalyst spent ~1.7 s of the key's ~1.9 s wall
+    * ANALYZING it, every pass, in every consumer (text_langid,
+    * text_ccnet, text_pipeline). array_max over (score, prio, lang)
+    * structs is the same total order — struct comparison is
+    * field-by-field, and prio values are distinct so lang is never
+    * consulted — with a tree linear in the marker count. */
+  private[operators] def langBest(text: Column): Column =
+    array_max(array(LangMarkers.zipWithIndex.map { case ((lang, re), i) =>
       struct(regexp_count(lower(text), lit(re)).as("score"),
-        lit(lang).as("lang"))
-    }
-    scores.zipWithIndex.map { case (sc, i) =>
-      struct(sc.getField("score").as("score"),
-        lit(LangMarkers.size - i).as("prio"), sc.getField("lang").as("lang"))
-    }.reduce((a, b) => when(b.getField("score") > a.getField("score") ||
-      (b.getField("score") === a.getField("score") &&
-        b.getField("prio") > a.getField("prio")), b).otherwise(a))
-  }
+        lit(LangMarkers.size - i).as("prio"), lit(lang).as("lang"))
+    }: _*))
 
   private[operators] def predLang(text: Column): Column =
     langBest(text).getField("lang")
