@@ -85,8 +85,13 @@ object Bench {
     // latency percentiles internally; their wall-clock is dominated by
     // fixed micro-batch machinery, so repeating them buys no precision
     // — one measured pass each keeps the bench wall-time on the
-    // analytic queries where the medians matter.
-    val singlePass = Set("stream_rate_bench", "stream_param_sweep", "stream_soak")
+    // analytic queries where the medians matter. stream_soak_ferret
+    // joined the set in r18: it is wall-clock-pinned exactly like
+    // stream_soak (a fixed-duration soak whose wall does not shrink
+    // with SF), so its previous warm-pass + 3 measured passes spent
+    // ~35 s of bench wall to report a 9 s constant.
+    val singlePass = Set("stream_rate_bench", "stream_param_sweep",
+      "stream_soak", "stream_soak_ferret")
 
     // optional key filter for local iteration (comma-separated names);
     // unset → the full driver-contract bench
@@ -156,10 +161,11 @@ object Bench {
       System.gc() // between queries only: a full GC per pass on a
                   // large warm heap costs more than the blocks it
                   // frees (measured both ways at sf0.1)
-      // stream_soak's cost is WALL-CLOCK by construction (a sustained
+      // the soaks' cost is WALL-CLOCK by construction (a sustained
       // rate source runs for a fixed duration regardless of SF) — a
-      // warm-up pass would double it for zero codegen benefit
-      if (name != "stream_soak")
+      // warm-up pass would double it for zero codegen benefit; both
+      // soaks warm their own batch plans pre-start instead
+      if (name != "stream_soak" && name != "stream_soak_ferret")
         once(fn, warmDir) // codegen/classloading warm-up, never measured
       val nPasses = if (singlePass(name)) 1 else passes
       // free leaked blocks between PASSES too: a query that
