@@ -617,6 +617,24 @@ object Similarity {
       build.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("idx", "value")
     }.collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
+  /** The append/LSM family's FROZEN base-split centroids (trained on
+    * emb.filter(vec_id % 7 =!= 3) — the base segment): "frozen at
+    * base-build time" is the family's semantic contract, which a
+    * session store satisfies literally (built once, never retrained);
+    * before this every probe pass of the append keys re-ran the
+    * identical Lloyd training (~0.6 s) to reproduce the frozen model. */
+  private def centroidSeqStoredBase(s: SparkSession, dir: String): IndexedSeq[(Long, IndexedSeq[Double])] =
+    Dedup.sessionStore(s, dir, "ivf_centroids_base", "frozen base-split IVF centroid",
+        module = "similarity", srcTable = "embeddings.parquet") {
+      import s.implicits._
+      s.createDataset(centroidSeq(emb(s, dir).filter(col("vec_id") % 7 =!= 3))
+        .map { case (cell, cv) => Centroid(cell, cv) }).toDF()
+    }.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1).toIndexedSeq
+
+  private def centroidArrayBase(s: SparkSession, dir: String): Column =
+    asCentroidColumn(centroidSeqStoredBase(s, dir))
+
   private def pqCodebookStored(s: SparkSession, dir: String): Array[Double] =
     storedDoubles(s, dir, "pq_codebook", "PQ codebook") {
       pqCodebook(emb(s, dir))
@@ -668,6 +686,7 @@ object Similarity {
     * stores). */
   private[graft] def prewarmModelStores(s: SparkSession, dir: String): Unit = {
     centroidSeqStored(s, dir): Unit
+    centroidSeqStoredBase(s, dir): Unit
     pqCodebookStored(s, dir): Unit
     pqCodebookResStored(s, dir): Unit
     opqModelStored(s, dir): Unit
@@ -876,7 +895,7 @@ object Similarity {
     val base = e.filter(col("vec_id") % 7 =!= 3)
     val delta = e.filter(col("vec_id") % 7 === 3)
     // frozen at base-build time: appends assign to these cells
-    val cc = centroidArray(base)
+    val cc = centroidArrayBase(s, dir)
     val root = ivfAppendRoot(dir)
     val rootName = new java.io.File(root).getName
     // stale-fingerprint eviction, same hygiene as annIvfIndexed
@@ -964,7 +983,7 @@ object Similarity {
     val e = emb(s, dir)
     val base = e.filter(col("vec_id") % 7 =!= 3)
     val arrivals = e.filter(col("vec_id") % 7 === 3)
-    val cc = centroidArray(base)
+    val cc = centroidArrayBase(s, dir)
     val dirKey = ivfDirKey(dir)
     val root = streamIndexRoot(dir)
     val rootName = new java.io.File(root).getName
@@ -1048,7 +1067,7 @@ object Similarity {
     * layout must reproduce exactly. */
   private[graft] def ivfAppendReference(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val cc = centroidArray(e.filter(col("vec_id") % 7 =!= 3))
+    val cc = centroidArrayBase(s, dir)
     val assigned = e.withColumn("cell",
       nearestCells(col("v"), cc, 1).getItem(0))
     ivfProbe(e, assigned, cc, pruneCells = false)
