@@ -128,7 +128,7 @@ object Bench {
           () => graft.operators.Multimodal.prewarmStores(spark, sfDir)),
         ("storage-layout", Seq("q_"),
           () => graft.operators.StorageLayout.prewarmStores(spark, sfDir)),
-        ("similarity", Seq("ann_", "dedup_clusters_knn", "dedup_semantic"),
+        ("similarity", Seq("ann_", "dedup_clusters_knn", "dedup_semantic", "vec_pca"),
           () => graft.operators.Similarity.prewarmStores(spark, sfDir)),
         ("curation", Seq("dedup_canonical", "dedup_cluster_stats", "dedup_weights"),
           () => graft.operators.Curation.prewarmStores(spark, sfDir))

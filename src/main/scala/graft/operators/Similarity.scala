@@ -687,6 +687,7 @@ object Similarity {
   private[graft] def prewarmModelStores(s: SparkSession, dir: String): Unit = {
     centroidSeqStored(s, dir): Unit
     centroidSeqStoredBase(s, dir): Unit
+    pcaModelStored(s, dir): Unit
     pqCodebookStored(s, dir): Unit
     pqCodebookResStored(s, dir): Unit
     opqModelStored(s, dir): Unit
@@ -2309,8 +2310,31 @@ object Similarity {
     * score via list_inner_product with the |echo−recompute| ≤
     * 1e-9·max(1,|·|) certificate (summation order differs across
     * engines), then emits the echo. */
+  /** Session-stored default-PcaK eigen model (lam, basis, mu) for the
+    * keys that CONSUME the PCA model rather than measure the solve:
+    * vec_pca_basis (the oracled trainer) keeps running pcaEigs live. */
+  private def pcaModelStored(s: SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val rows = Dedup.sessionStore(s, dir, "pca_model", "PCA eigen model",
+        module = "similarity", srcTable = "embeddings.parquet") {
+      import s.implicits._
+      val (lam, vs, mu) = pcaEigs(s, dir)
+      val lamRows = lam.zipWithIndex.map { case (v, k) => ("lam", k.toLong, 0L, v) }
+      val vRows = for (k <- vs.indices; i <- vs(k).indices)
+        yield ("v", k.toLong, i.toLong, vs(k)(i))
+      val muRows = mu.zipWithIndex.map { case (v, i) => ("mu", 0L, i.toLong, v) }
+      (lamRows.toSeq ++ vRows ++ muRows).toDF("kind", "k", "i", "value")
+    }.collect()
+    val byKind = rows.groupBy(_.getString(0))
+    val lam = byKind("lam").sortBy(_.getLong(1)).map(_.getDouble(3))
+    val vs = byKind("v").groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getLong(2)).map(_.getDouble(3)).toArray).toArray
+    val mu = byKind("mu").sortBy(_.getLong(2)).map(_.getDouble(3))
+    (lam, vs, mu)
+  }
+
   def vecPcaProject(s: SparkSession, dir: String): DataFrame = {
-    val (lam, vs, mu) = pcaEigs(s, dir)
+    val (lam, vs, mu) = pcaModelStored(s, dir)
     import s.implicits._
     val basis = lam.indices.map { k =>
       val cent = vs(k).zip(mu).map { case (a, b) => a * b }.sum
